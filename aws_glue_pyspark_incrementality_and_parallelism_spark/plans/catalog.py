@@ -1,0 +1,19 @@
+"""Assemble the full query catalog.
+
+Importing this module imports every operator module, which registers its
+queries into ``REGISTRY`` via the ``@query`` decorator.
+"""
+
+from __future__ import annotations
+
+from ..operators import queries_reports  # noqa: F401
+
+from .registry import REGISTRY, QuerySpec  # noqa: F401
+
+
+def all_queries():
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles():
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

@@ -1,0 +1,78 @@
+"""Columnar sources and sinks.
+
+The reference reads crawled MySQL tables through the Glue Catalog
+(/root/reference/glue_rds_to_redshift.py:28-40) and writes to Redshift
+via an S3-staged copy (:86-92). The rebuild is columnar-at-rest: parquet
+in, parquet out, with the same "register tables, query by name" shape via
+Spark temp views. A JDBC round-trip would be
+``spark.read.format("jdbc")`` / ``df.write.format("jdbc")`` behind the
+same helpers; parquet is the default because the driver's testdata is
+parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Driver-provided tables (/root/repo/TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table.
+
+    Plain ``spark.read.parquet`` so Catalyst gets predicate pushdown,
+    column pruning, and partition-split planning for free. Never collect
+    here; scans must stay lazy so filters written later still reach the
+    parquet reader.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every table as a temp view (the rebuild's 'catalog')."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    single_file: bool = False,
+) -> None:
+    """Parquet sink.
+
+    ``single_file=True`` mirrors the reference's ``repartition(1)``
+    (/root/reference/glue_rds_to_redshift.py:62,74) but uses
+    ``coalesce(1)`` — no extra shuffle. At 100 TB you never do this;
+    partitioned writes are the default path.
+    """
+    if single_file:
+        df = df.coalesce(1)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

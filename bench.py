@@ -1,0 +1,62 @@
+"""Benchmark runner — times every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced with the no-op sink (computes every output column,
+writes nothing) so timings reflect full plan execution, not just a count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from aws_glue_pyspark_incrementality_and_parallelism_spark.plans import catalog
+from aws_glue_pyspark_incrementality_and_parallelism_spark.session import build_spark
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = build_spark(app_name="engine-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths once so per-query numbers aren't
+    # dominated by first-run classloading.
+    _force(catalog.REGISTRY["report_sales_by_supplier"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(catalog.REGISTRY.items()):
+        t0 = time.perf_counter()
+        _force(spec.fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
