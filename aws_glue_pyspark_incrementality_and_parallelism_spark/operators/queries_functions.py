@@ -1,0 +1,275 @@
+"""Scalar-function queries (SURVEY §2.7): string/date/math/conditional/
+null/JSON/array surfaces, plus subquery shapes. All JVM-side built-ins —
+whole-stage codegen keeps these in one generated loop per stage."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.io import load_table, register_views
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           LENGTH(c_name) AS name_len,
+           CONCAT(c_mktsegment, '/', c_name) AS tagged,
+           REPLACE(c_name, 'Customer#', '') AS name_id,
+           LPAD(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_code
+    FROM customer
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions: upper/substring/length/concat/replace/lpad."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat(F.col("c_mktsegment"), F.lit("/"), F.col("c_name")).alias("tagged"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("")).alias("name_id"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_code"),
+    )
+
+
+@query(
+    "fn_regexp_like_filter",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_type LIKE '%BRASS%' OR regexp_matches(p_name, '(red|green)')
+    """,
+)
+def q_fn_regexp_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE + regexp predicates in a scan filter."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("%BRASS%") | F.col("p_name").rlike("(red|green)")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           EXTRACT(year FROM o_orderdate) AS order_year,
+           EXTRACT(month FROM o_orderdate) AS order_month,
+           CAST(DATE_TRUNC('quarter', o_orderdate) AS DATE) AS order_quarter,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+           DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k
+    FROM orders
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions: cast, extract, trunc, interval math, datediff."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.to_date(F.date_trunc("quarter", "o_orderdate")).alias("order_quarter"),
+        F.to_date(F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("days_to_y2k"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_kilo,
+           ROUND(SQRT(l_extendedprice), 4) AS price_sqrt,
+           CAST(l_quantity AS INT) % 7 AS qty_mod
+    FROM lineitem
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions: round/abs/floor/ceil/sqrt/modulo."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
+        ).alias("charge"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_kilo"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        (F.col("l_quantity").cast("int") % 7).alias("qty_mod"),
+    )
+
+
+@query(
+    "fn_case_null",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS balance_band,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_masked,
+           (c_acctbal IS NULL) AS bal_is_null
+    FROM customer
+    """,
+)
+def q_fn_case_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN, NULLIF/COALESCE, IS NULL."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("balance_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "segment_masked"
+        ),
+        F.isnull("c_acctbal").alias("bal_is_null"),
+    )
+
+
+@query(
+    "fn_json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    """,
+)
+def q_fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props string column."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+@query(
+    "fn_array_ops",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_component,
+           ROUND((SELECT SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))
+                  FROM UNNEST(embedding) AS t(e)), 4) AS sq_norm
+    FROM embeddings
+    """,
+)
+def q_fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops on the embedding column: size, element access, and a
+    sum-of-squares via the higher-order AGGREGATE function (JVM-side —
+    no Python for per-element math)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("first_component"),
+        F.round(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ),
+            4,
+        ).alias("sq_norm"),
+    )
+
+
+@query(
+    "fn_explode_posexplode",
+    oracle="""
+    SELECT vec_id,
+           CAST(unnest(range(len(embedding))) AS INT) AS pos,
+           ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS component
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def q_fn_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode an array column into (pos, value) rows."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "pos", F.round(F.col("val").cast("double"), 6).alias("component"))
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (orders > 2× the mean price)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@query(
+    "subquery_in_correlated",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders o
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    """,
+)
+def q_subquery_in_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery + correlated EXISTS — Catalyst decorrelates both into
+    semi joins (visible in the physical plan), so they scale like joins."""
+    register_views(spark, sf_dir, ("orders", "customer", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM orders o
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        """
+    )
+
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows via F.window — the batch twin
+    of the Structured Streaming windowed aggregation in streaming/."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )

@@ -1,0 +1,145 @@
+"""Window-function queries (SURVEY §2.7 breadth).
+
+Determinism rule: every window ORDER BY ends in a unique tiebreaker
+column so ranks and running frames are identical across engines.
+
+Scale note: a window partitioned by a key shuffles once on that key and
+sorts within partitions — same cost envelope as a groupBy. A window with
+NO partition key is a single-node sort; never do that at 100 TB (the
+top-k query shows the scalable global pattern instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.io import load_table
+
+
+@query(
+    "window_rank_topn_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 2
+    """,
+)
+def q_window_rank_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer via row_number — the standard
+    'latest/top N per key' pattern."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    """,
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer over order history."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("running_spend"),
+        )
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_type
+    FROM events
+    """,
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Previous/next event type per user — sessionization building block."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "window_dense_rank_share",
+    oracle="""
+    SELECT s_suppkey, supplier_revenue,
+           DENSE_RANK() OVER (ORDER BY supplier_revenue DESC, s_suppkey) AS rev_rank
+    FROM (
+      SELECT l_suppkey AS s_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS supplier_revenue
+      FROM lineitem GROUP BY 1
+    )
+    """,
+)
+def q_window_dense_rank_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank suppliers by revenue. The global window runs AFTER a groupBy
+    shrank the data to one row per supplier — the safe way to use an
+    unpartitioned window at scale (input is already tiny)."""
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("supplier_revenue")
+        )
+    )
+    w = Window.orderBy(F.desc("supplier_revenue"), F.asc("s_suppkey"))
+    return rev.select("s_suppkey", "supplier_revenue", F.dense_rank().over(w).alias("rev_rank"))
+
+
+@query(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k. Spark plans orderBy+limit as TakeOrderedAndProject:
+    each partition keeps its local top-k, the driver merges k·p rows —
+    no global sort, scales to any input size."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )

@@ -6,7 +6,14 @@ queries into ``REGISTRY`` via the ``@query`` decorator.
 
 from __future__ import annotations
 
-from ..operators import queries_reports  # noqa: F401
+from ..operators import (  # noqa: F401
+    queries_aggregates,
+    queries_functions,
+    queries_joins,
+    queries_reports,
+    queries_setops,
+    queries_windows,
+)
 
 from .registry import REGISTRY, QuerySpec  # noqa: F401
 

@@ -44,9 +44,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     column pruning, and partition-split planning for free. Never collect
     here; scans must stay lazy so filters written later still reach the
     parquet reader.
+
+    ``events.ts`` is nanosecond-precision in parquet, which Spark has no
+    timestamp type for (PARQUET_TYPE_ILLEGAL by default). We read nanos
+    as long and truncate to microseconds — the same floor-truncation
+    DuckDB applies — so both engines see identical values.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

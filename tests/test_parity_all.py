@@ -1,0 +1,24 @@
+"""Differential parity for EVERY oracle-bearing registry query at sf0.001
+(the driver does the same at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import REGISTRY
+
+from .conftest import SF_SMALL
+from .oracle import assert_parity
+
+ORACLE_QUERIES = sorted(name for name, spec in REGISTRY.items() if spec.oracle is not None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_parity(spark, name):
+    assert_parity(spark, name, SF_SMALL)
+
+
+def test_rows_only_queries_run(spark):
+    for name, spec in sorted(REGISTRY.items()):
+        if spec.oracle is None:
+            assert spec.fn(spark, SF_SMALL).count() >= 0, name
