@@ -1,0 +1,242 @@
+"""Deduplication operators (SURVEY §2.8 E1/E2) — exact, n-gram Jaccard,
+MinHash+LSH, and SimHash, all over the ``documents`` table.
+
+100 TB design stance:
+
+* Exact dedup is a hash-aggregate on a fingerprint — one shuffle keyed
+  by a uniformly-distributed hash, no skew by construction.
+* Near-dup never compares all pairs. MinHash banding turns O(n²) into a
+  shuffle keyed on (band_index, band_hash): only same-bucket docs meet.
+  Candidate verification (exact Jaccard) touches candidate pairs only.
+* The word-level Jaccard query restricts to a bounded id range because
+  it IS the quadratic oracle — it exists to check the LSH path's math,
+  not to run at scale.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.io import load_table
+
+#: MinHash parameters: 32 hashes = 8 bands × 4 rows. With threshold
+#: t ≈ (1/b)^(1/r) = (1/8)^0.25 ≈ 0.59, pairs with Jaccard ≥ ~0.6 are
+#: near-certain candidates.
+MINHASH_K = 32
+LSH_BANDS = 8
+LSH_ROWS = 4
+SHINGLE_N = 3
+
+
+def normalized_fingerprint(text: Column) -> Column:
+    """Canonical-text fingerprint: lowercase, collapse all whitespace,
+    md5. Portable across engines (md5 is md5 everywhere)."""
+    return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def word_shingles(text: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct n-word shingles. Falls back to the whole text when the
+    doc has fewer than n tokens."""
+    toks = _tokens(text)
+    joined = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, joined).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signature(shingles: Column, k: int = MINHASH_K) -> Column:
+    """k-permutation MinHash as an array<long>.
+
+    Permutation i is xxhash64 seeded by prefixing the shingle with the
+    permutation index — all JVM-side built-ins, one pass per row, no
+    shuffle. (MinHash per Broder '97; banding per MMDS ch.3.)
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}:"), s)))
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def lsh_bands(sig: Column, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> Column:
+    """Band hashes: array of ``bands`` longs, each hashing ``rows``
+    consecutive signature slots."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(",", *[F.slice(sig, b * rows + 1, rows).cast("array<string>")])
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 exact dedup: canonical-fingerprint groupBy keeping the lowest
+    doc_id (deterministic, unlike dropDuplicates' arbitrary winner).
+    One shuffle on md5 — uniform keys, no skew, any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(normalized_fingerprint(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
+      FROM documents WHERE doc_id < 100
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(i.n_common / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 oracle path: exact word-set Jaccard via explode→self-join→count
+    (the inverted-index trick: only docs sharing a token ever meet).
+    Bounded to doc_id<100 — this is the quadratic ground truth the LSH
+    path is checked against, not the scale path."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("w")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one (band, band-hash)
+    bucket. The only shuffle is keyed on the band hash — this is the
+    100 TB near-dup path."""
+    sig = docs.select(
+        "doc_id",
+        word_shingles(F.col("text")).alias("shingles"),
+    ).withColumn("bands", lsh_bands(minhash_signature(F.col("shingles"))))
+    banded = sig.select(
+        "doc_id", "shingles", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("shingles_a"),
+            F.col("b.shingles").alias("shingles_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+@query("dedup_minhash_lsh", oracle=None)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 scale path: MinHash(32) + 8×4 banding → candidate pairs →
+    exact shingle-Jaccard verification ≥ 0.5. Rows-only check here
+    (hash internals aren't SQL-portable); recall against brute force is
+    asserted in pytest on synthetic near-dups."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_candidate_pairs(docs)
+    inter = F.size(F.array_intersect("shingles_a", "shingles_b"))
+    union = F.size(F.array_union("shingles_a", "shingles_b"))
+    jac = inter / union
+    return cands.filter(jac >= 0.5).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash of the word stream, built-ins only: hash each
+    token once, then per bit position sum ±1 over tokens and take the
+    sign. Charikar '02."""
+    toks = _tokens(text)
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _bit_vote(bit: int):
+        # two-arg merge lambda (PySpark maps lambda arity onto the HOF
+        # signature, so extra default args are not allowed)
+        return F.aggregate(
+            h,
+            F.lit(0),
+            lambda acc, x: acc
+            + F.when(F.shiftright(x, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_cols = [
+        F.when(_bit_vote(b) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    return reduce(
+        lambda acc, bc: acc.bitwiseOR(F.shiftleft(bc[1], bc[0])),
+        enumerate(bit_cols),
+        F.lit(0).cast("long"),
+    )
+
+
+@query("dedup_simhash", oracle=None)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 SimHash: per-doc 64-bit locality-sensitive fingerprint.
+    Near-dups are pairs within small Hamming distance; bucketing on
+    16-bit chunks (pigeonhole: distance ≤3 ⇒ one exact chunk match)
+    makes the pair search a hash join at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))

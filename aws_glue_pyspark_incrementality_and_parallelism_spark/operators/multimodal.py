@@ -1,0 +1,137 @@
+"""Multimodal column handling (SURVEY §2.8 E5).
+
+Media assets are opaque ``binary`` payloads + a typed metadata struct.
+The engine's job is the Spark-side plumbing: schema, partition-friendly
+layout, Arrow-batched Pandas UDF decode/feature-extract — NOT the codecs
+themselves. Real decoders (PIL/torchaudio/ffmpeg) are not in this
+container, so the decode step is a deterministic stub behind
+``decode_stub=True`` (the default); passing ``decode_stub=False`` raises
+NotImplementedError exactly where the real library call belongs.
+
+The testdata has no binary table, so ``documents.text`` (utf-8 encoded)
+stands in as the payload. The pipeline shape is the real thing:
+
+    payload: binary + meta: struct → mapInPandas(feature_fn) → features
+
+At 100 TB: payloads dominate bytes, so (a) never explode them through a
+shuffle — extract features FIRST, then drop the payload column; (b) size
+``spark.sql.files.maxPartitionBytes`` so one Arrow batch of payloads
+fits executor memory; (c) mapInPandas streams batches, never
+materializing a whole partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..plans.registry import query
+from ..sources.io import load_table
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("mean_byte", DoubleType()),
+        StructField("header_checksum", LongType()),
+    ]
+)
+
+
+def as_media_frame(docs: DataFrame) -> DataFrame:
+    """Wrap documents as a multimodal frame: binary payload + metadata
+    struct (the schema any image/audio/video table would carry)."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length("text").alias("n_bytes"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` receives an iterator of pandas batches — the decode
+    loop is vectorized per batch and payloads stream through without
+    materializing a partition. Swap the stub branch for a real decoder
+    (PIL.Image.open etc.) when the codec libraries exist.
+    """
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decode requires codec libraries (PIL/torchaudio); "
+                    "install them and implement this branch"
+                )
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    # Deterministic fake "decode": per-payload byte mean
+                    # and a checksum of the first 16 bytes ("header").
+                    "mean_byte": payloads.map(
+                        lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                    ),
+                    "header_checksum": payloads.map(
+                        lambda b: int(sum(b[:16]) % 65536)
+                    ).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(_features, schema=FEATURE_SCHEMA)
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           strlen(text) AS n_bytes,
+           ROUND(list_sum(list_transform(split(text, ''), c -> unicode(c))) * 1.0
+                 / strlen(text), 4) AS mean_byte
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: binary payload → mapInPandas feature extraction (byte length,
+    mean byte value). The oracle recomputes both from the text — valid
+    because the corpus is ASCII, so bytes == code points."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(as_media_frame(docs))
+    return feats.select("doc_id", "n_bytes", F.round("mean_byte", 4).alias("mean_byte"))
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id, 'text/plain' AS mime, strlen(text) AS n_bytes, source AS origin
+    FROM documents
+    """,
+)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: typed metadata struct projection (struct build + field access
+    without touching the payload bytes — column pruning drops the binary
+    column from the scan entirely; check ReadSchema in .explain)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = as_media_frame(docs)
+    return media.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.origin").alias("origin"),
+    )

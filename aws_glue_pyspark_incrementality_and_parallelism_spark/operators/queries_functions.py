@@ -86,7 +86,8 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_math",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+           FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100
+             AS charge,
            ABS(l_discount - 0.05) AS disc_dev,
            CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
            CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_kilo,
@@ -101,8 +102,16 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
+        # floor(x*100+0.5)/100 instead of round(x, 2): Spark rounds the
+        # exact decimal expansion of the double (HALF_UP) while DuckDB
+        # scales-then-rounds in doubles; on ~1/5000 rows they disagree at
+        # the tie. floor over identical IEEE ops is deterministic in both.
+        (
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 100
+                + 0.5
+            )
+            / 100
         ).alias("charge"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.floor("l_quantity").alias("qty_floor"),

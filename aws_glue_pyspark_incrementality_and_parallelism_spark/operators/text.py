@@ -1,0 +1,177 @@
+"""Text-analysis operators (SURVEY §2.8 E4) over ``documents``:
+token/char statistics, quality scoring, language ID, fingerprinting,
+corpus vocabulary. All JVM-side expressions (split/regexp/array ops) —
+the hot path never enters Python."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import query
+from ..sources.io import load_table
+from .dedup import normalized_fingerprint
+
+#: Tiny per-language stopword lexicons for the heuristic language ID.
+#: Real pipelines use char-n-gram models; the *plumbing* (broadcast
+#: lexicon, argmax over per-language hit ratios) is identical.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
+    "de": ["der", "die", "das", "und", "ist", "ich", "nicht", "ein", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "je", "ne", "un", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "yo", "no", "un", "una", "en"],
+    "zh": ["de", "shi", "bu", "wo", "le", "ren", "you", "ta", "zhe", "men"],
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id, lang,
+           LENGTH(text) AS n_chars_measured,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS n_unique_tokens,
+           ROUND(LENGTH(regexp_replace(text, '\\s+', '', 'g')) * 1.0 /
+                 len(string_split_regex(trim(text), '\\s+')), 4) AS avg_token_len
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + char stats per document (one scan, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_measured"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(_tokens(F.col("text")))).alias("n_unique_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", r"\s+", "")) * F.lit(1.0) / F.size(toks), 4
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) * 1.0 /
+               len(string_split_regex(trim(text), '\\s+')) AS unique_ratio,
+             CASE WHEN LENGTH(text) = 0 THEN 0.0
+                  ELSE LENGTH(regexp_replace(text, '[a-zA-Z\\s]', '', 'g')) * 1.0 / LENGTH(text)
+             END AS symbol_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, ROUND(unique_ratio, 4) AS unique_ratio,
+           ROUND(symbol_ratio, 4) AS symbol_ratio,
+           ROUND(LEAST(1.0, n_tokens / 50.0) * unique_ratio * (1 - symbol_ratio), 4)
+             AS quality_score
+    FROM scored
+    """,
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length saturation × lexical diversity ×
+    (1 − symbol noise). The C4/Gopher-style filter shape, as pure
+    column expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    unique_ratio = F.size(F.array_distinct(_tokens(F.col("text")))) * F.lit(1.0) / n_tokens
+    symbol_ratio = F.when(F.length("text") == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace("text", r"[a-zA-Z\s]", "")) * F.lit(1.0) / F.length("text")
+    )
+    quality = F.least(F.lit(1.0), n_tokens / F.lit(50.0)) * unique_ratio * (1 - symbol_ratio)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(unique_ratio, 4).alias("unique_ratio"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(quality, 4).alias("quality_score"),
+    )
+
+
+def langid_scores(text: Column) -> list[tuple[str, Column]]:
+    """Per-language stopword hit count over the doc's distinct tokens."""
+    toks = F.array_distinct(_tokens(text))
+    return [
+        (lang, F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))))
+        for lang, words in STOPWORDS.items()
+    ]
+
+
+@query("text_langid", oracle=None)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hits
+    ('und' = undetermined when nothing matches). Rows-only check —
+    accuracy on real sentences is asserted in pytest; the synthetic
+    corpus shares one vocabulary across langs."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = langid_scores(F.col("text"))
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    for lang, s in reversed(scores):
+        pred = F.when((best > 0) & (s == best), lang).otherwise(pred)
+    return docs.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+           strlen(text) AS n_bytes
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint (md5 of whitespace-collapsed
+    lowercase text) + byte length — the join key for cross-corpus exact
+    dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        normalized_fingerprint(F.col("text")).alias("fingerprint"),
+        F.octet_length("text").alias("n_bytes"),
+    )
+
+
+@query(
+    "text_vocabulary_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+      FROM documents
+    ), counted AS (
+      SELECT word, COUNT(*) AS freq FROM tok GROUP BY 1
+    ), ranked AS (
+      SELECT word, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rn
+      FROM counted
+    )
+    SELECT word, freq, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= 20
+    """,
+)
+def q_text_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level vocabulary: top-20 words by frequency. explode →
+    hash-agg (map-side combine) → top-k; the word histogram never
+    materializes globally sorted output."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("word", "freq", "rn")
+    )

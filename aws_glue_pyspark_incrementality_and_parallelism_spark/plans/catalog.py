@@ -7,12 +7,16 @@ queries into ``REGISTRY`` via the ``@query`` decorator.
 from __future__ import annotations
 
 from ..operators import (  # noqa: F401
+    dedup,
+    multimodal,
     queries_aggregates,
     queries_functions,
     queries_joins,
     queries_reports,
     queries_setops,
     queries_windows,
+    similarity,
+    text,
 )
 
 from .registry import REGISTRY, QuerySpec  # noqa: F401

@@ -1,0 +1,115 @@
+"""Semantic tests for the LLM-pipeline extension operators — the
+properties the driver's rows-only checks can't see: LSH recall,
+SimHash locality, language-ID accuracy, multimodal stub plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_pyspark_incrementality_and_parallelism_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+
+from .conftest import SF_SMALL
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(f"tok{i}" for i in range(58)) + " novel1 novel2"  # ~0.9 shingle overlap
+    far = " ".join(f"other{i}" for i in range(60))
+    docs = _docs_df(spark, [(1, base), (2, near), (3, far)])
+
+    cands = dedup.minhash_candidate_pairs(docs)
+    jac = F.size(F.array_intersect("shingles_a", "shingles_b")) / F.size(
+        F.array_union("shingles_a", "shingles_b")
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in cands.filter(jac >= 0.5).select("doc_a", "doc_b").collect()
+    }
+    assert (1, 2) in pairs, "planted near-duplicate not found by MinHash LSH"
+    assert (1, 3) not in pairs and (2, 3) not in pairs, "false positive survived verification"
+
+
+def test_simhash_locality(spark):
+    base = " ".join(f"word{i}" for i in range(100))
+    near = " ".join(f"word{i}" for i in range(99)) + " changed"
+    far = " ".join(f"zzz{i}" for i in range(100))
+    docs = _docs_df(spark, [(1, base), (2, near), (3, far)])
+    rows = {
+        r.doc_id: r.simhash
+        for r in docs.select("doc_id", dedup.simhash64(F.col("text")).alias("simhash")).collect()
+    }
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(rows[1], rows[2]) <= 8, "near-identical docs should have close simhash"
+    assert hamming(rows[1], rows[3]) >= 20, "unrelated docs should have distant simhash"
+
+
+def test_simhash_deterministic(spark):
+    docs = _docs_df(spark, [(1, "alpha beta gamma"), (2, "alpha beta gamma")])
+    vals = [r.simhash for r in docs.select(dedup.simhash64(F.col("text")).alias("simhash")).collect()]
+    assert vals[0] == vals[1]
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    brute = similarity.q_sim_brute_force_topk(spark, SF_SMALL)
+    lsh = similarity.q_sim_lsh_topk(spark, SF_SMALL)
+    brute_pairs = {(r.query_id, r.vec_id) for r in brute.collect()}
+    lsh_pairs = {(r.query_id, r.vec_id) for r in lsh.collect()}
+    recall = len(brute_pairs & lsh_pairs) / len(brute_pairs)
+    # Random near-orthogonal vectors are LSH's worst case; still expect
+    # a solid fraction of true top-10 in 4 tables × 8 bits.
+    assert recall >= 0.3, f"LSH recall {recall:.2f} too low"
+    # Every LSH hit must carry the same exact cosine the brute path computes.
+    brute_cos = {(r.query_id, r.vec_id): r.cosine for r in brute.collect()}
+    for r in lsh.collect():
+        if (r.query_id, r.vec_id) in brute_cos:
+            assert abs(brute_cos[(r.query_id, r.vec_id)] - r.cosine) < 1e-9
+
+
+def test_langid_on_real_sentences(spark):
+    samples = [
+        (1, "the cat sat on the mat and it is a good day to be in the sun", "en"),
+        (2, "der hund ist nicht zu hause und ich bin mit dem auto", "de"),
+        (3, "le chat est dans la maison et je ne sais pas", "fr"),
+        (4, "el perro es grande y yo no tengo una casa en la ciudad", "es"),
+    ]
+    df = spark.createDataFrame(samples, "doc_id long, text string, lang string")
+    scores = text.langid_scores(F.col("text"))
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    for lang, s in reversed(scores):
+        pred = F.when((best > 0) & (s == best), lang).otherwise(pred)
+    out = {r.doc_id: r.pred for r in df.select("doc_id", pred.alias("pred")).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "es"}
+
+
+def test_multimodal_stub_and_batching(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcd", "s"), (2, "", "s")], "doc_id long, text string, source string"
+    )
+    media = multimodal.as_media_frame(docs)
+    feats = {r.doc_id: r for r in multimodal.extract_features(media).collect()}
+    assert feats[1].n_bytes == 4
+    assert feats[1].mean_byte == pytest.approx((97 + 98 + 99 + 100) / 4)
+    assert feats[2].n_bytes == 0 and feats[2].mean_byte == 0.0
+    # header checksum covers only the first 16 bytes
+    assert feats[1].header_checksum == (97 + 98 + 99 + 100) % 65536
+
+
+def test_multimodal_real_decode_raises(spark):
+    docs = spark.createDataFrame([(1, "abcd", "s")], "doc_id long, text string, source string")
+    media = multimodal.as_media_frame(docs)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.extract_features(media, decode_stub=False).collect()
