@@ -57,6 +57,15 @@ def word_shingles(text: Column, n: int = SHINGLE_N) -> Column:
     )
 
 
+def _seeded_min(shingles: Column, seed: int) -> Column:
+    """MinHash slot: min over shingles of xxhash64 prefixed with the
+    permutation seed. One-arg lambda on purpose — PySpark maps lambda
+    arity onto the HOF signature, so a 2-arg lambda would bind the
+    second parameter to the array index, not a closure default."""
+    prefix = f"{seed}:"
+    return F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.concat(F.lit(prefix), s))))
+
+
 def minhash_signature(shingles: Column, k: int = MINHASH_K) -> Column:
     """k-permutation MinHash as an array<long>.
 
@@ -64,24 +73,23 @@ def minhash_signature(shingles: Column, k: int = MINHASH_K) -> Column:
     permutation index — all JVM-side built-ins, one pass per row, no
     shuffle. (MinHash per Broder '97; banding per MMDS ch.3.)
     """
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}:"), s)))
-            )
-            for i in range(k)
-        ]
-    )
+    return F.array(*[_seeded_min(shingles, i) for i in range(k)])
 
 
-def lsh_bands(sig: Column, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> Column:
-    """Band hashes: array of ``bands`` longs, each hashing ``rows``
-    consecutive signature slots."""
+def band_hashes(
+    shingles: Column, k: int = MINHASH_K, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> Column:
+    """Band hashes computed directly from the shingle array: one
+    xxhash64 per band over its ``rows`` MinHash slots.
+
+    Built this way (not bands-over-signature-array) so each MinHash
+    expression appears exactly once in the plan — higher-order functions
+    run interpreted, and nesting the signature array into every band
+    would re-evaluate the whole shingle pipeline bands× times."""
+    mins = [_seeded_min(shingles, i) for i in range(k)]
     return F.array(
         *[
-            F.xxhash64(
-                F.concat_ws(",", *[F.slice(sig, b * rows + 1, rows).cast("array<string>")])
-            )
+            F.xxhash64(F.concat_ws(",", *[m.cast("string") for m in mins[b * rows : (b + 1) * rows]]))
             for b in range(bands)
         ]
     )
@@ -160,14 +168,42 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one (band, band-hash)
-    bucket. The only shuffle is keyed on the band hash — this is the
-    100 TB near-dup path."""
-    sig = docs.select(
-        "doc_id",
-        word_shingles(F.col("text")).alias("shingles"),
-    ).withColumn("bands", lsh_bands(minhash_signature(F.col("shingles"))))
-    banded = sig.select(
-        "doc_id", "shingles", F.posexplode("bands").alias("band_idx", "band_hash")
+    bucket. The only shuffles are the doc-id hash-aggregate and the
+    band-hash join — this is the 100 TB near-dup path.
+
+    Shape matters here: shingles are EXPLODED once, then the 32 MinHash
+    slots are 32 ``min()`` columns of one hash-aggregate. That keeps the
+    whole signature computation inside whole-stage codegen — the
+    array-lambda formulation (``minhash_signature``) is semantically
+    identical but runs interpreted (HOFs have no codegen) and is ~100×
+    slower at corpus scale.
+    """
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
+    )
+    agg = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"m{i}")
+            for i in range(MINHASH_K)
+        ],
+        F.collect_set("s").alias("shingles"),
+    )
+    bands_col = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{b * LSH_ROWS + j}").cast("string")
+                        for j in range(LSH_ROWS)
+                    ],
+                )
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    banded = agg.select(
+        "doc_id", "shingles", F.posexplode(bands_col).alias("band_idx", "band_hash")
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -204,32 +240,33 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash of the word stream, built-ins only: hash each
-    token once, then per bit position sum ±1 over tokens and take the
-    sign. Charikar '02."""
-    toks = _tokens(text)
-    h = F.transform(toks, lambda t: F.xxhash64(t))
+def simhash_frame(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document (Charikar '02): hash each token,
+    per-bit majority vote of ±1, pack sign bits into a long.
 
-    def _bit_vote(bit: int):
-        # two-arg merge lambda (PySpark maps lambda arity onto the HOF
-        # signature, so extra default args are not allowed)
-        return F.aggregate(
-            h,
-            F.lit(0),
-            lambda acc, x: acc
-            + F.when(F.shiftright(x, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    bit_cols = [
-        F.when(_bit_vote(b) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    Shaped as explode → hash-aggregate with 64 codegen'd SUM(CASE)
+    columns — NOT per-row array lambdas: higher-order functions are
+    interpreted, while this whole pipeline stays inside whole-stage
+    codegen and combines map-side. One shuffle on the doc id.
+    """
+    tok = docs.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("t")).select(
+        F.col(id_col), F.xxhash64("t").alias("h")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
         for b in range(64)
     ]
-    return reduce(
-        lambda acc, bc: acc.bitwiseOR(F.shiftleft(bc[1], bc[0])),
-        enumerate(bit_cols),
+    agg = tok.groupBy(id_col).agg(*votes)
+    simhash = reduce(
+        lambda acc, b: acc.bitwiseOR(
+            F.shiftleft(F.when(F.col(f"v{b}") > 0, 1).otherwise(0).cast("long"), b)
+        ),
+        range(64),
         F.lit(0).cast("long"),
     )
+    return agg.select(F.col(id_col), simhash.alias("simhash"))
 
 
 @query("dedup_simhash", oracle=None)
@@ -239,4 +276,4 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-bit chunks (pigeonhole: distance ≤3 ⇒ one exact chunk match)
     makes the pair search a hash join at scale."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    return simhash_frame(docs)

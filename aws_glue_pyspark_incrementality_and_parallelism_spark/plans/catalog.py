@@ -13,6 +13,7 @@ from ..operators import (  # noqa: F401
     queries_functions,
     queries_joins,
     queries_reports,
+    queries_sessions,
     queries_setops,
     queries_windows,
     similarity,

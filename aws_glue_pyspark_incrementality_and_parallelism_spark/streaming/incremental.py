@@ -1,0 +1,111 @@
+"""Structured Streaming incremental pipeline — the Spark-native twin of
+Glue job bookmarks.
+
+The reference's bookmarks (glue_rds_to_redshift.py:31,35,40) track
+"which source rows have I already processed" in a service-side store.
+Spark's first-class answer is a checkpointed streaming file source: the
+checkpoint directory IS the bookmark (which files were committed), the
+``availableNow`` trigger gives run-to-completion batch-incremental jobs,
+and watermarks bound state for late event-time data.
+
+Both layers exist in this engine on purpose:
+
+* ``sources.incremental`` — explicit HWM on a key column (works on any
+  monotonic key, exactly the Glue semantic, queryable via DuckDB).
+* this module — file-granularity exactly-once with event-time windows,
+  for append-only directories (logs/CDC drops) at any scale; state and
+  checkpoints live on the executors' fault-tolerant store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Physical schema of events parquet (ts is INT64 nanos — see
+#: sources.io.load_table for the same handling on the batch path).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Streaming scan of an append-only parquet directory.
+
+    ``maxFilesPerTrigger`` bounds micro-batch size so a backlog of files
+    never produces one giant batch (the streaming twin of
+    ``files.maxPartitionBytes``).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation.
+
+    The watermark bounds state: windows older than (max event time −
+    watermark) are finalized and dropped from the state store, so state
+    size is O(active windows), not O(history) — the property that keeps
+    this runnable forever on a real cluster. Events later than the
+    watermark are dropped (documented late-data policy).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def run_incremental_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    watermark: str = "2 hours",
+) -> None:
+    """One incremental run: process all files not yet in the checkpoint,
+    append per-batch rollups to the output, stop.
+
+    ``availableNow`` + checkpoint = the bookmarked batch job, re-runnable
+    on a schedule; each run picks up exactly the new files. foreachBatch
+    writes in ``update`` mode — downstream readers aggregate the
+    micro-batch deltas (or use mode("complete") into a sink that
+    supports overwrite-by-window).
+    """
+    events = read_events_stream(spark, source_dir)
+    rollup = hourly_rollup_stream(events, watermark)
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(output_dir)
+
+    query = (
+        rollup.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

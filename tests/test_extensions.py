@@ -44,10 +44,7 @@ def test_simhash_locality(spark):
     near = " ".join(f"word{i}" for i in range(99)) + " changed"
     far = " ".join(f"zzz{i}" for i in range(100))
     docs = _docs_df(spark, [(1, base), (2, near), (3, far)])
-    rows = {
-        r.doc_id: r.simhash
-        for r in docs.select("doc_id", dedup.simhash64(F.col("text")).alias("simhash")).collect()
-    }
+    rows = {r.doc_id: r.simhash for r in dedup.simhash_frame(docs).collect()}
 
     def hamming(a, b):
         return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
@@ -58,7 +55,7 @@ def test_simhash_locality(spark):
 
 def test_simhash_deterministic(spark):
     docs = _docs_df(spark, [(1, "alpha beta gamma"), (2, "alpha beta gamma")])
-    vals = [r.simhash for r in docs.select(dedup.simhash64(F.col("text")).alias("simhash")).collect()]
+    vals = [r.simhash for r in dedup.simhash_frame(docs).collect()]
     assert vals[0] == vals[1]
 
 
