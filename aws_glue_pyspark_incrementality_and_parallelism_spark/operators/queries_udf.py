@@ -1,0 +1,121 @@
+"""Python-surface queries (SURVEY §2.7): vectorized Pandas UDFs and
+grouped applyInPandas — the sanctioned slow paths, Arrow-batched, used
+only where built-ins can't express the logic. Plus higher-order-function
+predicates and from_json structured parsing."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..plans.registry import query
+from ..sources.io import load_table
+
+
+@query(
+    "udf_pandas_scalar_charge",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_quantity >= 40
+    """,
+)
+def q_udf_pandas_scalar_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Pandas UDF (Arrow-vectorized): net price per line. The
+    arithmetic is identical IEEE ops to the oracle, so values match
+    exactly. In production this slot holds logic Spark can't express
+    (model scoring, custom parsers) — never plain arithmetic like this."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1 - discount)
+
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price(F.col("l_extendedprice"), F.col("l_discount")).alias("net_price"),
+    )
+
+
+@query(
+    "udf_apply_in_pandas_top2",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 2
+    """,
+)
+def q_udf_apply_in_pandas_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInPandas: top-2 customers by balance per nation.
+
+    Each group arrives as one pandas DataFrame (so groups must fit in
+    executor memory — fine for bounded per-key cardinality, wrong for
+    unbounded groups; the window-function twin handles those). Output is
+    deterministic via the (balance desc, custkey) sort."""
+
+    def top2(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True]
+        ).head(2)
+        return out[["c_nationkey", "c_custkey", "c_acctbal"]]
+
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_custkey", "c_acctbal")
+    schema = StructType(
+        [f for f in c.schema.fields]
+    )
+    return c.groupBy("c_nationkey").applyInPandas(top2, schema=schema)
+
+
+@query(
+    "fn_from_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0) AS k_round
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_fn_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured JSON parsing: from_json into a typed struct (schema
+    declared, not inferred — at scale schema inference is a full extra
+    scan), then field access."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    parsed = e.select(
+        "event_id", F.from_json("props", "k BIGINT").alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") % 10 == 0).alias("k_round"),
+    )
+
+
+@query(
+    "fn_hof_exists_filter",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0.2)) AS n_large,
+           len(list_filter(embedding, x -> x > 0.2)) > 0 AS any_large
+    FROM embeddings
+    """,
+)
+def q_fn_hof_exists_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order predicates over arrays: filter + exists."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n_large = F.size(F.filter("embedding", lambda x: x > 0.2))
+    return e.select(
+        "vec_id",
+        n_large.alias("n_large"),
+        F.exists("embedding", lambda x: x > 0.2).alias("any_large"),
+    )

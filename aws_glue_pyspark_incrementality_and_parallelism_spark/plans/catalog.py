@@ -15,8 +15,10 @@ from ..operators import (  # noqa: F401
     queries_reports,
     queries_sessions,
     queries_setops,
+    queries_udf,
     queries_windows,
     similarity,
+    skew,
     text,
 )
 

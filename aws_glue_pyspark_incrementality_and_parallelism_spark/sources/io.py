@@ -67,6 +67,41 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def read_csv(spark: SparkSession, path: str, schema, header: bool = True) -> DataFrame:
+    """CSV source with an explicit schema (never infer at scale — schema
+    inference is a full extra pass over the data)."""
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON-lines source with an explicit schema (same no-infer rule)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    options: dict[str, str] | None = None,
+    preactions: list[str] | None = None,
+) -> None:
+    """JDBC sink — parity with the reference's Redshift writer
+    (glue_rds_to_redshift.py:86-92): ``preactions`` DDL runs over a
+    direct connection before the save, like Glue's ``preactions``
+    option. Untested here (no JDBC database in the test container);
+    the parquet sink is the default path.
+    """
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    if preactions:
+        # the Glue writer executes preactions over the same connection;
+        # plain Spark JDBC exposes sessionInitStatement per-connection
+        writer = writer.option("sessionInitStatement", "; ".join(preactions))
+    writer.save()
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

@@ -1,0 +1,57 @@
+"""Source-format round-trips (CSV/JSON with explicit schemas) and the
+CLI entrypoint."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import (
+    load_table,
+    read_csv,
+    read_json,
+)
+
+from .conftest import REPO_ROOT, SF_SMALL
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    nation = load_table(spark, SF_SMALL, "nation")
+    path = str(tmp_path / "nation_csv")
+    nation.write.option("header", "true").csv(path)
+    back = read_csv(spark, path, nation.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_json_roundtrip(spark, tmp_path):
+    region = load_table(spark, SF_SMALL, "region")
+    path = str(tmp_path / "region_json")
+    region.write.json(path)
+    back = read_json(spark, path, region.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, region.collect()))
+
+
+def test_cli_entrypoint(tmp_path):
+    out = str(tmp_path / "reports")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "aws_glue_pyspark_incrementality_and_parallelism_spark",
+            "--sf-dir",
+            SF_SMALL,
+            "--output",
+            out,
+        ],
+        cwd=REPO_ROOT,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert os.path.isdir(os.path.join(out, "sales_by_customer"))
+    assert os.path.isdir(os.path.join(out, "sales_by_supplier"))
+    assert "committed hwm=" in proc.stderr or "committed hwm=" in proc.stdout
