@@ -15,6 +15,7 @@ from ..operators import (  # noqa: F401
     queries_reports,
     queries_sessions,
     queries_setops,
+    queries_tpch,
     queries_udf,
     queries_windows,
     similarity,

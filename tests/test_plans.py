@@ -1,0 +1,72 @@
+"""Plan-shape regression tests: the properties that make these queries
+scale must stay visible in the physical plan (pushdown, pruning,
+broadcast, top-k without global sort, no shuffle re-use regressions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_glue_pyspark_incrementality_and_parallelism_spark.operators import similarity
+from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import REGISTRY
+from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import load_table
+
+from .conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    # formatted mode: full (untruncated) PushedFilters/ReadSchema lists
+    df = REGISTRY[name].fn(spark, SF_SMALL)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_hwm_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "incremental_scan_hwm")
+    assert "PushedFilters" in plan and "GreaterThan(l_orderkey,500)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(spark, "report_sales_by_customer")
+    # lineitem scan must read only the join key + measure, not all 11 cols
+    assert "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>" in plan
+
+
+def test_q6_predicates_pushed(spark):
+    plan = _plan(spark, "tpch_q6_forecast_revenue")
+    for frag in ["GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate", "LessThan(l_quantity"]:
+        assert frag in plan, f"missing pushed filter {frag}"
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    plan = _plan(spark, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tiny_dims_broadcast(spark):
+    plan = _plan(spark, "join_5way_snowflake")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation & region at minimum
+
+
+def test_brute_force_broadcasts_query_side(spark):
+    df = similarity.q_sim_brute_force_topk(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_approx_percentile_close_to_exact(spark):
+    rows = REGISTRY["agg_approx_percentile"].fn(spark, SF_SMALL).collect()
+    exact = {
+        r.o_orderstatus: (r.p50, r.p95)
+        for r in load_table(spark, SF_SMALL, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    for r in rows:
+        e50, e95 = exact[r.o_orderstatus]
+        a50, a95 = r.p50_p95
+        assert abs(a50 - e50) / e50 < 0.05
+        assert abs(a95 - e95) / e95 < 0.05
