@@ -76,6 +76,33 @@ def minhash_signature(shingles: Column, k: int = MINHASH_K) -> Column:
     return F.array(*[_seeded_min(shingles, i) for i in range(k)])
 
 
+def shingle_rows(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Exploded (doc_id, shingle) rows via posexplode + window ``lead`` —
+    the codegen-friendly twin of ``word_shingles`` (whose array lambdas
+    run interpreted at ~µs/element; this shape stays JVM-compiled and is
+    the hot path for corpus-scale MinHash). Shingles here are a multiset
+    (MinHash needs only the min per permutation, so distinctness is
+    irrelevant); use collect_set downstream when sets are needed."""
+    from pyspark.sql.window import Window
+
+    toks = _tokens(F.col("text"))
+    base = docs.select(
+        "doc_id", F.size(toks).alias("n_toks"), F.posexplode(toks).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
+    tri = (
+        base.filter(F.col("n_toks") >= n)
+        .select("doc_id", "pos", "n_toks", F.concat_ws(" ", *parts).alias("s"))
+        .filter(F.col("pos") <= F.col("n_toks") - n)
+        .select("doc_id", "s")
+    )
+    small = docs.filter(F.size(toks) < n).select(
+        "doc_id", F.concat_ws(" ", toks).alias("s")
+    )
+    return tri.unionByName(small)
+
+
 def band_hashes(
     shingles: Column, k: int = MINHASH_K, bands: int = LSH_BANDS, rows: int = LSH_ROWS
 ) -> Column:
@@ -178,15 +205,16 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     identical but runs interpreted (HOFs have no codegen) and is ~100×
     slower at corpus scale.
     """
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
-    )
+    sh = shingle_rows(docs)
+    # 32 plain min() columns -> pure codegen HashAggregate. The shingle
+    # sets needed for verification are NOT collected here (collect_set
+    # would force the slower object-hash aggregate for every doc); they
+    # are joined back below for the few surviving candidates only.
     agg = sh.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"m{i}")
             for i in range(MINHASH_K)
         ],
-        F.collect_set("s").alias("shingles"),
     )
     bands_col = F.array(
         *[
@@ -202,25 +230,31 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
             for b in range(LSH_BANDS)
         ]
     )
-    banded = agg.select(
-        "doc_id", "shingles", F.posexplode(bands_col).alias("band_idx", "band_hash")
-    )
+    banded = agg.select("doc_id", F.posexplode(bands_col).alias("band_idx", "band_hash"))
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    cands = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("shingles_a"),
-            F.col("b.shingles").alias("shingles_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # Shingle SETS only for docs that appear in a candidate pair: a
+    # semi-join prunes the corpus, then one small collect_set aggregate.
+    cand_ids = cands.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+    cand_sets = (
+        sh.join(cand_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("shingles"))
+    )
+    sa = cand_sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("shingles_a"))
+    sb = cand_sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shingles_b"))
+    return cands.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", "shingles_a", "shingles_b"
     )
 
 

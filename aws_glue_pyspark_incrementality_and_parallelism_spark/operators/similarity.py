@@ -153,6 +153,78 @@ def q_sim_cosine_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOCK_SIZE = 512
+
+
+@query(
+    "sim_cosine_pairs_blocked",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+    """,
+)
+def q_sim_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine ≥ τ via blocked matrix products — the scale path
+    for exhaustive similarity (same oracle as the row-wise quadratic
+    query; results must be identical).
+
+    Vectors are grouped into blocks of BLOCK_SIZE; the block-pair cross
+    join is tiny (B² rows for B blocks); each block pair computes one
+    numpy GEMM inside mapInPandas and emits only the surviving pairs.
+    Data volume shuffled: O(n·dim + survivors), FLOPs distributed across
+    B² tasks — this is how you run exhaustive all-pairs on a cluster
+    when LSH recall isn't acceptable.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    blocked = (
+        emb.withColumn("block", F.floor(F.col("vec_id") / BLOCK_SIZE).cast("long"))
+        .groupBy("block")
+        .agg(
+            F.collect_list("vec_id").alias("ids"),
+            F.collect_list("embedding").alias("vecs"),
+        )
+    )
+    a = blocked.select(
+        F.col("block").alias("block_a"), F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a")
+    )
+    b = blocked.select(
+        F.col("block").alias("block_b"), F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b")
+    )
+    pairs = a.join(b, F.col("block_a") <= F.col("block_b"))
+
+    out_schema = "vec_a long, vec_b long, cosine double"
+
+    def _block_cosine(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                A = np.vstack([np.asarray(v) for v in row.vecs_a]).astype(np.float64)
+                B = np.vstack([np.asarray(v) for v in row.vecs_b]).astype(np.float64)
+                An = A / np.linalg.norm(A, axis=1, keepdims=True)
+                Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+                S = An @ Bn.T
+                ia, ib = np.nonzero(S >= 0.35)
+                if len(ia) == 0:
+                    continue
+                va, vb = ids_a[ia], ids_b[ib]
+                keep = va < vb  # dedup within/between blocks by id order
+                if not keep.any():
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "vec_a": va[keep],
+                        "vec_b": vb[keep],
+                        "cosine": np.round(S[ia[keep], ib[keep]], 4),
+                    }
+                )
+
+    return pairs.mapInPandas(_block_cosine, schema=out_schema)
+
+
 def _hyperplanes(n_tables: int, n_bits: int, dim: int) -> np.ndarray:
     """Deterministic Gaussian hyperplanes (seed fixed — signatures must
     be reproducible across runs and executors)."""
