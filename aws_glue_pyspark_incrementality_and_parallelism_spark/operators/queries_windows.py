@@ -125,6 +125,26 @@ def q_window_dense_rank_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_ntile_quartiles",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS balance_quartile
+    FROM customer
+    """,
+)
+def q_window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing by account balance (unique tiebreak keeps both
+    engines' bucket assignment identical). Unpartitioned ntile implies a
+    global sort — at scale compute approx quantile cut-points first and
+    bucket with a CASE instead."""
+    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", F.ntile(4).over(w).alias("balance_quartile"))
+    )
+
+
+@query(
     "sort_limit_topk",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice

@@ -20,9 +20,12 @@ idempotent slice.
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass
 from typing import Any
+
+log = logging.getLogger("engine.pipeline")
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,7 +59,9 @@ def run_etl(
     fact = load_table(spark, sf_dir, "lineitem")
     batch = incremental_read(fact, "l_orderkey", store, "lineitem")
     hwm = batch.pending_hwm()
+    log.info("incremental read: prior hwm=%s pending hwm=%s", store.get("lineitem"), hwm)
     if hwm is None:
+        log.info("empty batch; skipping reports and commit")
         return PipelineResult(committed_hwm=store.get("lineitem"), report_rows={}, output_paths={})
 
     lineitem = (
@@ -107,6 +112,8 @@ def run_etl(
         write_parquet(df, paths["sales_by_supplier"], single_file=single_file_outputs)
         return spark.read.parquet(paths["sales_by_supplier"]).count()
 
+    log.info("running 2 reports concurrently (FAIR pools %s/%s)",
+             session.POOL_USERS_REPORT, session.POOL_SUBSCRIPTIONS_REPORT)
     try:
         results = parallel.run_concurrent(
             spark,
@@ -121,6 +128,7 @@ def run_etl(
         joined.unpersist()
 
     committed = batch.commit()  # only reached when both sinks succeeded
+    log.info("sinks committed; bookmark advanced to %s", committed)
     return PipelineResult(committed_hwm=committed, report_rows=results, output_paths=paths)
 
 
