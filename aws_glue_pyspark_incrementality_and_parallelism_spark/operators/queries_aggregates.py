@@ -218,6 +218,47 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_string_concat_sorted",
+    oracle="""
+    SELECT n.n_regionkey AS regionkey,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n GROUP BY 1
+    """,
+)
+def q_agg_string_concat_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): collect → sort → join keeps
+    the output deterministic regardless of partition arrival order —
+    never emit unsorted collect_list in a hash-compared result."""
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.groupBy(F.col("n_regionkey").alias("regionkey"))
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
+    )
+
+
+@query(
+    "agg_argmax_bool",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_custkey, o_orderkey) AS latest_custkey,
+           bool_or(o_totalprice > 400000) AS any_big,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent
+    FROM orders GROUP BY 1
+    """,
+)
+def q_agg_argmax_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / bool_or / filtered count. max_by keys on the UNIQUE
+    o_orderkey so both engines pick the same row (arg-max over a column
+    with ties is engine-dependent — never hash-compare that)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_custkey", "o_orderkey").alias("latest_custkey"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_big"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+    )
+
+
+@query(
     "agg_global_no_group",
     oracle="""
     SELECT COUNT(*) AS n_rows,

@@ -71,3 +71,74 @@ def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_setop_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT — hash aggregation on all columns (map-side combine)."""
     return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT l_orderkey AS k FROM lineitem WHERE l_quantity > 45
+    INTERSECT ALL
+    SELECT o_orderkey AS k FROM orders
+    """,
+)
+def q_setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics — multiplicity = min of the sides)."""
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select(F.col("l_orderkey").alias("k"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    return l.intersectAll(o)
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT l_orderkey AS k FROM lineitem
+    EXCEPT ALL
+    SELECT l_orderkey AS k FROM lineitem WHERE l_linenumber > 1
+    """,
+)
+def q_setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics — multiplicity subtraction)."""
+    a = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") > 1)
+        .select(F.col("l_orderkey").alias("k"))
+    )
+    return a.exceptAll(b)
+
+
+@query(
+    "setop_union_by_name_evolution",
+    oracle="""
+    SELECT c_custkey AS entity_id, c_acctbal AS balance, NULL AS src_priority
+    FROM customer WHERE c_custkey < 100
+    UNION ALL
+    SELECT o_orderkey AS entity_id, NULL AS balance, o_orderpriority AS src_priority
+    FROM orders WHERE o_orderkey < 100
+    """,
+)
+def q_setop_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with allowMissingColumns — schema-evolution union
+    (each side's missing columns null-filled), the pattern for unioning
+    old- and new-schema partitions of an evolving table."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select(
+            F.col("c_custkey").alias("entity_id"),
+            F.col("c_acctbal").alias("balance"),
+        )
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 100)
+        .select(
+            F.col("o_orderkey").alias("entity_id"),
+            F.col("o_orderpriority").alias("src_priority"),
+        )
+    )
+    return c.unionByName(o, allowMissingColumns=True)

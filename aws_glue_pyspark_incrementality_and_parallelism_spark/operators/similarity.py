@@ -12,7 +12,9 @@ Two paths, mirroring the standard ANN architecture:
   signatures; candidates = same-bucket pairs; exact rerank on
   candidates only. The bucket join is a plain shuffle keyed on
   (table, bucket) — the scale path. Recall vs brute force is asserted
-  in pytest.
+  in pytest. (Top-k similarity literature: /root/repo/PAPERS.md —
+  'Incremental … Top-K Similarity Search' EDBT'20, 'Continuously
+  Adaptive Similarity Search' SIGMOD'20.)
 
 All vector math is JVM-side higher-order functions (zip_with +
 aggregate) on double-cast elements — no Python in the row loop.
