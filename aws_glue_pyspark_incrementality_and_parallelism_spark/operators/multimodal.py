@@ -117,6 +117,33 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(ceil(len(string_split_regex(trim(text), '\\s+')) / 8.0)::BIGINT)) * 8 AS INT)
+             AS frame_idx,
+           unnest(list_select(string_split_regex(trim(text), '\\s+'),
+                              list_filter(range(1, len(string_split_regex(trim(text), '\\s+')) + 1),
+                                          i -> (i - 1) % 8 = 0))) AS frame
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: frame sampling — every 8th 'frame' of an opaque media stream
+    (tokens stand in for decoded video frames). posexplode + modulo
+    filter; the real pipeline applies the same shape after a mapInPandas
+    decode, sampling before any shuffle so dropped frames never move."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    frames = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "frame"),
+    )
+    return frames.filter(F.col("pos") % 8 == 0).select(
+        "doc_id", F.col("pos").cast("int").alias("frame_idx"), "frame"
+    )
+
+
+@query(
     "multimodal_metadata",
     oracle="""
     SELECT doc_id, 'text/plain' AS mime, strlen(text) AS n_bytes, source AS origin

@@ -54,6 +54,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp_micros yields a session-TZ (LTZ) timestamp; pin the
+        # session to UTC so date_trunc/window agree with DuckDB's naive
+        # reading even when the caller's session default isn't UTC.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(table_path(sf_dir, name))

@@ -43,6 +43,18 @@ def main() -> None:
         _force(spec.fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # The reference's whole-job scenario: incremental scan -> 3-way join
+    # -> cache -> two concurrent FAIR-pool reports -> parquet sinks ->
+    # bookmark commit (this is what BASELINE.md's ~90 s anchor measured).
+    import tempfile
+
+    from aws_glue_pyspark_incrementality_and_parallelism_spark import pipeline
+
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.perf_counter()
+        pipeline.run_etl(spark, sf_dir, tmp)
+        timings["etl_pipeline_concurrent"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
