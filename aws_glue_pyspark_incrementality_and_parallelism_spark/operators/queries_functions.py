@@ -216,6 +216,33 @@ def q_fn_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_map_ops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_quantity AS qty_val,
+           ROUND(l_extendedprice, 2) AS price_val,
+           2 AS n_keys
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def q_fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: build a map column, read it back via key access
+    and map_keys (the oracle checks the extracted values — map layout
+    itself isn't portable across engines)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"), F.lit("price"), F.round("l_extendedprice", 2)
+    )
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        m.getItem("qty").alias("qty_val"),
+        m.getItem("price").alias("price_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@query(
     "subquery_scalar",
     oracle="""
     SELECT o_orderkey, o_totalprice
