@@ -125,6 +125,40 @@ def q_window_dense_rank_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_range_frame_1h",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY epoch_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rolling_1h_value
+    FROM (SELECT user_id, event_id, value,
+                 CAST(epoch(ts) AS BIGINT) AS epoch_s FROM events)
+    """,
+)
+def q_window_range_frame_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per-user rolling 1-hour value sum keyed on event
+    time (value-based frame, not row-count — late rows in the same
+    second share the frame, so the result is order-deterministic even
+    with timestamp ties)."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "epoch_s", F.unix_timestamp("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias(
+            "rolling_1h_value"
+        ),
+    )
+
+
+@query(
     "window_ntile_quartiles",
     oracle="""
     SELECT c_custkey,

@@ -234,19 +234,6 @@ def _hyperplanes(n_tables: int, n_bits: int, dim: int) -> np.ndarray:
     return rng.randn(n_tables, n_bits, dim)
 
 
-def lsh_bucket(emb: Column, planes_2d: list[list[float]]) -> Column:
-    """Bucket id for one hash table: sign-bit signature packed into a
-    long. Pure built-ins; the plane matrix ships as literals in the
-    plan (a few KB — at larger nbits·dim, broadcast a planes DataFrame
-    and join instead)."""
-    emb = _dbl(emb)
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes_2d):
-        proj = dot(emb, F.array(*[F.lit(float(v)) for v in plane]))
-        bucket = bucket.bitwiseOR(F.shiftleft(F.when(proj >= 0, 1).otherwise(0).cast("long"), i))
-    return bucket
-
-
 @query("sim_lsh_topk", oracle=None)
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH: LSH_TABLES × LSH_BITS; candidates
@@ -257,20 +244,22 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join shuffles on (table, bucket), rerank is per-candidate."""
     emb = load_table(spark, sf_dir, "embeddings")
     planes = _hyperplanes(n_tables=LSH_TABLES, n_bits=LSH_BITS, dim=64)
+    from pyspark.sql.functions import pandas_udf
 
-    tables = []
-    for t in range(planes.shape[0]):
-        tables.append(
-            emb.select(
-                "vec_id",
-                "embedding",
-                F.lit(t).alias("tbl"),
-                lsh_bucket(F.col("embedding"), planes[t].tolist()).alias("bucket"),
-            )
-        )
-    sigs = tables[0]
-    for other in tables[1:]:
-        sigs = sigs.unionByName(other)
+    @pandas_udf("array<long>")
+    def all_buckets(e: pd.Series) -> pd.Series:
+        # one (batch × dim) @ (dim × tables·bits) matmul per Arrow batch
+        # instead of tables·bits interpreted dot-product lambdas per row
+        V = np.vstack(e.to_numpy()).astype(np.float64)
+        flat = planes.reshape(-1, planes.shape[2])  # (tables*bits, dim)
+        bits = (V @ flat.T) >= 0  # (n, tables*bits)
+        weights = 1 << np.arange(planes.shape[1], dtype=np.int64)
+        buckets = bits.reshape(len(V), planes.shape[0], planes.shape[1]) @ weights
+        return pd.Series(list(buckets.astype(np.int64)))
+
+    sigs = emb.select(
+        "vec_id", "embedding", F.posexplode(all_buckets("embedding")).alias("tbl", "bucket")
+    )
 
     queries = sigs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
