@@ -103,25 +103,6 @@ def shingle_rows(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     return tri.unionByName(small)
 
 
-def band_hashes(
-    shingles: Column, k: int = MINHASH_K, bands: int = LSH_BANDS, rows: int = LSH_ROWS
-) -> Column:
-    """Band hashes computed directly from the shingle array: one
-    xxhash64 per band over its ``rows`` MinHash slots.
-
-    Built this way (not bands-over-signature-array) so each MinHash
-    expression appears exactly once in the plan — higher-order functions
-    run interpreted, and nesting the signature array into every band
-    would re-evaluate the whole shingle pipeline bands× times."""
-    mins = [_seeded_min(shingles, i) for i in range(k)]
-    return F.array(
-        *[
-            F.xxhash64(F.concat_ws(",", *[m.cast("string") for m in mins[b * rows : (b + 1) * rows]]))
-            for b in range(bands)
-        ]
-    )
-
-
 @query(
     "dedup_exact",
     oracle="""
@@ -271,6 +252,57 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = inter / union
     return cands.filter(jac >= 0.5).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 4, window: int = 5
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD '03 —
+    the MOSS algorithm): hash every k-token shingle, slide a window of
+    ``window`` consecutive hashes, keep each window's minimum. Guarantees
+    any shared run of ≥ k+window-1 tokens between two docs shares a
+    fingerprint, with output ~1/window of the shingle count.
+
+    Pure codegen: posexplode + lead-window shingles → xxhash64 → min
+    over a rows-frame → distinct. One shuffle (by doc) for the window
+    sort; fingerprints stay (doc_id, fp) rows — join-ready for
+    plagiarism/overlap detection at corpus scale."""
+    from pyspark.sql.window import Window as W
+
+    toks = _tokens(F.col("text"))
+    base = docs.select(
+        "doc_id", F.size(toks).alias("n_toks"), F.posexplode(toks).alias("pos", "w")
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, k)]
+    grams = (
+        base.filter(F.col("n_toks") >= k)
+        .select(
+            "doc_id",
+            "pos",
+            "n_toks",
+            F.xxhash64(F.concat_ws(" ", *parts)).alias("h"),
+        )
+        .filter(F.col("pos") <= F.col("n_toks") - k)
+    )
+    frame = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        grams.select("doc_id", F.min("h").over(frame).alias("fp"))
+        .distinct()
+    )
+
+
+@query("dedup_winnow_fingerprints", oracle=None)
+def q_dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E4 rolling-hash fingerprinting: winnowed fingerprint count per
+    doc (rows-only — xxhash64 isn't SQL-portable; the containment
+    guarantee is asserted in pytest on planted overlaps)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        winnow_fingerprints(docs)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_fingerprints"))
     )
 
 

@@ -144,6 +144,53 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_corpus_clean",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) * 1.0 /
+               len(string_split_regex(trim(text), '\\s+')) AS unique_ratio
+      FROM documents
+    ), keepers AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS copy_rank
+      FROM scored
+      WHERE n_tokens >= 20 AND unique_ratio >= 0.2
+    )
+    SELECT lang, COUNT(*) AS docs_kept, SUM(n_tokens) AS tokens_kept
+    FROM keepers WHERE copy_rank = 1
+    GROUP BY 1
+    """,
+)
+def q_pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus cleaning capstone: quality gate (length + lexical
+    diversity) → exact dedup (first copy per fingerprint wins) →
+    per-language kept-token accounting. The composed operators stay one
+    declarative plan: scan → project → window → filter → aggregate, two
+    shuffles total (fingerprint, language)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    unique_ratio = F.size(F.array_distinct(_tokens(F.col("text")))) * F.lit(1.0) / n_tokens
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        normalized_fingerprint(F.col("text")).alias("fp"),
+        n_tokens.alias("n_tokens"),
+        unique_ratio.alias("unique_ratio"),
+    ).filter((F.col("n_tokens") >= 20) & (F.col("unique_ratio") >= 0.2))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    keepers = scored.withColumn("copy_rank", F.row_number().over(w)).filter(
+        F.col("copy_rank") == 1
+    )
+    return keepers.groupBy("lang").agg(
+        F.count("*").alias("docs_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    )
+
+
+@query(
     "text_tfidf_top3",
     oracle="""
     WITH tok AS (

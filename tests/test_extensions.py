@@ -75,6 +75,24 @@ def test_lsh_topk_recall_vs_brute_force(spark):
             assert abs(brute_cos[(r.query_id, r.vec_id)] - r.cosine) < 1e-9
 
 
+def test_winnowing_shared_run_guarantee(spark):
+    shared = " ".join(f"common{i}" for i in range(30))
+    doc1 = shared + " " + " ".join(f"left{i}" for i in range(30))
+    doc2 = " ".join(f"right{i}" for i in range(30)) + " " + shared
+    doc3 = " ".join(f"zzz{i}" for i in range(60))
+    docs = _docs_df(spark, [(1, doc1), (2, doc2), (3, doc3)])
+    fps = dedup.winnow_fingerprints(docs)
+    sets = {
+        did: {r.fp for r in fps.filter(F.col("doc_id") == did).collect()}
+        for did in (1, 2, 3)
+    }
+    # docs 1 and 2 share a 30-token run >= k+window-1 -> must share fingerprints
+    assert sets[1] & sets[2], "shared run must produce shared winnowed fingerprints"
+    assert not (sets[1] & sets[3]), "disjoint docs must not share fingerprints"
+    # winnowing compresses: far fewer fingerprints than shingles
+    assert len(sets[1]) < 60
+
+
 def test_langid_on_real_sentences(spark):
     samples = [
         (1, "the cat sat on the mat and it is a good day to be in the sun", "en"),
