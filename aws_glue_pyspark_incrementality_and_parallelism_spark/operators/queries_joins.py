@@ -216,6 +216,22 @@ def q_join_theta_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_cross_explicit",
+    oracle="""
+    SELECT n.n_name AS nation_name, r.r_name AS region_name
+    FROM nation n CROSS JOIN region r
+    """,
+)
+def q_join_cross_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (cartesian) of two tiny dims — legitimate only
+    when one side is broadcast-small; Spark requires the explicit
+    crossJoin call so accidental cartesians fail loudly."""
+    n = load_table(spark, sf_dir, "nation").select(F.col("n_name").alias("nation_name"))
+    r = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("region_name"))
+    return n.crossJoin(F.broadcast(r))
+
+
+@query(
     "join_5way_snowflake",
     oracle="""
     SELECT r.r_name AS region_name,

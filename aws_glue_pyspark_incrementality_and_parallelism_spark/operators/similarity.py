@@ -139,8 +139,14 @@ def q_sim_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sim_cosine_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.35 — the test
-    embeddings are near-orthogonal random vectors, max ~0.48). This is
-    the quadratic oracle; the LSH query below is the scale path."""
+    embeddings are near-orthogonal random vectors, max ~0.48).
+
+    Implemented as a row-wise pair join + Arrow-batched cosine UDF.
+    Correct, but it ships O(n²) embedding copies through the join — at
+    bench scale (2000 vectors → 2M pairs) that's ~1 GB of Arrow
+    traffic. ``sim_cosine_pairs_blocked`` computes the identical result
+    with block matrix products shuffling only O(n·dim); this variant is
+    kept as the direct per-pair formulation the oracle mirrors."""
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")).repartition(
         "vec_a"
