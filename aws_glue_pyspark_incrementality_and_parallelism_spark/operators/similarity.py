@@ -233,6 +233,35 @@ def q_sim_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.mapInPandas(_block_cosine, schema=out_schema)
 
 
+@query(
+    "sim_label_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             unnest(embedding) AS v,
+             unnest(range(len(embedding))) AS pos
+      FROM embeddings
+    )
+    SELECT label, CAST(pos AS INT) AS pos,
+           ROUND(AVG(CAST(v AS DOUBLE)), 6) AS mean_component
+    FROM e GROUP BY 1, 2
+    """,
+)
+def q_sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding space, component-wise:
+    posexplode → (label, pos) hash-aggregate. The centroid table is
+    (labels × dim) rows — the coarse-quantizer build step of an IVF
+    index, and the class-prototype computation for embedding-space
+    analysis. Scales as a plain aggregation (map-side combine) however
+    many vectors exist."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_component"))
+    )
+
+
 def _hyperplanes(n_tables: int, n_bits: int, dim: int) -> np.ndarray:
     """Deterministic Gaussian hyperplanes (seed fixed — signatures must
     be reproducible across runs and executors)."""

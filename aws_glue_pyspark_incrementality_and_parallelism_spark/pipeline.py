@@ -32,7 +32,6 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from . import parallel, session
-from .operators import reports
 from .sources.incremental import BookmarkStore, incremental_read
 from .sources.io import load_table, write_parquet
 
@@ -130,9 +129,3 @@ def run_etl(
     committed = batch.commit()  # only reached when both sinks succeeded
     log.info("sinks committed; bookmark advanced to %s", committed)
     return PipelineResult(committed_hwm=committed, report_rows=results, output_paths=paths)
-
-
-# Reference parity note: reports.sales_by_customer / sales_by_supplier
-# are the standalone (non-incremental) versions of the two report
-# bodies; this module owns incrementality, concurrency, and commit.
-_ = reports
