@@ -57,6 +57,45 @@ def test_incremental_stream_no_duplicates(spark, tmp_path):
     assert expected.exceptAll(got).count() == 0
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Events older than (max event time − watermark) must be dropped,
+    not aggregated — the documented late-data policy."""
+    import datetime
+
+    tmp = str(tmp_path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    out = os.path.join(tmp, "out")
+
+    def _mk_events(rows):
+        return spark.createDataFrame(
+            [
+                (i, int(ts.timestamp() * 1e9), 1, "click", 1.0, "{}")
+                for i, ts in rows
+            ],
+            "event_id long, ts long, user_id long, event_type string, value double, props string",
+        )
+
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+    recent = [(1, t0), (2, t0 + datetime.timedelta(minutes=30))]
+    _mk_events(recent).write.parquet(src)
+    si.run_incremental_stream(spark, src, ckpt, out, watermark="2 hours")
+
+    # run 2: one event 10 hours BEFORE the watermark, one new event after t0
+    late = (3, t0 - datetime.timedelta(hours=10))
+    fresh = (4, t0 + datetime.timedelta(hours=1))
+    _mk_events([late, fresh]).write.mode("append").parquet(src)
+    si.run_incremental_stream(spark, src, ckpt, out, watermark="2 hours")
+
+    got = spark.read.parquet(out)
+    late_window = t0 - datetime.timedelta(hours=10)
+    assert (
+        got.filter(F.col("window_start") <= late_window).count() == 0
+    ), "event below the watermark must be dropped"
+    assert got.filter(F.col("window_start") == t0 + datetime.timedelta(hours=1)).count() == 1
+
+
 def test_rerun_without_new_files_is_noop(spark, tmp_path):
     tmp = str(tmp_path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
