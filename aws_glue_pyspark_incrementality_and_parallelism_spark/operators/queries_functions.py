@@ -216,6 +216,53 @@ def q_fn_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey,
+           l_orderkey & 255 AS key_low_byte,
+           l_orderkey << 2 AS key_shifted,
+           xor(l_orderkey, 21845) AS key_xored
+    FROM lineitem WHERE l_linenumber = 1 AND l_orderkey < 500
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operators: AND / shift-left / XOR."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_linenumber") == 1) & (F.col("l_orderkey") < 500)
+    )
+    return l.select(
+        "l_orderkey",
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("key_low_byte"),
+        F.shiftleft("l_orderkey", 2).alias("key_shifted"),
+        F.col("l_orderkey").bitwiseXOR(F.lit(21845)).alias("key_xored"),
+    )
+
+
+@query(
+    "fn_date_format_parse",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m') AS order_month_str,
+           CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS DATE)
+             AS reparsed_date
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def q_fn_date_format_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip date formatting/parsing (engines use different pattern
+    dialects — Java 'yyyy-MM' vs strftime '%Y-%m' — but identical
+    outputs)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month_str"),
+        F.to_date(F.date_format("o_orderdate", "yyyy-MM-dd"), "yyyy-MM-dd").alias(
+            "reparsed_date"
+        ),
+    )
+
+
+@query(
     "fn_map_ops",
     oracle="""
     SELECT l_orderkey, l_linenumber,
