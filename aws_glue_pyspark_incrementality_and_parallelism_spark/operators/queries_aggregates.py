@@ -259,6 +259,93 @@ def q_agg_argmax_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_corr_covar",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag,
+           ROUND((n * sxy - sx * sy) /
+                 sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS qty_price_corr,
+           ROUND((sxy - sx * sy / n) / (n - 1), 2) AS qty_price_covar
+    FROM s
+    """,
+)
+def q_agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance via exact decimal power sums.
+
+    The built-in CORR/COVAR_SAMP co-moment accumulators merge in
+    partition order, so Spark and DuckDB disagree in the last ulps
+    (observed at sf0.01) — not hash-comparable. Decimal Σx/Σy/Σxy are
+    exact and associative; combining them in identical double arithmetic
+    gives bit-equal results. Same one-shuffle cost envelope."""
+    l = load_table(spark, sf_dir, "lineitem")
+    dx = F.col("l_quantity").cast("decimal(19,6)")
+    dy = F.col("l_extendedprice").cast("decimal(19,6)")
+    s = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4
+        ).alias("qty_price_corr"),
+        F.round((sxy - sx * sy / n) / (n - 1), 2).alias("qty_price_covar"),
+    )
+
+
+@query(
+    "fn_hash_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'a'
+    """,
+)
+def q_fn_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/16 sample via an md5 bucket on the key — unlike
+    TABLESAMPLE/rand() this is reproducible across engines, runs, and
+    partitionings, which is what training-data subsampling needs (same
+    doc always lands in the same split)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "a"
+    ).select("doc_id", "lang")
+
+
+@query("agg_quantile_bucketize", oracle=None)
+def q_agg_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of ntile: compute approx quantile cut-points (sketch,
+    one small job), bucket rows with a CASE against the broadcast
+    literals — no global sort at any data size. Rows-only (sketch
+    cut-points are engine-specific); balance asserted in pytest."""
+    o = load_table(spark, sf_dir, "orders")
+    q1, q2, q3 = o.agg(
+        F.expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)")
+    ).collect()[0][0]
+    bucket = (
+        F.when(F.col("o_totalprice") <= q1, 1)
+        .when(F.col("o_totalprice") <= q2, 2)
+        .when(F.col("o_totalprice") <= q3, 3)
+        .otherwise(4)
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+
+@query(
     "agg_global_no_group",
     oracle="""
     SELECT COUNT(*) AS n_rows,

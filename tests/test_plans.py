@@ -53,6 +53,13 @@ def test_brute_force_broadcasts_query_side(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_quantile_buckets_roughly_balanced(spark):
+    rows = {r.bucket: r.n for r in REGISTRY["agg_quantile_bucketize"].fn(spark, SF_SMALL).collect()}
+    total = sum(rows.values())
+    for b in (1, 2, 3, 4):
+        assert rows.get(b, 0) / total > 0.15, f"bucket {b} badly unbalanced: {rows}"
+
+
 def test_approx_percentile_close_to_exact(spark):
     rows = REGISTRY["agg_approx_percentile"].fn(spark, SF_SMALL).collect()
     exact = {
