@@ -111,12 +111,13 @@ def q_sim_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
+    cos_udf = _cosine_pandas_udf()
     scored = (
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qe"), F.col("embedding")), 4).alias("cosine"),
+            F.round(cos_udf(F.col("qe"), F.col("embedding")), 4).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -141,24 +142,12 @@ def q_sim_cosine_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.35 — the test
     embeddings are near-orthogonal random vectors, max ~0.48).
 
-    Implemented as a row-wise pair join + Arrow-batched cosine UDF.
-    Correct, but it ships O(n²) embedding copies through the join — at
-    bench scale (2000 vectors → 2M pairs) that's ~1 GB of Arrow
-    traffic. ``sim_cosine_pairs_blocked`` computes the identical result
-    with block matrix products shuffling only O(n·dim); this variant is
-    kept as the direct per-pair formulation the oracle mirrors."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")).repartition(
-        "vec_a"
-    )
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos_udf = _cosine_pandas_udf()
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine_raw", cos_udf(F.col("ea"), F.col("eb")))
-        .filter(F.col("cosine_raw") >= 0.35)
-        .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
-    )
+    Delegates to the blocked-GEMM implementation: a row-wise pair join
+    would ship O(n²) embedding copies through the join (~1 GB of Arrow
+    traffic at 2000 vectors); the blocked form shuffles O(n·dim) and
+    distributes the FLOPs across block-pair tasks. Same oracle, same
+    rows."""
+    return q_sim_cosine_pairs_blocked(spark, sf_dir)
 
 
 BLOCK_SIZE = 512

@@ -82,6 +82,36 @@ def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """JDBC source — parity with the reference's catalog-backed MySQL
+    scans (glue_rds_to_redshift.py:28-40). Always pass the partition
+    bounds for large tables: without them Spark reads the whole table
+    through ONE connection; with them it issues ``numPartitions``
+    range-predicated queries in parallel, and pushdown-able filters
+    (e.g. the incremental HWM predicate) reach the database as WHERE
+    clauses. Untested in this container (no JDBC database)."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

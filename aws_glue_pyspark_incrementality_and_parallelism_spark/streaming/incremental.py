@@ -79,6 +79,25 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def enriched_events_stream(spark: SparkSession, source_dir: str, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the streaming events feed joined to
+    the static customer dimension (user_id → c_custkey).
+
+    Spark re-plans the static side per micro-batch, so dimension updates
+    between batches are picked up automatically; the small static side
+    broadcasts, so the stream never shuffles — the standard streaming
+    enrichment topology."""
+    from ..sources.io import load_table
+
+    events = read_events_stream(spark, source_dir)
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    return events.join(customers, "user_id", "inner").select(
+        "event_id", "ts", "user_id", "event_type", "value", "c_name", "c_mktsegment"
+    )
+
+
 def run_incremental_stream(
     spark: SparkSession,
     source_dir: str,

@@ -57,6 +57,38 @@ def test_incremental_stream_no_duplicates(spark, tmp_path):
     assert expected.exceptAll(got).count() == 0
 
 
+def test_stream_static_enrichment_join(spark, tmp_path):
+    tmp = str(tmp_path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src, _ = _split_events(spark, tmp)
+    out = os.path.join(tmp, "out")
+    enriched = si.enriched_events_stream(spark, src, SF_SMALL)
+
+    q = (
+        enriched.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    # batch equivalent: events (slice 1) inner-joined to customers
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import load_table
+
+    events_b = spark.read.parquet(src).withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    customers = load_table(spark, SF_SMALL, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    expected = events_b.join(customers, "user_id", "inner")
+    assert got.count() == expected.count() > 0
+    sample = got.limit(5).collect()
+    assert all(r.c_name.startswith("Customer#") for r in sample)
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """Events older than (max event time − watermark) must be dropped,
     not aggregated — the documented late-data policy."""
