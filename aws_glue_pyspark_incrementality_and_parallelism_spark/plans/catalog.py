@@ -16,6 +16,7 @@ from ..operators import (  # noqa: F401
     queries_sessions,
     queries_setops,
     queries_tpch,
+    queries_tpch2,
     queries_udf,
     queries_windows,
     similarity,

@@ -77,3 +77,20 @@ def test_approx_percentile_close_to_exact(spark):
         a50, a95 = r.p50_p95
         assert abs(a50 - e50) / e50 < 0.05
         assert abs(a95 - e95) / e95 < 0.05
+
+
+def test_q21_exists_notexists_become_semi_anti(spark):
+    plan = _plan(spark, "tpch_q21_sole_late_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q11_scalar_total_broadcasts(spark):
+    # the global-total side of the HAVING threshold must broadcast,
+    # never trigger a collect or a full-shuffle cross join
+    plan = _plan(spark, "tpch_q11_value_concentration")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q16_notin_is_broadcast_anti(spark):
+    plan = _plan(spark, "tpch_q16_supplier_diversity")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
