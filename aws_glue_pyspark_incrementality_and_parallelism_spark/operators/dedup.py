@@ -224,11 +224,14 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # Shingle SETS only for docs that appear in a candidate pair: a
-    # semi-join prunes the corpus, then one small collect_set aggregate.
+    # Shingle SETS only for docs that appear in a candidate pair: the
+    # semi-join prunes DOCS (before tokenize/explode/window, not after),
+    # so the second shingling pass runs over the few surviving
+    # candidates instead of the whole corpus, then one small collect_set
+    # aggregate.
     cand_ids = cands.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
     cand_sets = (
-        sh.join(cand_ids, "doc_id", "left_semi")
+        shingle_rows(docs.join(cand_ids, "doc_id", "left_semi"))
         .groupBy("doc_id")
         .agg(F.collect_set("s").alias("shingles"))
     )
