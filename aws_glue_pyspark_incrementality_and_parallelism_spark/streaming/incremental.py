@@ -98,6 +98,47 @@ def enriched_events_stream(spark: SparkSession, source_dir: str, sf_dir: str) ->
     )
 
 
+def click_to_purchase_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding hour.
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time gap, so Spark can expire buffered state deterministically:
+    a click older than (purchase watermark − 1 hour) can never match
+    again and is evicted. Without BOTH the watermarks and the interval
+    bound the state store would grow forever — this is the canonical
+    funnel-attribution topology at stream scale."""
+    events = read_events_stream(spark, source_dir)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "purchase_id", "purchase_ts", "purchase_value",
+        F.col("p_user").alias("user_id"), "click_id", "click_ts",
+    )
+
+
 def run_incremental_stream(
     spark: SparkSession,
     source_dir: str,

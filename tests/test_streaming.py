@@ -140,3 +140,40 @@ def test_rerun_without_new_files_is_noop(spark, tmp_path):
     si.run_incremental_stream(spark, src, ckpt, out, watermark="100 hours")
     total2 = spark.read.parquet(out).agg(F.sum("n_events")).collect()[0][0]
     assert total1 == total2, "rerun with no new files must process nothing"
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Purchases join same-user clicks within the preceding hour; the
+    streaming result must equal the batch interval join."""
+    tmp = str(tmp_path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src, _ = _split_events(spark, tmp)
+    out = os.path.join(tmp, "out")
+    joined = si.click_to_purchase_stream(spark, src)
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out).select("purchase_id", "click_id")
+
+    ev = spark.read.parquet(src).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    expected = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "click_id")
+    assert got.count() == expected.count() > 0
+    assert expected.exceptAll(got).count() == 0
