@@ -272,3 +272,38 @@ def q_text_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("word", "freq", "rn")
     )
+
+
+#: BPE-style pre-tokenizer (GPT-2-family shape, lookahead-free so the
+#: same pattern runs on Java regex and RE2): contraction suffixes,
+#: letter runs, digit runs, punctuation runs.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+
+
+@query(
+    "text_token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{BPE_PRETOKEN_RE.replace("'", "''")}'))
+             AS n_bpe_tokens,
+           ROUND(len(regexp_extract_all(text, '{BPE_PRETOKEN_RE.replace("'", "''")}')) * 1.0
+                 / len(string_split_regex(trim(text), '\\s+')), 4) AS bpe_per_word
+    FROM documents
+    """,
+)
+def q_text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex next to the
+    whitespace count — the standard LLM-pipeline cost estimator
+    (tokens-per-word ratio per document). Pure JVM regexp_extract_all,
+    one scan, no shuffle; the pattern avoids lookaheads so Spark (Java
+    regex) and the DuckDB oracle (RE2) tokenize identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_PRETOKEN_RE), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.round(F.size(bpe) * F.lit(1.0) / F.size(ws), 4).alias("bpe_per_word"),
+    )
