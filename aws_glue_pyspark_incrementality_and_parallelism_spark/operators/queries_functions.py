@@ -356,3 +356,40 @@ def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
+
+
+@query(
+    "events_daily_from_hourly",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup ladder (hypertable continuous-aggregate pattern): the daily
+    report is RE-aggregated from the hourly pre-aggregate, never from raw
+    events — count→sum, sum→sum, max→max all re-aggregate losslessly
+    (decimal sums are associative, so this is exact, which the oracle
+    proves by aggregating the raw table directly). At 100 TB the hourly
+    layer is a materialized table ~1000× smaller than raw events; every
+    coarser granularity reads it instead of the fact table."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
+        F.max(F.col("value").cast("decimal(18,4)")).alias("max_value"),
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").cast("date").alias("day"), "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").cast("double").alias("total_value"),
+            F.max("max_value").cast("double").alias("max_value"),
+        )
+    )

@@ -278,3 +278,75 @@ def q_join_5way_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+@query(
+    "join_asof_last_view",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts AS view_ts, MAX(event_id) AS view_id
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, p.purchase_ts, v.view_id, v.view_ts
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND v.view_ts <= p.purchase_ts
+    """,
+)
+def q_join_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — an operator Spark has no built-in for: each purchase
+    matched to the same user's latest view at-or-before it (the oracle
+    is DuckDB's native ASOF LEFT JOIN).
+
+    Implemented with the union+window technique, the scale path: tag
+    both sides, union them, one window per user ordered by (time, side)
+    carrying last(view cols, ignoreNulls) forward, keep the purchase
+    rows. ONE shuffle on the join key, zero row explosion — unlike the
+    naive inequality-join + argmax, which materializes every
+    (purchase × earlier-view) pair before reducing. Views are
+    pre-deduped to one row per (user, ts) so tie-breaking is
+    deterministic on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("t"))
+        .agg(F.max("event_id").alias("view_id"))
+        .select(
+            "user_id",
+            "t",
+            F.lit(0).alias("side"),
+            "view_id",
+            F.col("t").alias("view_ts"),
+            F.lit(None).cast("long").alias("purchase_id"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("view_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t"), F.asc("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        views.unionByName(purchases)
+        .withColumn("asof_view_id", F.last("view_id", ignorenulls=True).over(w))
+        .withColumn("asof_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("t").alias("purchase_ts"),
+            F.col("asof_view_id").alias("view_id"),
+            F.col("asof_view_ts").alias("view_ts"),
+        )
+    )
