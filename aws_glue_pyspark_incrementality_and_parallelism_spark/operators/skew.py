@@ -65,3 +65,43 @@ def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_buckets=16,
     )
     return out.select("l_returnflag", F.col("total_price_dec").cast("double").alias("total_price"))
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join: the events fact concentrates its 10k rows on
+    ~150 user keys (hot keys by construction), so a plain shuffle join
+    keys every hot user's rows to one reducer. The salt splits each fact
+    key into SALT sub-keys (deterministic hash of the row id) and
+    replicates the dimension once per salt value, so each hot key fans
+    across SALT reducers.
+
+    AQE's skew-join split is the first choice when sizes are observable
+    at runtime; explicit salting is the fallback for deterministic
+    topologies (e.g. when the join feeds a co-partitioned aggregate).
+    The oracle is the unsalted join — salting must be result-invariant."""
+    SALT = 8
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT)).cast("int")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    salts = spark.range(SALT).select(F.col("id").cast("int").alias("_salt"))
+    c_rep = c.crossJoin(salts)
+    return (
+        e.join(c_rep, (e.user_id == c_rep.c_custkey) & (e._salt == c_rep._salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
