@@ -393,3 +393,36 @@ def q_events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_value").cast("double").alias("max_value"),
         )
     )
+
+
+@query(
+    "fn_stratified_sample",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sampled_price
+    FROM orders
+    WHERE o_orderkey % 10 < (CASE o_orderstatus
+                             WHEN 'P' THEN 5 WHEN 'O' THEN 2 ELSE 1 END)
+    GROUP BY 1
+    """,
+)
+def q_fn_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (50% of P, 20% of O,
+    10% of F) via a deterministic key-modulo threshold — the
+    reproducible twin of ``df.sampleBy`` (whose seeded RNG is not
+    portable across engines). The predicate is a scan-level filter: no
+    shuffle until the per-stratum accounting aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    rate = (
+        F.when(F.col("o_orderstatus") == "P", 5)
+        .when(F.col("o_orderstatus") == "O", 2)
+        .otherwise(1)
+    )
+    return (
+        o.filter(F.col("o_orderkey") % 10 < rate)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sampled_price"),
+        )
+    )

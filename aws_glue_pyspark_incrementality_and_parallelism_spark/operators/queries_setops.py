@@ -142,3 +142,34 @@ def q_setop_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     return c.unionByName(o, allowMissingColumns=True)
+
+
+@query(
+    "setop_unpivot_melt",
+    oracle="""
+    SELECT c_custkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT c_custkey,
+             CAST(c_acctbal AS DOUBLE) AS acctbal,
+             CAST(c_nationkey AS DOUBLE) AS nationkey
+      FROM customer
+    )
+    UNPIVOT (val FOR metric IN (acctbal, nationkey))
+    """,
+)
+def q_setop_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt — wide-to-long reshaping via DataFrame.unpivot
+    (Spark's built-in; expands to a generator, no shuffle, no UDF).
+    Oracle is DuckDB's UNPIVOT. Both engines drop NULL measures by
+    default; these columns are non-null so row counts are 2× input."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return c.unpivot(
+        ids=["c_custkey"],
+        values=["acctbal", "nationkey"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
