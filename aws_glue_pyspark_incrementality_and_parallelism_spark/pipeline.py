@@ -41,6 +41,7 @@ class PipelineResult:
     committed_hwm: Any
     report_rows: dict[str, int]
     output_paths: dict[str, str]
+    metrics: dict[str, Any] | None = None
 
 
 def run_etl(
@@ -72,6 +73,13 @@ def run_etl(
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
 
+    from pyspark.sql import Observation
+
+    # Data-quality counters ride the first action over the joined frame —
+    # no extra pass, collected from the executors' task metrics (the
+    # production guardrail: a sudden null-rate or row-count shift fails
+    # fast instead of poisoning downstream reports).
+    obs = Observation("joined_quality")
     joined = (
         lineitem.join(orders, lineitem.trn_orderkey == orders.o_orderkey, "inner")
         .join(customer, orders.o_custkey == customer.c_custkey, "inner")
@@ -86,6 +94,13 @@ def run_etl(
             "s_suppkey",
             "s_name",
         )
+    )
+    joined = joined.observe(
+        obs,
+        F.count(F.lit(1)).alias("joined_rows"),
+        F.sum(F.when(F.col("l_extendedprice").isNull(), 1).otherwise(0)).alias("null_prices"),
+        F.min("o_orderdate").alias("min_orderdate"),
+        F.max("o_orderdate").alias("max_orderdate"),
     )
     # One materialization feeding both report actions (reference :48).
     joined = joined.persist(StorageLevel.MEMORY_AND_DISK)
@@ -126,6 +141,13 @@ def run_etl(
     finally:
         joined.unpersist()
 
+    metrics = dict(obs.get)
+    if metrics.get("joined_rows", 0) and metrics.get("null_prices", 0):
+        raise ValueError(f"data-quality gate: null prices in joined frame: {metrics}")
+    log.info("observed metrics: %s", metrics)
+
     committed = batch.commit()  # only reached when both sinks succeeded
     log.info("sinks committed; bookmark advanced to %s", committed)
-    return PipelineResult(committed_hwm=committed, report_rows=results, output_paths=paths)
+    return PipelineResult(
+        committed_hwm=committed, report_rows=results, output_paths=paths, metrics=metrics
+    )

@@ -77,9 +77,16 @@ def read_csv(spark: SparkSession, path: str, schema, header: bool = True) -> Dat
     return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
 
 
-def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
-    """JSON-lines source with an explicit schema (same no-infer rule)."""
-    return spark.read.schema(schema).json(path)
+def read_json(
+    spark: SparkSession, path: str, schema, mode: str = "FAILFAST"
+) -> DataFrame:
+    """JSON-lines source with an explicit schema (same no-infer rule).
+
+    ``mode`` is the malformed-record policy: FAILFAST (default — a 100 TB
+    load should die loudly, not silently null out), PERMISSIVE (quarantine
+    bad lines in ``_corrupt_record`` for a dead-letter sink — the schema
+    must include that string column), or DROPMALFORMED."""
+    return spark.read.schema(schema).option("mode", mode).json(path)
 
 
 def read_jdbc(

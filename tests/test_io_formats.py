@@ -55,3 +55,32 @@ def test_cli_entrypoint(tmp_path):
     assert os.path.isdir(os.path.join(out, "sales_by_customer"))
     assert os.path.isdir(os.path.join(out, "sales_by_supplier"))
     assert "committed hwm=" in proc.stderr or "committed hwm=" in proc.stdout
+
+
+def test_json_malformed_record_policies(spark, tmp_path):
+    """FAILFAST dies on a bad line; PERMISSIVE quarantines it in
+    _corrupt_record (dead-letter pattern); DROPMALFORMED silently skips."""
+    import pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.sources import io
+
+    p = str(tmp_path / "events.jsonl")
+    with open(p, "w") as f:
+        f.write('{"event_id": 1, "event_type": "view"}\n')
+        f.write("this is not json\n")
+        f.write('{"event_id": 2, "event_type": "click"}\n')
+
+    base = [StructField("event_id", LongType()), StructField("event_type", StringType())]
+    schema = StructType(base)
+    with pytest.raises(Exception):
+        io.read_json(spark, p, schema, mode="FAILFAST").collect()
+
+    quarantine = StructType(base + [StructField("_corrupt_record", StringType())])
+    rows = io.read_json(spark, p, quarantine, mode="PERMISSIVE").collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 1 and bad[0]._corrupt_record.startswith("this is")
+
+    kept = io.read_json(spark, p, schema, mode="DROPMALFORMED").collect()
+    assert {r.event_id for r in kept} == {1, 2}

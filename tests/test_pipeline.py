@@ -36,3 +36,16 @@ def test_rerun_is_noop_and_preserves_outputs(spark, tmp_path):
     # outputs from run 1 untouched
     n = spark.read.parquet(first.output_paths["sales_by_customer"]).count()
     assert n == first.report_rows["sales_by_customer"]
+
+
+def test_pipeline_observation_metrics(spark, tmp_path):
+    """The data-quality observation must report the joined row count and
+    zero null prices, collected from the same action that wrote the
+    reports (no extra scan)."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark import pipeline
+
+    res = pipeline.run_etl(spark, SF_SMALL, str(tmp_path / "out"))
+    assert res.metrics is not None
+    assert res.metrics["joined_rows"] > 0
+    assert res.metrics["null_prices"] == 0
+    assert res.metrics["min_orderdate"] <= res.metrics["max_orderdate"]
