@@ -346,3 +346,94 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the pair search a hash join at scale."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_frame(docs)
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, max_iters: int = 15
+) -> DataFrame:
+    """Connected components by min-label propagation: every node starts
+    labeled with its own id; each iteration takes the min label over
+    neighbors; fixpoint = component id (the component's minimum node).
+
+    The iterative-join pattern at corpus scale: per iteration one join
+    edges⋈labels + one min-aggregate, labels localCheckpoint'ed so
+    lineage stays flat; converges in O(component diameter) iterations
+    (near-dup clusters are shallow — pairs chain through shared
+    shingles). ``nodes``/``edges`` columns: (doc_id), (doc_a, doc_b)."""
+    sym = edges.select("doc_a", "doc_b").union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = nodes.select("doc_id").withColumn("comp", F.col("doc_id"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "dedup_components_keeper",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
+      FROM documents WHERE doc_id < 100
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT i.doc_a, i.doc_b FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.5
+    ), sym AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 100)
+      UNION
+      SELECT r.src, s.doc_b FROM reach r JOIN sym s ON r.dst = s.doc_a
+    )
+    SELECT MIN(dst) AS component, src AS doc_id
+    FROM reach GROUP BY src
+    """,
+)
+def q_dedup_components_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: near-dup PAIRS are not enough to
+    dedup a corpus — transitive chains (A~B, B~C) must collapse to one
+    keeper per connected component. Spark side: iterative min-label
+    propagation over the Jaccard≥0.5 pair graph (bounded to doc_id<100,
+    matching the exact-oracle pair query). Oracle: DuckDB recursive CTE
+    computing true transitive closure. Keeper = the component id (min
+    doc_id), the same deterministic winner dedup_exact keeps."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id")
+        .distinct()
+    )
+    return connected_components(pairs, nodes).select(
+        F.col("comp").alias("component"), "doc_id"
+    )

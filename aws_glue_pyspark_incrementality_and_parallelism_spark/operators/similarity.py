@@ -383,3 +383,58 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "cosine", "rn")
     )
+
+
+def kmeans_refine(
+    emb: DataFrame, centroids: DataFrame, iterations: int = 3
+) -> tuple[DataFrame, list[float]]:
+    """Lloyd iterations refining a centroid table over the corpus.
+
+    The iterative-algorithm pattern done Spark-right: per iteration the
+    CORPUS never moves — one broadcast-assignment pass (Arrow-batched
+    argmax) and one component-mean aggregate; only the tiny
+    (cells × dim) centroid table crosses the driver boundary between
+    iterations (it must — the next assignment broadcast depends on it;
+    this is the one collect() that is genuinely O(cells·dim), not
+    O(data)). Returns (refined centroids, per-iteration inertia) —
+    inertia is monotonically non-increasing, asserted in pytest."""
+    cos_udf = _cosine_pandas_udf()
+    inertias: list[float] = []
+    for _ in range(iterations):
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+        assigned = (
+            emb.crossJoin(F.broadcast(centroids))
+            .withColumn("cell_cos", cos_udf(F.col("embedding"), F.col("centroid")))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "embedding", "cell", "cell_cos")
+        )
+        stats = assigned.agg(
+            F.sum(F.lit(1.0) - F.col("cell_cos")).alias("inertia")
+        ).collect()[0]
+        inertias.append(float(stats.inertia))
+        centroids = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+                ).alias("centroid")
+            )
+        )
+        # materialize the small table so each iteration's lineage is flat
+        # (unbounded lineage growth is the classic iterative-Spark bug)
+        centroids = centroids.localCheckpoint(eager=True)
+    return centroids, inertias
+
+
+@query("sim_kmeans_refine", oracle=None)
+def q_sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means refinement of the label-seeded coarse quantizer (3 Lloyd
+    iterations). Rows-only check (iterative float means aren't
+    SQL-portable); inertia monotonicity is asserted in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent, _ = kmeans_refine(emb, label_centroid_arrays(emb), iterations=3)
+    return cent.select("cell", F.size("centroid").alias("dim"))

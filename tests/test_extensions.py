@@ -191,3 +191,27 @@ def test_ivf_cell_partitioned_layout_prunes_probe_scan(spark, tmp_path):
     total = spark.read.parquet(out).count()
     probed = probe.count()
     assert 0 < probed < total
+
+
+def test_kmeans_refine_inertia_monotone(spark):
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cent0 = similarity.label_centroid_arrays(emb)
+    cent, inertias = similarity.kmeans_refine(emb, cent0, iterations=3)
+    assert len(inertias) == 3
+    # Lloyd's algorithm never increases inertia
+    for a, b in zip(inertias, inertias[1:]):
+        assert b <= a + 1e-9, f"inertia increased: {inertias}"
+    assert cent.count() <= 10  # cells can merge-empty but never multiply
+
+
+def test_connected_components_planted_chain(spark):
+    """A~B and B~C (but never A~C directly) must land in one component;
+    isolated docs stay singletons labeled by themselves."""
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
+    comp = {r.doc_id: r.comp for r in dedup.connected_components(edges, nodes).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[99] == 99
