@@ -119,3 +119,44 @@ def q_fn_hof_exists_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_large.alias("n_large"),
         F.exists("embedding", lambda x: x > 0.2).alias("any_large"),
     )
+
+
+@query(
+    "udf_udtf_sentences",
+    oracle="""
+    SELECT doc_id,
+           CAST(s.idx - 1 AS INT) AS sentence_idx,
+           trim(s.sentence) AS sentence
+    FROM documents,
+         LATERAL (SELECT unnest(string_split(text, '.')) AS sentence,
+                         generate_subscripts(string_split(text, '.'), 1) AS idx) s
+    WHERE doc_id < 50 AND trim(s.sentence) != ''
+    """,
+)
+def q_udf_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one input row → N output rows,
+    splitting documents into indexed sentences. The UDTF slot is for
+    row-expanding Python logic built-ins can't express (real use:
+    tokenizers, parsers, chunkers for RAG pipelines); here the logic is
+    deliberately portable (split on '.') so a pure-SQL LATERAL unnest
+    can oracle it. Bounded to doc_id<50 — per-row Python is the slow
+    path and this query exists to prove the surface."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="doc_id: long, sentence_idx: int, sentence: string")
+    class SplitSentences:
+        def eval(self, doc_id: int, text: str):
+            idx = 0
+            for raw in (text or "").split("."):
+                s = raw.strip()
+                if s:
+                    yield doc_id, idx, s
+                idx += 1
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("udtf_docs_in")
+    spark.udtf.register("split_sentences", SplitSentences)
+    return spark.sql(
+        "SELECT s.doc_id, s.sentence_idx, s.sentence "
+        "FROM udtf_docs_in, LATERAL split_sentences(doc_id, text) s"
+    )
