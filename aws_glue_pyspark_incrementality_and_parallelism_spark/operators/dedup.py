@@ -437,3 +437,49 @@ def q_dedup_components_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, nodes).select(
         F.col("comp").alias("component"), "doc_id"
     )
+
+
+@query(
+    "dedup_embedding_components",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+    ), sym AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.src, s.doc_b FROM reach r JOIN sym s ON r.dst = s.doc_a
+    )
+    SELECT src AS vec_id, MIN(dst) AS component
+    FROM reach GROUP BY src
+    """,
+)
+def q_dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) near-dup dedup end-to-end: cosine ≥
+    0.35 pairs become edges, connected components collapse transitive
+    chains (A~B, B~C ⇒ one cluster), keeper = component id (min
+    vec_id) — the embedding twin of ``dedup_components_keeper``.
+
+    Scale stance: edges come from the blocked-GEMM all-pairs kernel
+    (O(n·dim) shuffle, FLOPs spread over block-pair tasks) — swap in
+    the IVF/LSH candidate path when approximate recall is acceptable —
+    and components from min-label propagation; nothing materializes a
+    quadratic row set. Oracle: DuckDB list_cosine_similarity pairs +
+    recursive-CTE transitive closure."""
+    from .similarity import q_sim_cosine_pairs_blocked
+
+    edges = q_sim_cosine_pairs_blocked(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    nodes = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+    )
+    return connected_components(edges, nodes).select(
+        F.col("doc_id").alias("vec_id"), F.col("comp").alias("component")
+    )

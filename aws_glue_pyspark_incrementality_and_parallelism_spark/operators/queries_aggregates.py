@@ -363,3 +363,25 @@ def q_agg_global_no_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date(F.min("l_shipdate")).alias("first_ship"),
         F.to_date(F.max("l_shipdate")).alias("last_ship"),
     )
+
+
+@query("agg_hll_rollup_merge", oracle=None)
+def q_agg_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct-count ladder (Apache DataSketches HLL
+    via Spark built-ins hll_sketch_agg / hll_union_agg): per-month
+    customer sketches are built in ONE scan of the fact table; every
+    coarser grain (year here) is then a cheap associative union of the
+    stored binary sketches — re-aggregation never touches the facts
+    again. Exact distinct cannot ride a rollup ladder (distinct is not
+    associative); sketches merge like sums, which is what makes
+    distinct-count rollups viable at 100 TB. Rows-only (sketch binaries
+    are engine-specific); estimate accuracy vs exact countDistinct is
+    asserted in pytest."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.hll_sketch_agg("o_custkey", 12).alias("sk")
+    )
+    return monthly.groupBy(F.year("month").alias("year")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_customers"),
+        F.count("*").alias("n_months"),
+    )

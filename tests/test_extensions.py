@@ -215,3 +215,27 @@ def test_connected_components_planted_chain(spark):
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[10] == comp[11] == 10
     assert comp[99] == 99
+
+
+def test_hll_rollup_estimate_within_5pct(spark):
+    """The merged-sketch year estimate must track exact distinct counts
+    (HLL lgK=12 has ~1.6% relative standard error)."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.queries_aggregates import (
+        q_agg_hll_rollup_merge,
+    )
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import load_table
+
+    est = {
+        r["year"]: r["est_customers"]
+        for r in q_agg_hll_rollup_merge(spark, SF_SMALL).collect()
+    }
+    o = load_table(spark, SF_SMALL, "orders")
+    exact = {
+        r["year"]: r["n"]
+        for r in o.groupBy(F.year("o_orderdate").alias("year"))
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for year, n in exact.items():
+        assert abs(est[year] - n) / n < 0.05, (year, est[year], n)
