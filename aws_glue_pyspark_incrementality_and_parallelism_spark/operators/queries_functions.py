@@ -426,3 +426,59 @@ def q_fn_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sampled_price"),
         )
     )
+
+
+@query(
+    "events_gapfill_daily",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events
+    ), cal AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT t.event_type, c.day,
+           COALESCE(d.n_events, 0) AS n_events,
+           COALESCE(d.total_value, 0.0) AS total_value
+    FROM types t
+    CROSS JOIN cal c
+    LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = c.day
+    """,
+)
+def q_events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: a complete (event_type × day) grid over the
+    corpus date span, missing days filled with zero — downstream
+    time-series models need dense series, and a groupBy alone silently
+    drops empty days.
+
+    Scale shape: the calendar is GENERATED (sequence + explode from one
+    global min/max row — one tiny job), never scanned; the grid is
+    small-dim × days so the grid side is broadcast into the left join
+    against the daily pre-aggregate. The expensive side (raw events)
+    is touched exactly once, by the groupBy."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    )
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    cal = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    grid = e.select("event_type").distinct().crossJoin(F.broadcast(cal))
+    return (
+        grid.join(F.broadcast(daily), ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )
