@@ -353,28 +353,57 @@ def connected_components(
 ) -> DataFrame:
     """Connected components by min-label propagation: every node starts
     labeled with its own id; each iteration takes the min label over
-    neighbors; fixpoint = component id (the component's minimum node).
+    neighbors, then POINTER-JUMPS (path halving: relabel to the label's
+    label); fixpoint = component id (the component's minimum node).
 
     The iterative-join pattern at corpus scale: per iteration one join
-    edges⋈labels + one min-aggregate, labels localCheckpoint'ed so
-    lineage stays flat; converges in O(component diameter) iterations
-    (near-dup clusters are shallow — pairs chain through shared
-    shingles). ``nodes``/``edges`` columns: (doc_id), (doc_a, doc_b)."""
+    edges⋈labels + one min-aggregate + one labels⋈labels jump join,
+    labels localCheckpoint'ed so lineage stays flat. Plain propagation
+    alone needs O(component diameter) rounds — fine for shallow
+    near-dup clusters, quadratic-feeling on the long chains a dense
+    threshold graph grows; the jump step cuts that to O(log diameter)
+    (the Hash-to-Min idea, cf. Rastogi et al. '12 / large-star–
+    small-star). ``nodes``/``edges`` columns: (doc_id), (doc_a, doc_b).
+
+    Two scale guards, both essential when edges come from an expensive
+    upstream (blocked GEMM / LSH verification):
+
+    * the symmetrized edge set is materialized ONCE
+      (``localCheckpoint``) — without it every iteration would re-run
+      the whole pair-generation pipeline;
+    * only nodes that touch an edge iterate. In a near-dup graph almost
+      every doc is isolated (its label can never change — it has no
+      neighbors), so the loop's joins run over the edge-touching
+      minority and the isolated majority is unioned back at the end."""
     sym = edges.select("doc_a", "doc_b").union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
-    labels = nodes.select("doc_id").withColumn("comp", F.col("doc_id"))
+    ).localCheckpoint(eager=True)
+    active = sym.select(F.col("doc_a").alias("doc_id")).distinct()
+    labels = active.withColumn("comp", F.col("doc_id")).localCheckpoint(eager=True)
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym.doc_b == labels.doc_id)
             .groupBy("doc_a")
             .agg(F.min("comp").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
             .select(
                 "doc_id",
                 F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
+            )
+        )
+        # Path halving: comp <- comp's comp. Labels are always node ids
+        # of the active set, so the self-join resolves; each round the
+        # pointer chains halve, turning O(d) convergence into O(log d).
+        lut = stepped.select(
+            F.col("doc_id").alias("c_id"), F.col("comp").alias("c_comp")
+        )
+        new_labels = (
+            stepped.join(lut, stepped.comp == lut.c_id, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce("c_comp", "comp")).alias("comp"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
@@ -387,7 +416,8 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    isolated = nodes.select("doc_id").join(active, "doc_id", "left_anti")
+    return labels.unionByName(isolated.withColumn("comp", F.col("doc_id")))
 
 
 @query(

@@ -482,3 +482,37 @@ def q_events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
         )
     )
+
+
+@query(
+    "fn_variant_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via the open VARIANT type (Spark 4
+    ``parse_json`` / ``variant_get``): the JSON string is parsed ONCE
+    into a binary shredded encoding, then every extraction is a cheap
+    typed path lookup — unlike ``get_json_object``, which re-parses the
+    raw string per expression. At 100 TB of event payloads that
+    parse-once property (and VARIANT's parquet shredding) is the
+    difference between one decode pass and one per referenced field."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+    )

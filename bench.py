@@ -33,9 +33,11 @@ def main() -> None:
     spark = build_spark(app_name="engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen paths once so per-query numbers aren't
-    # dominated by first-run classloading.
+    # Warm the JVM/codegen paths and the Python-worker/Arrow path once
+    # so per-query numbers aren't dominated by first-run classloading
+    # or the one-time executor-side Python worker-pool spawn.
     _force(catalog.REGISTRY["report_sales_by_supplier"].fn(spark, sf_dir))
+    _force(catalog.REGISTRY["udf_pandas_scalar_charge"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name, spec in sorted(catalog.REGISTRY.items()):
