@@ -59,3 +59,44 @@ def test_keyed_hwm_dedup_across_runs(spark, tmp_path):
     assert final.count() == raw.count()
     dup = final.groupBy("user_id", "event_id").count().filter(F.col("count") > 1).count()
     assert dup == 0
+
+
+def test_drop_duplicates_within_watermark_across_runs(spark, tmp_path):
+    """Redelivered (user_id, event_id) pairs within the watermark
+    horizon are dropped across checkpointed runs; fresh events pass."""
+    tmp = str(tmp_path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+    cut = raw.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    out = os.path.join(tmp, "out")
+
+    def _run():
+        events = si.read_events_stream(spark, src)
+        deduped = stateful.dedup_within_watermark_stream(events)
+        q = (
+            deduped.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    batch1 = raw.filter(F.col("event_id") <= cut)
+    batch1.write.parquet(src)
+    _run()
+    assert spark.read.parquet(out).count() == batch1.count()
+
+    resend = raw.filter(
+        (F.col("event_id") > cut * 0.8) & (F.col("event_id") <= cut)
+    )
+    fresh = raw.filter(F.col("event_id") > cut)
+    resend.unionByName(fresh).write.mode("append").parquet(src)
+    _run()
+
+    final = spark.read.parquet(out)
+    assert final.count() == raw.count()
+    dup = final.groupBy("user_id", "event_id").count().filter(F.col("count") > 1).count()
+    assert dup == 0
