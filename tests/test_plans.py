@@ -94,3 +94,56 @@ def test_q11_scalar_total_broadcasts(spark):
 def test_q16_notin_is_broadcast_anti(spark):
     plan = _plan(spark, "tpch_q16_supplier_diversity")
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Joining a date-partitioned fact on its partition column against a
+    filtered (broadcastable) dim must inject a dynamic-pruning subquery
+    into the fact scan — at 100 TB this is the difference between
+    scanning 7 years and scanning the one year the dim filter selects."""
+    o = load_table(spark, SF_SMALL, "orders").withColumn("o_year", F.year("o_orderdate"))
+    path = str(tmp_path / "orders_by_year")
+    o.write.partitionBy("o_year").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(1995, "keep"), (1996, "drop"), (1997, "drop")], "d_year int, tag string"
+    ).filter(F.col("tag") == "keep")
+    j = fact.join(dim, fact.o_year == dim.d_year).select("o_orderkey", "tag")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = j._jdf.queryExecution().explainString(mode)
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """With broadcast off (big-×-big shuffle join), a selective filter on
+    one side must inject a runtime bloom filter on the other side's scan
+    (might_contain), shrinking the shuffled fact volume before the
+    exchange — the key runtime filter for selective big joins at scale."""
+    saved = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        l = load_table(spark, SF_SMALL, "lineitem")
+        o = load_table(spark, SF_SMALL, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = l.join(o, l.l_orderkey == o.o_orderkey).select("l_extendedprice", "o_orderdate")
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = j._jdf.queryExecution().explainString(mode)
+        assert "might_contain" in plan.lower() or "bloomfilter" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
