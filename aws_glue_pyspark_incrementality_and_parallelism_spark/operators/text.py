@@ -307,3 +307,110 @@ def q_text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(bpe).alias("n_bpe_tokens"),
         F.round(F.size(bpe) * F.lit(1.0) / F.size(ws), 4).alias("bpe_per_word"),
     )
+
+
+def _gram_rows(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram) rows of word n-grams via posexplode + lead window —
+    same codegen-friendly shape as dedup.shingle_rows, without the
+    short-doc fallback (docs shorter than n yield nothing)."""
+    toks = _tokens(F.col("text"))
+    base = docs.select(
+        "doc_id", F.size(toks).alias("n_toks"), F.posexplode(toks).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
+    return (
+        base.filter(F.col("n_toks") >= n)
+        .select("doc_id", "pos", "n_toks", F.concat_ws(" ", *parts).alias("gram"))
+        .filter(F.col("pos") <= F.col("n_toks") - n)
+        .select("doc_id", "gram")
+    )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH idx AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks)-2)) AS i
+      FROM idx WHERE len(toks) >= 3
+    ), tri AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram FROM g
+    ), cnt AS (
+      SELECT doc_id, gram, COUNT(*) AS c FROM tri GROUP BY 1, 2
+    )
+    SELECT doc_id, SUM(c) AS n_trigrams, MAX(c) AS max_trigram_count,
+           ROUND(MAX(c) * 1.0 / SUM(c), 6) AS repetition_ratio
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def q_text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: the fraction of a doc's
+    word trigrams taken by its single most-repeated trigram. Boilerplate,
+    keyword stuffing, and degenerate generations spike this ratio; corpus
+    filters drop docs above a threshold. Two hash-aggregates keyed by
+    doc — fully codegen, no data crosses the driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = _gram_rows(docs, 3).groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_trigrams"),
+        F.max("c").alias("max_trigram_count"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("repetition_ratio"),
+    )
+
+
+#: Decontamination gram width: long enough that only genuinely shared
+#: passages collide, short enough to survive small edits.
+DECONTAM_N = 8
+BENCH_DOC_CUTOFF = 10
+
+
+@query(
+    "text_decontamination",
+    oracle=f"""
+    WITH idx AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks)-{DECONTAM_N - 1})) AS i
+      FROM idx WHERE len(toks) >= {DECONTAM_N}
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             list_aggregate(toks[i:i+{DECONTAM_N - 1}], 'string_agg', ' ') AS gram
+      FROM g
+    )
+    SELECT c.doc_id AS corpus_doc_id, b.doc_id AS bench_doc_id,
+           COUNT(*) AS n_shared_grams
+    FROM grams c
+    JOIN grams b ON c.gram = b.gram
+    WHERE c.doc_id >= {BENCH_DOC_CUTOFF} AND b.doc_id < {BENCH_DOC_CUTOFF}
+    GROUP BY 1, 2
+    """,
+)
+def q_text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any full
+    {DECONTAM_N}-word gram with a held-out benchmark set (doc_id <
+    {BENCH_DOC_CUTOFF} stands in for the eval suite) are flagged with
+    their overlap counts — the standard pre-training hygiene pass.
+
+    Scale shape: distinct grams per side, then an equi-join keyed on the
+    gram. The benchmark side is tiny by definition, so Catalyst
+    broadcasts it and the corpus side never shuffles; at 100 TB the
+    corpus grams stream past a broadcast hash set — cost is one corpus
+    scan. (Winnowed fingerprints — dedup_winnow_fingerprints — are the
+    sampled variant when even gram materialization is too much.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _gram_rows(docs, DECONTAM_N).distinct()
+    corpus = grams.filter(F.col("doc_id") >= BENCH_DOC_CUTOFF)
+    bench = grams.filter(F.col("doc_id") < BENCH_DOC_CUTOFF)
+    return (
+        corpus.alias("c")
+        .join(F.broadcast(bench.alias("b")), F.col("c.gram") == F.col("b.gram"))
+        .groupBy(
+            F.col("c.doc_id").alias("corpus_doc_id"),
+            F.col("b.doc_id").alias("bench_doc_id"),
+        )
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
