@@ -414,3 +414,68 @@ def q_text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_shared_grams"))
     )
+
+
+#: Sequence-packing chunk capacity (tokens per training sequence).
+PACK_CAP = 2048
+PACK_PARTITIONS = 8
+
+
+@query(
+    "text_sequence_pack",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {PACK_CAP})
+             AS BIGINT) AS bin_id
+    FROM sized
+    """,
+)
+def q_text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate every doc's tokens in
+    doc_id order into one virtual stream and assign each doc its global
+    start offset and the {PACK_CAP}-token training chunk its first token
+    lands in.
+
+    The naive formulation is a GLOBAL window cumsum — a single-partition
+    sort, the classic scale killer. This runs it as a distributed prefix
+    sum instead: range-partition by doc_id, per-partition cumsum under a
+    partition-local window, then only the per-partition TOTALS (one row
+    per partition — O(32), not O(docs)) cross the driver to become
+    broadcast prefix offsets. Correct for any range boundaries, and every
+    heavy step stays partition-parallel. The oracle is the naive global
+    window, proving the two-pass plan computes the same stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens")
+    ).repartitionByRange(PACK_PARTITIONS, "doc_id")
+    parts = sized.withColumn("pid", F.spark_partition_id())
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    local = parts.withColumn("local_end", F.sum("n_tokens").over(w))
+    totals = sorted(
+        local.groupBy("pid").agg(F.sum("n_tokens").alias("tot")).collect(),
+        key=lambda r: r["pid"],
+    )
+    prefix, acc = {}, 0
+    for r in totals:
+        prefix[r["pid"]] = acc
+        acc += r["tot"]
+    offsets = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in prefix.items()], "pid int, part_offset long"
+        )
+    )
+    start = F.col("part_offset") + F.col("local_end") - F.col("n_tokens")
+    return local.join(offsets, "pid").select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / PACK_CAP).cast("bigint").alias("bin_id"),
+    )
