@@ -350,3 +350,42 @@ def q_join_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("asof_view_ts").alias("view_ts"),
         )
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH c AS (
+      SELECT nullif(c_custkey % 7, 0) AS k, COUNT(*) AS n_customers
+      FROM customer GROUP BY 1
+    ), o AS (
+      SELECT nullif(o_custkey % 7, 0) AS k, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT c.k AS k, n_customers, n_orders
+    FROM c JOIN o ON c.k IS NOT DISTINCT FROM o.k
+    """,
+)
+def q_join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics ETL needs when
+    a nullable dimension key must still pair its "unknown" buckets.
+    Pre-aggregating both sides first keeps the NULL bucket a single row
+    per side, so the null-safe join never explodes (the naive row-level
+    null-safe join is a hidden cross join between the NULL populations).
+    Catalyst plans ``<=>`` as a normal hash join key."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.nullif(F.col("c_custkey") % 7, F.lit(0)).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.nullif(F.col("o_custkey") % 7, F.lit(0)).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return c.alias("c").join(o.alias("o"), F.col("c.k").eqNullSafe(F.col("o.k"))).select(
+        F.col("c.k").alias("k"), "n_customers", "n_orders"
+    )

@@ -84,3 +84,14 @@ def test_json_malformed_record_policies(spark, tmp_path):
 
     kept = io.read_json(spark, p, schema, mode="DROPMALFORMED").collect()
     assert {r.event_id for r in kept} == {1, 2}
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC is the other columnar format Spark ships natively; the engine
+    reads/writes it with the same schema fidelity as parquet."""
+    supplier = load_table(spark, SF_SMALL, "supplier")
+    path = str(tmp_path / "supplier_orc")
+    supplier.write.orc(path)
+    back = spark.read.schema(supplier.schema).orc(path)
+    assert back.schema == supplier.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, supplier.collect()))
