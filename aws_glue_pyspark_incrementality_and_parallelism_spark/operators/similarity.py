@@ -258,6 +258,61 @@ def q_sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_NPROBE = 4
 
 
+def assign_nearest_cells(
+    df: DataFrame, centroids: DataFrame, vec_col: str = "embedding", k: int = 1
+) -> DataFrame:
+    """Top-k nearest-centroid assignment as ONE Arrow pass over ``df``.
+
+    The centroid table is O(cells × dim) by definition, so it crosses
+    the driver once and rides into every task as a closed-over numpy
+    matrix; each Arrow batch computes a (batch × cells) GEMM and emits
+    its top-k cells. Replaces the crossJoin → per-row window argmax
+    formulation, which shuffles (rows × cells) through a sort — this
+    shape shuffles nothing and scans the corpus exactly once.
+
+    Output: input columns + ``cell`` (centroid id), ``cell_cos``
+    (cosine), ``cell_rank`` (1-based). Ties break toward the lower cell
+    id (stable argsort over ascending cell order), matching
+    ``ORDER BY cos DESC, cell ASC``.
+    """
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    cent_rows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    cells = [r["cell"] for r in cent_rows]
+    C = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cell_type = centroids.schema["cell"].dataType
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("cell", cell_type),
+            StructField("cell_cos", DoubleType()),
+            StructField("cell_rank", IntegerType()),
+        ]
+    )
+    cells_arr = np.asarray(cells)
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+            S = En @ Cn.T
+            order = np.argsort(-S, axis=1, kind="stable")[:, :k]
+            rows = np.arange(len(pdf))
+            outs = []
+            for j in range(order.shape[1]):
+                out = pdf.copy()
+                out["cell"] = cells_arr[order[:, j]]
+                out["cell_cos"] = S[rows, order[:, j]]
+                out["cell_rank"] = j + 1
+                outs.append(out)
+            yield pd.concat(outs, ignore_index=True)
+
+    return df.mapInPandas(_assign, schema=out_schema)
+
+
 def label_centroid_arrays(emb: DataFrame) -> DataFrame:
     """Coarse-quantizer table: one centroid vector per label, built from
     the same component-wise aggregate as ``sim_label_centroids`` and
@@ -294,28 +349,17 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = label_centroid_arrays(emb)
     cos_udf = _cosine_pandas_udf()
 
-    # nearest cell per corpus vector: small cross join against the
-    # broadcast centroid table, argmax by cosine
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
-    assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("cell_cos", cos_udf(F.col("embedding"), F.col("centroid")))
-        .withColumn("cell_rank", F.row_number().over(w_assign))
-        .filter(F.col("cell_rank") == 1)
-        .select("vec_id", "embedding", "cell")
+    # nearest cell per corpus vector: one Arrow GEMM pass, no shuffle
+    assigned = assign_nearest_cells(emb, cent, k=1).select(
+        "vec_id", "embedding", "cell"
     )
 
     # each query probes its IVF_NPROBE nearest cells
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
-    probes = (
-        queries.crossJoin(F.broadcast(cent))
-        .withColumn("cell_cos", cos_udf(F.col("qe"), F.col("centroid")))
-        .withColumn("cell_rank", F.row_number().over(w_probe))
-        .filter(F.col("cell_rank") <= IVF_NPROBE)
-        .select("query_id", "qe", "cell")
+    probes = assign_nearest_cells(queries, cent, vec_col="qe", k=IVF_NPROBE).select(
+        "query_id", "qe", "cell"
     )
 
     # candidates = corpus vectors in a probed cell; exact rerank
@@ -391,23 +435,23 @@ def kmeans_refine(
     """Lloyd iterations refining a centroid table over the corpus.
 
     The iterative-algorithm pattern done Spark-right: per iteration the
-    CORPUS never moves — one broadcast-assignment pass (Arrow-batched
-    argmax) and one component-mean aggregate; only the tiny
-    (cells × dim) centroid table crosses the driver boundary between
-    iterations (it must — the next assignment broadcast depends on it;
-    this is the one collect() that is genuinely O(cells·dim), not
-    O(data)). Returns (refined centroids, per-iteration inertia) —
-    inertia is monotonically non-increasing, asserted in pytest."""
-    cos_udf = _cosine_pandas_udf()
+    CORPUS never moves — one Arrow-GEMM assignment pass
+    (``assign_nearest_cells``: no crossJoin, no window shuffle) and one
+    component-mean aggregate; only the tiny (cells × dim) centroid table
+    crosses the driver boundary between iterations (it must — the next
+    assignment depends on it; this is the one collect() that is
+    genuinely O(cells·dim), not O(data)). The assignment is
+    materialized per iteration (localCheckpoint) so the inertia
+    aggregate and the centroid update read it once instead of running
+    the pass twice — at corpus scale this becomes persist(DISK).
+    Returns (refined centroids, per-iteration inertia) — inertia is
+    monotonically non-increasing, asserted in pytest."""
     inertias: list[float] = []
     for _ in range(iterations):
-        w = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
         assigned = (
-            emb.crossJoin(F.broadcast(centroids))
-            .withColumn("cell_cos", cos_udf(F.col("embedding"), F.col("centroid")))
-            .withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
+            assign_nearest_cells(emb, centroids, k=1)
             .select("vec_id", "embedding", "cell", "cell_cos")
+            .localCheckpoint(eager=True)
         )
         stats = assigned.agg(
             F.sum(F.lit(1.0) - F.col("cell_cos")).alias("inertia")
