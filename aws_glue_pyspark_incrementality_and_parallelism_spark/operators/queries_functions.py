@@ -516,3 +516,69 @@ def q_fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("bigint").alias("sum_k"),
         )
     )
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag,
+             l_extendedprice / nullif(l_quantity - 25, 0) AS safe_ratio
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN safe_ratio IS NULL THEN 1 ELSE 0 END) AS n_div_zero,
+           ROUND(MIN(safe_ratio), 4) AS min_ratio,
+           ROUND(MAX(safe_ratio), 4) AS max_ratio
+    FROM r GROUP BY l_returnflag
+    """,
+)
+def q_fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic (``try_divide``): divide-by-zero yields NULL
+    instead of Infinity or a job-killing ANSI exception — the per-row
+    failure containment a 100 TB batch needs (one poison row must not
+    fail a 10-hour job; count the NULLs, don't die). Oracle expresses
+    the same semantics with nullif."""
+    l = load_table(spark, sf_dir, "lineitem")
+    r = l.select(
+        "l_returnflag",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25).alias("safe_ratio"),
+    )
+    return r.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("safe_ratio").isNull(), 1).otherwise(0)).alias("n_div_zero"),
+        F.round(F.min("safe_ratio"), 4).alias("min_ratio"),
+        F.round(F.max("safe_ratio"), 4).alias("max_ratio"),
+    )
+
+
+#: This exact SQL text runs unchanged on BOTH engines — it is both the
+#: Spark implementation (spark.sql over registered views) and the oracle.
+_SQL_CTE_WINDOW = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1
+    )
+    SELECT day, n_orders, total,
+           ROUND(AVG(total) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7,
+           RANK() OVER (PARTITION BY date_trunc('month', day)
+                        ORDER BY total DESC) AS rank_in_month
+    FROM daily
+"""
+
+
+@query("sql_cte_window", oracle=_SQL_CTE_WINDOW)
+def q_sql_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text surface: a CTE + two window frames (7-day moving
+    average, rank within month) submitted via ``spark.sql`` over the
+    registered temp views — the ONE SQL string is also the DuckDB
+    oracle, proving the engine speaks portable ANSI SQL, not just the
+    DataFrame DSL. The global-ORDER window runs over the DAILY
+    pre-aggregate (O(days) rows), never the fact table — the ladder
+    makes the single-partition window sort a non-issue at any scale."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_SQL_CTE_WINDOW)
