@@ -482,3 +482,61 @@ def q_sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cent, _ = kmeans_refine(emb, label_centroid_arrays(emb), iterations=3)
     return cent.select("cell", F.size("centroid").alias("dim"))
+
+
+@query(
+    "rag_retrieve_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             ROUND(list_cosine_similarity(q.embedding, c.embedding), 4) AS cosine
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 3
+    ), ranked AS (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT r.query_id, r.vec_id, r.cosine, r.rn,
+           len(string_split_regex(lower(trim(d.text)), '\\s+')) AS doc_tokens
+    FROM ranked r JOIN documents d ON d.doc_id = r.vec_id
+    WHERE r.rn <= 5
+    """,
+)
+def q_rag_retrieve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval end-to-end: top-5 neighbors per query vector, then
+    the cross-modal join back to the ``documents`` table for the
+    retrieved passages' metadata (token count here; the text payload in
+    production).
+
+    Scale shape: the ranked candidate set is O(queries × k) BEFORE the
+    document join, so the expensive text-side join touches only
+    retrieved ids (a semi-join-sized probe of a doc store that can be
+    bucketed by doc_id). Exact scoring here = the oracle path; the ANN
+    variants (IVF / LSH) swap into the scoring stage unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cos_udf = _cosine_pandas_udf()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    ranked = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cos_udf(F.col("qe"), F.col("embedding")), 4).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+    doc_tokens = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    return ranked.join(docs, ranked.vec_id == docs.doc_id).select(
+        "query_id",
+        "vec_id",
+        "cosine",
+        "rn",
+        doc_tokens.alias("doc_tokens"),
+    )
