@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     LongType,
     StructField,
@@ -161,4 +162,77 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.mime").alias("mime"),
         F.col("meta.n_bytes").alias("n_bytes"),
         F.col("meta.origin").alias("origin"),
+    )
+
+
+#: Stub "resolution": resized payloads are exactly this many bytes.
+RESIZE_TARGET = 4096
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("orig_bytes", LongType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
+def resize_payload(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """Resize plumbing: every payload leaves at exactly ``target`` bytes
+    (crop, or zero-pad short ones) — the stub stand-in for a real
+    image/audio resample, with the Spark-side shape (mapInPandas over
+    binary, fixed-size output) identical to what a PIL/ffmpeg branch
+    would need. Fixed-size outputs are what make downstream training
+    batches packable without ragged buffers."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": payloads.map(len).astype("int64"),
+                    "resized": payloads.map(
+                        lambda b: bytes(b[:target]) + b"\x00" * max(0, target - len(b))
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           strlen(text) AS orig_bytes,
+           {RESIZE_TARGET} AS resized_bytes,
+           ROUND(list_sum(list_transform(split(substr(text, 1, {RESIZE_TARGET}), ''),
+                                         c -> unicode(c))) * 1.0 / {RESIZE_TARGET}, 4)
+             AS resized_mean_byte
+    FROM documents
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: resize/resample plumbing — crop-or-pad every payload to
+    RESIZE_TARGET bytes in one Arrow pass, verified by the mean byte of
+    the resized buffer (zero padding dilutes the mean exactly as the
+    oracle's /TARGET division does; ASCII corpus ⇒ bytes == code
+    points)."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_payload(as_media_frame(docs))
+    mean_byte = F.round(
+        F.aggregate(
+            F.transform(F.split(F.decode("resized", "utf-8"), ""), lambda c: F.ascii(c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / RESIZE_TARGET,
+        4,
+    )
+    return resized.select(
+        "doc_id",
+        "orig_bytes",
+        F.octet_length("resized").alias("resized_bytes"),
+        mean_byte.alias("resized_mean_byte"),
     )
