@@ -249,3 +249,43 @@ def q_window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "window_forward_fill",
+    oracle="""
+    WITH masked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT user_id, event_id,
+           ROUND(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled
+    FROM masked
+    """,
+)
+def q_window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF): carry each user's last observed value across
+    gap rows — the sensor/time-series repair primitive. ``last_value``
+    with ``ignoreNulls`` over a running frame; one shuffle on user_id
+    with an in-partition sort, same cost envelope as any per-key window
+    at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    masked = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "view", None).otherwise(F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return masked.select(
+        "user_id",
+        "event_id",
+        F.round(F.last("v", ignorenulls=True).over(w), 4).alias("filled"),
+    )
