@@ -385,3 +385,28 @@ def q_agg_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_customers"),
         F.count("*").alias("n_months"),
     )
+
+
+@query(
+    "agg_grouped_median",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(l_quantity, 0.25), 4) AS q1_qty,
+           ROUND(quantile_cont(l_quantity, 0.75), 4) AS q3_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (linear-interpolated continuous
+    percentile — both engines implement the same textbook definition).
+    Exact percentile needs the group's values together (a sort within
+    the aggregation); the sketch-based twin for 100 TB is
+    ``agg_approx_percentile``/``agg_quantile_bucketize``."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q1_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("q3_qty"),
+    )
