@@ -98,3 +98,26 @@ def sales_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name", F.to_date("l_shipdate").alias("ship_date"))
         .agg(F.round(F.sum("l_extendedprice"), 2).alias("total"))
     )
+
+
+def merge_report_increment(
+    existing: DataFrame, increment: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Incremental aggregate maintenance: fold a new batch's PARTIAL
+    report into the standing report by re-aggregating the union on the
+    group keys — sum-of-sums, count-of-counts. This is the reference's
+    bookmark idea (glue_rds_to_redshift.py:31 — never reprocess old
+    rows) applied to the AGGREGATE layer: each run aggregates only its
+    incremental slice, and history is touched only as pre-aggregated
+    group rows (O(groups), not O(facts)).
+
+    Works because sum/count are associative-commutative; avg/median
+    reports must store (sum, count) parts instead of the ratio. The
+    shuffle is keyed on the report's group keys over two report-sized
+    inputs — at 100 TB the fact table is never re-read."""
+    summable = [c for c in existing.columns if c not in keys]
+    return (
+        existing.unionByName(increment)
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in summable])
+    )

@@ -101,3 +101,27 @@ def test_per_source_state_isolated(tmp_path):
     assert store.get("a") == 5 and store.get("b") == 7
     store.reset("a")
     assert store.get("a") is None and store.get("b") == 7
+
+
+def test_incremental_aggregate_maintenance(spark):
+    """Report(old facts) ⊕ Report(new facts) == Report(all facts): the
+    standing report is maintained from increment-only aggregation,
+    never re-reading history."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.reports import (
+        merge_report_increment,
+    )
+
+    lineitem = load_table(spark, SF_SMALL, "lineitem")
+    cut = lineitem.agg(F.expr("percentile(l_orderkey, 0.5)")).collect()[0][0]
+
+    def report(df):
+        return df.groupBy("l_suppkey").agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("total"),
+            F.count("*").alias("n_lines"),
+        )
+
+    old = report(lineitem.filter(F.col("l_orderkey") <= cut))
+    inc = report(lineitem.filter(F.col("l_orderkey") > cut))
+    merged = merge_report_increment(old, inc, ["l_suppkey"])
+    full = report(lineitem)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
