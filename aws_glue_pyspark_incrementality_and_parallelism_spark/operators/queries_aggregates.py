@@ -410,3 +410,27 @@ def q_agg_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q1_qty"),
         F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("q3_qty"),
     )
+
+
+@query(
+    "agg_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(FLOOR(value / 50.0) AS BIGINT) AS bin,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per event type (bin = floor(value/50)) —
+    the distribution summary that needs no sort and no sketch: one
+    hash-aggregate keyed on (type, bin), map-side combinable, O(bins)
+    output regardless of input size."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type", F.floor(F.col("value") / 50.0).cast("bigint").alias("bin")
+        )
+        .agg(F.count("*").alias("n"))
+    )

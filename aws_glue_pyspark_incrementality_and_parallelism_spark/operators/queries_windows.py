@@ -289,3 +289,37 @@ def q_window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.last("v", ignorenulls=True).over(w), 4).alias("filled"),
     )
+
+
+@query(
+    "window_year_over_year",
+    oracle="""
+    WITH yearly AS (
+      SELECT year(o_orderdate) AS yr,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT yr, revenue,
+           ROUND(revenue - lag(revenue) OVER (ORDER BY yr), 2) AS yoy_delta,
+           ROUND(100.0 * (revenue - lag(revenue) OVER (ORDER BY yr))
+                 / lag(revenue) OVER (ORDER BY yr), 4) AS yoy_pct
+    FROM yearly
+    """,
+)
+def q_window_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth: lag over the YEARLY pre-aggregate (the
+    rollup-ladder pattern again — the window sees O(years) rows, so the
+    unpartitioned ORDER BY is free; the fact table is touched once by
+    the groupBy)."""
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue")
+    )
+    w = Window.orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "yr",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("yoy_delta"),
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("yoy_pct"),
+    )
