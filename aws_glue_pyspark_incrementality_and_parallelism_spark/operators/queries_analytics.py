@@ -1,0 +1,258 @@
+"""Analytics breadth: deterministic mode, discrete percentiles, fuzzy
+edit-distance dedup pairs, cohort retention, tumbling time buckets,
+cryptographic digests, n-gram language-model counts.
+
+Fills SURVEY §2.4/§2.7/§2.8 surfaces the registry didn't cover yet.
+Everything is JVM-side column expressions; the only shuffles are the
+grouping/window exchanges each operator inherently needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import query
+from ..sources.io import load_table
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counted AS (
+      SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY c_mktsegment ORDER BY n DESC, o_orderpriority ASC) AS rn
+      FROM counted
+    )
+    SELECT c_mktsegment, o_orderpriority AS modal_priority, n AS n_orders
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: most frequent order priority per market
+    segment, ties broken by priority string. Built-in ``F.mode`` is
+    non-deterministic on ties, so the engine computes count→argmax via a
+    window — two shuffles, both on low-cardinality keys, both safe at
+    100 TB (the windowed relation is one row per (segment, priority))."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    counted = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("n").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p25,
+           ROUND(PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p50,
+           ROUND(PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p75
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (PERCENTILE_DISC): the smallest value
+    whose cumulative rank reaches p — i.e. the value at sorted row
+    ceil(p·n). Spark has no exact disc builtin, so the engine sorts
+    within each group once (single window shuffle) and selects the
+    boundary rows with conditional aggregation. Ties can't bleed across
+    the boundary: ordering is by value, so the selected *value* is
+    deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = o.select("o_orderpriority", "o_totalprice").select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+
+    def pick(p: float):
+        target = F.ceil(F.lit(p) * F.col("n"))
+        return F.round(
+            F.max(F.when(F.col("rn") == target, F.col("o_totalprice"))), 2
+        )
+
+    return ranked.groupBy("o_orderpriority").agg(
+        pick(0.25).alias("p25"), pick(0.50).alias("p50"), pick(0.75).alias("p75")
+    )
+
+
+@query(
+    "dedup_fuzzy_pairs_blocked",
+    oracle="""
+    SELECT a.c_nationkey AS nationkey,
+           a.c_custkey AS left_key, b.c_custkey AS right_key,
+           levenshtein(a.c_name, b.c_name) AS edit_distance
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q_dedup_fuzzy_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup candidates by edit distance with key blocking: the
+    quadratic levenshtein comparison only runs *within* a blocking key
+    (nation), never across the whole table — the standard entity-
+    resolution scale pattern (cf. MinHash banding for text). The
+    blocked self-join shuffles both sides on the block key once."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    a = c.alias("a")
+    b = c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(dist <= 1)
+        .select(
+            F.col("a.c_nationkey").alias("nationkey"),
+            F.col("a.c_custkey").alias("left_key"),
+            F.col("b.c_custkey").alias("right_key"),
+            dist.alias("edit_distance"),
+        )
+    )
+
+
+@query(
+    "events_retention_cohort",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY 1
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('week', f.cohort_week,
+                          CAST(date_trunc('week', e.ts) AS DATE)) AS BIGINT)
+             AS week_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week,
+    counted distinct in each subsequent week. Two aggregations; the
+    firsts side is one row per user so the re-join shuffles on user_id
+    and the final distinct-count groups on (cohort, offset) — no step
+    holds more than O(users) state."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    return (
+        e.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(F.to_date(F.date_trunc("week", F.col("ts"))), F.col("cohort_week"))
+                    / 7
+                )
+            ).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "events_time_bucket_15min",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_time_bucket_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 15-minute buckets via Spark's native ``window()``
+    grouping expression (the same operator Structured Streaming uses, so
+    this plan is streaming-portable verbatim). Epoch-aligned in UTC,
+    matching DuckDB's time_bucket origin for sub-hour widths."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@query(
+    "fn_hash_digests",
+    oracle="""
+    SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256,
+           md5(c_name || '|' || c_mktsegment) AS composite_md5
+    FROM customer
+    """,
+)
+def q_fn_hash_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digests (md5 / sha256) as row-level codegen
+    expressions — content-addressing and record-fingerprint joins at
+    100 TB ride on these instead of comparing raw payloads."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+        F.md5(F.concat_ws("|", "c_name", "c_mktsegment")).alias("composite_md5"),
+    )
+
+
+@query(
+    "text_bigrams_top",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 2
+    ), pairs AS (
+      SELECT lang, list_extract(t, i) || ' ' || list_extract(t, i + 1) AS bigram
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ), counted AS (
+      SELECT lang, bigram, COUNT(*) AS n FROM pairs GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram ASC) AS rn
+      FROM counted
+    )
+    SELECT lang, bigram, n FROM ranked WHERE rn <= 3
+    """,
+)
+def q_text_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model n-gram counts: top-3 bigrams per language.
+    Bigrams are built array-side (sequence + element_at inside codegen,
+    zero Python), exploded, then hash-aggregated with map-side combine;
+    the final top-k window sees one row per (lang, bigram)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bigrams = F.expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+    )
+    counted = (
+        docs.select("lang", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return counted.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")

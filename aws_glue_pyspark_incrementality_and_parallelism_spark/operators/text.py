@@ -451,11 +451,17 @@ def q_text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition — O(32), not O(docs)) cross the driver to become
     broadcast prefix offsets. Correct for any range boundaries, and every
     heavy step stays partition-parallel. The oracle is the naive global
-    window, proving the two-pass plan computes the same stream."""
+    window, proving the two-pass plan computes the same stream.
+
+    The sized projection is localCheckpoint'ed: both passes (totals
+    collect + final join) read the materialized O(docs)×16-byte
+    relation instead of re-tokenizing the full corpus twice."""
     docs = load_table(spark, sf_dir, "documents")
-    sized = docs.select(
-        "doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens")
-    ).repartitionByRange(PACK_PARTITIONS, "doc_id")
+    sized = (
+        docs.select("doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens"))
+        .repartitionByRange(PACK_PARTITIONS, "doc_id")
+        .localCheckpoint()
+    )
     parts = sized.withColumn("pid", F.spark_partition_id())
     w = Window.partitionBy("pid").orderBy("doc_id")
     local = parts.withColumn("local_end", F.sum("n_tokens").over(w))

@@ -11,6 +11,7 @@ from ..operators import (  # noqa: F401
     layout,
     multimodal,
     queries_aggregates,
+    queries_analytics,
     queries_functions,
     queries_joins,
     queries_reports,
