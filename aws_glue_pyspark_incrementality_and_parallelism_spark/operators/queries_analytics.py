@@ -256,3 +256,181 @@ def q_text_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
     return counted.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+             AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price: two exact decimal sums in one
+    partial-aggregated pass, divided after the shuffle — never an
+    avg-of-avgs."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)"))
+            .cast("double")
+            / F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"),
+            4,
+        ).alias("wavg_price")
+    )
+
+
+@query(
+    "agg_skewness_kurtosis",
+    oracle="""
+    WITH sums AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                           AS DECIMAL(28,6))) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / POW(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness_pop,
+           ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / POW(s2 / n - (s1 / n) * (s1 / n), 2) - 3, 6) AS excess_kurtosis_pop,
+           ROUND(SQRT(s2 / n - (s1 / n) * (s1 / n)) / (s1 / n), 6) AS coef_variation
+    FROM sums
+    """,
+)
+def q_agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher central moments (population skewness, excess kurtosis,
+    coefficient of variation) from exact decimal power sums S1..S4 — one
+    map-side-combined pass, with the floating-point moment algebra done
+    identically after aggregation so both engines produce bit-equal
+    doubles. The mergeable-power-sum layout is how moments survive
+    rollup ladders at 100 TB (sums add; moments don't)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    sums = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q.cast("decimal(28,6)")).cast("double").alias("s1"),
+        F.sum((q * q).cast("decimal(28,6)")).cast("double").alias("s2"),
+        F.sum((q * q * q).cast("decimal(28,6)")).cast("double").alias("s3"),
+        F.sum((q * q * q * q).cast("decimal(28,6)")).cast("double").alias("s4"),
+    )
+    m1 = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n")
+    m3 = F.col("s3") / F.col("n")
+    m4 = F.col("s4") / F.col("n")
+    var = m2 - m1 * m1
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5), 6).alias(
+            "skewness_pop"
+        ),
+        F.round(
+            (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1) / F.pow(var, 2)
+            - 3,
+            6,
+        ).alias("excess_kurtosis_pop"),
+        F.round(F.sqrt(var) / m1, 6).alias("coef_variation"),
+    )
+
+
+@query(
+    "window_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+    ), grouped AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)
+               AS island
+      FROM days
+    ), streaks AS (
+      SELECT user_id, island, COUNT(*) AS streak_len FROM grouped GROUP BY 1, 2
+    )
+    SELECT user_id, MAX(streak_len) AS longest_streak, SUM(streak_len) AS n_active_days
+    FROM streaks GROUP BY user_id
+    """,
+)
+def q_window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-daily-activity streak per
+    user. Distinct days → row_number island labeling (day minus rank is
+    constant within a run) → two cheap re-aggregations. Everything
+    partitions on user_id; no global sort anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grouped = days.withColumn(
+        "island", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = grouped.groupBy("user_id", "island").agg(F.count("*").alias("streak_len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.sum("streak_len").alias("n_active_days"),
+    )
+
+
+@query(
+    "fn_interval_ship_latency",
+    oracle="""
+    SELECT CAST(FLOOR(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE)) / 10.0) AS BIGINT)
+             AS latency_decade,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1
+    """,
+)
+def q_fn_interval_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic + date difference: order→ship latency bucketed
+    into 10-day decades, restricted to shipments within orderdate + 90
+    days. The interval predicate stays a codegen expression on the join
+    output."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    latency = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") <= F.expr("o_orderdate + INTERVAL 90 DAY"))
+        .groupBy(F.floor(latency / 10.0).cast("bigint").alias("latency_decade"))
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "window_running_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(DISTINCT event_type)
+             OVER (PARTITION BY user_id ORDER BY ts) AS distinct_types_so_far
+    FROM events
+    """,
+)
+def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct count per user (how many event types has this
+    user touched so far). Spark can't put DISTINCT inside a window
+    aggregate, so the engine keeps a running set (collect_set over the
+    growing frame) and takes its size — state is bounded by the
+    event-type cardinality, not the row count. ts is unique per user in
+    this data, so ROWS and RANGE framing agree."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias("distinct_types_so_far"),
+    )
