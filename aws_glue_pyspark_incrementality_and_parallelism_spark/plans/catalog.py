@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from ..operators import (  # noqa: F401
     dedup,
+    graph,
     layout,
     multimodal,
     queries_aggregates,
