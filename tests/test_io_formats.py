@@ -95,3 +95,47 @@ def test_orc_roundtrip(spark, tmp_path):
     back = spark.read.schema(supplier.schema).orc(path)
     assert back.schema == supplier.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, supplier.collect()))
+
+
+class TestPythonDataSource:
+    """Custom Python Data Source API source (sources/pysource.py)."""
+
+    def _df(self, spark, **opts):
+        from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.pysource import (
+            register_python_sources,
+        )
+
+        register_python_sources(spark)
+        reader = spark.read.format("synthetic_events")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+    def test_schema_and_count(self, spark):
+        df = self._df(spark, partitions=4, rows_per_partition=250)
+        assert df.count() == 1000
+        assert [f.name for f in df.schema.fields] == [
+            "event_id", "user_id", "event_type", "value",
+        ]
+
+    def test_parallel_split_plan(self, spark):
+        from pyspark.sql import functions as F
+
+        df = self._df(spark, partitions=5, rows_per_partition=10)
+        pids = df.select(F.spark_partition_id().alias("p")).distinct().count()
+        assert pids == 5, "reader must parallelize across declared partitions"
+
+    def test_deterministic_under_retry(self, spark):
+        a = sorted(map(tuple, self._df(spark, partitions=3, seed=7).collect()))
+        b = sorted(map(tuple, self._df(spark, partitions=3, seed=7).collect()))
+        assert a == b
+        c = sorted(map(tuple, self._df(spark, partitions=3, seed=8).collect()))
+        assert a != c
+
+    def test_composes_with_sql(self, spark):
+        from pyspark.sql import functions as F
+
+        df = self._df(spark, partitions=2, rows_per_partition=500, n_users=10)
+        agg = df.groupBy("event_type").agg(F.count("*").alias("n"))
+        assert agg.count() == 4
+        assert df.filter(F.col("user_id") < 5).count() > 0

@@ -177,3 +177,41 @@ def test_stream_stream_interval_join(spark, tmp_path):
     ).select("purchase_id", "click_id")
     assert got.count() == expected.count() > 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_merge_sink_exactly_once(spark, tmp_path):
+    """foreachBatch + keyed upsert: the standing report equals the batch
+    rollup after incremental runs, AND a from-scratch replay into the
+    same report directory converges to the identical state (keyed merge
+    is idempotent where the append sink would duplicate)."""
+    tmp = str(tmp_path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src, later = _split_events(spark, tmp)
+    ckpt = os.path.join(tmp, "ckpt")
+    report = os.path.join(tmp, "report")
+
+    si.run_incremental_merge_stream(spark, src, ckpt, report, watermark="100 hours")
+    later.write.mode("append").parquet(src)
+    si.run_incremental_merge_stream(spark, src, ckpt, report, watermark="100 hours")
+
+    expected = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    got = spark.read.parquet(report).select("window_start", "event_type", "n_events")
+    assert got.count() == expected.count() > 0
+    assert got.exceptAll(expected).count() == 0
+
+    # Crash-replay simulation: lose the checkpoint, reprocess everything
+    # into the SAME report. Keyed merge rewrites keys in place — state
+    # converges instead of double-counting.
+    import shutil
+
+    shutil.rmtree(ckpt)
+    si.run_incremental_merge_stream(spark, src, os.path.join(tmp, "ckpt2"), report,
+                                    watermark="100 hours")
+    got2 = spark.read.parquet(report).select("window_start", "event_type", "n_events")
+    assert got2.count() == expected.count()
+    assert got2.exceptAll(expected).count() == 0
