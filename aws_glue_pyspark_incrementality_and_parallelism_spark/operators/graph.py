@@ -24,6 +24,13 @@ from ..sources.io import load_table
 DAMPING = 0.85
 PAGERANK_ITERS = 8
 
+#: Below this node count the rank vector is broadcast into the
+#: contribution join (no shuffle of the edge relation per pass). Above
+#: it — a web-scale vertex set — the join falls back to shuffle
+#: hash/sort-merge, which is the only strategy that works when the rank
+#: vector itself no longer fits in one executor.
+BROADCAST_RANKS_MAX_NODES = 5_000_000
+
 
 def pagerank(edges: DataFrame, n_iters: int = PAGERANK_ITERS, damping: float = DAMPING) -> DataFrame:
     """PageRank over a directed edge list ``(src, dst)``.
@@ -31,17 +38,17 @@ def pagerank(edges: DataFrame, n_iters: int = PAGERANK_ITERS, damping: float = D
     Returns ``(node, rank)`` with ranks summing to the node count
     (the random-surfer convention scaled by n). Nodes with no
     out-edges (dangling) redistribute their mass uniformly each
-    iteration — the scalar dangling sum is the only per-iteration
-    driver round-trip besides the loop counter.
-    """
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n_nodes = nodes.count()
+    iteration.
 
+    Iteration shape: ONE Spark action per pass (the eager checkpoint of
+    the new rank vector). The dangling mass is a 1-row aggregate
+    broadcast-crossed into the update — never a driver ``collect()`` —
+    so passes don't serialize on Python round-trips; the dangling set
+    membership is a static per-node flag computed once, not a per-pass
+    anti join. When the vertex set is small enough the rank vector is
+    broadcast into the contribution join, leaving the (much larger)
+    edge relation entirely unshuffled per pass.
+    """
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     # Loop invariant: every edge annotated with its source's fan-out.
     fanout = (
@@ -49,34 +56,51 @@ def pagerank(edges: DataFrame, n_iters: int = PAGERANK_ITERS, damping: float = D
         .select("src", "dst", "out_deg")
         .localCheckpoint(eager=True)
     )
+    # Loop invariant: vertex set with its static dangling flag.
+    deg_keys = out_deg.select(F.col("src").alias("deg_src"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(deg_keys, F.col("node") == F.col("deg_src"), "left")
+        .select("node", F.col("deg_src").isNull().alias("is_dangling"))
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    broadcast_ranks = n_nodes <= BROADCAST_RANKS_MAX_NODES
 
-    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    ranks = (
+        nodes.select("node", "is_dangling", F.lit(1.0).alias("rank"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(n_iters):
+        rank_vec = F.broadcast(ranks) if broadcast_ranks else ranks
         contribs = (
-            fanout.join(ranks, fanout.src == ranks.node)
+            fanout.join(rank_vec, fanout.src == ranks.node)
             .select("dst", (F.col("rank") / F.col("out_deg")).alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("incoming"))
         )
-        # Mass sitting on dangling nodes (no out-edges) this round.
-        dangling = (
-            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+        # Mass sitting on dangling nodes this round: a 1-row relation,
+        # folded in via broadcast instead of collected to the driver.
+        dangling = ranks.filter("is_dangling").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass")
         )
-        base = (1.0 - damping) + damping * dangling / n_nodes
         ranks = (
             nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("incoming"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+                "is_dangling",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.col("dangling_mass") / F.lit(float(n_nodes))
+                    + F.lit(damping) * F.coalesce(F.col("incoming"), F.lit(0.0))
+                ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+    return ranks.select("node", "rank")
 
 
 @query("graph_pagerank_parts", oracle=None)

@@ -173,6 +173,7 @@ RESIZE_SCHEMA = StructType(
         StructField("doc_id", LongType()),
         StructField("orig_bytes", LongType()),
         StructField("resized", BinaryType()),
+        StructField("resized_mean_byte", DoubleType()),
     ]
 )
 
@@ -183,17 +184,28 @@ def resize_payload(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
     image/audio resample, with the Spark-side shape (mapInPandas over
     binary, fixed-size output) identical to what a PIL/ffmpeg branch
     would need. Fixed-size outputs are what make downstream training
-    batches packable without ragged buffers."""
+    batches packable without ragged buffers.
+
+    The per-item QA stat (mean byte of the resized buffer) is computed
+    in the SAME Arrow pass via numpy while the bytes are already in
+    Python memory — not as a second JVM↔Python crossing or a per-row
+    JVM array fold downstream."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             payloads = pdf["payload"]
+            resized = payloads.map(
+                lambda b: bytes(b[:target]) + b"\x00" * max(0, target - len(b))
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "orig_bytes": payloads.map(len).astype("int64"),
-                    "resized": payloads.map(
-                        lambda b: bytes(b[:target]) + b"\x00" * max(0, target - len(b))
+                    "resized": resized,
+                    "resized_mean_byte": resized.map(
+                        lambda b: float(np.frombuffer(b, np.uint8).sum()) / target
                     ),
                 }
             )
@@ -221,18 +233,9 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     points)."""
     docs = load_table(spark, sf_dir, "documents")
     resized = resize_payload(as_media_frame(docs))
-    mean_byte = F.round(
-        F.aggregate(
-            F.transform(F.split(F.decode("resized", "utf-8"), ""), lambda c: F.ascii(c)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        / RESIZE_TARGET,
-        4,
-    )
     return resized.select(
         "doc_id",
         "orig_bytes",
         F.octet_length("resized").alias("resized_bytes"),
-        mean_byte.alias("resized_mean_byte"),
+        F.round("resized_mean_byte", 4).alias("resized_mean_byte"),
     )

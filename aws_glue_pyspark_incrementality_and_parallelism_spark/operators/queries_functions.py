@@ -582,3 +582,61 @@ def q_sql_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the single-partition window sort a non-issue at any scale."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_SQL_CTE_WINDOW)
+
+
+#: Shared SQL text (implementation AND oracle): iterative halving walk
+#: from every supplier key down to 0 — a WITH RECURSIVE transitive
+#: closure (Spark 4 recursive CTEs). Portable int division via
+#: CAST(FLOOR(x/2)); terminates in O(log max_key) passes, each pass a
+#: set-based self-step over O(rows) — never a per-row driver loop.
+_SQL_RECURSIVE_WALK = """
+    WITH RECURSIVE walk AS (
+      SELECT s_suppkey AS start_key, s_suppkey AS node, 0 AS depth FROM supplier
+      UNION ALL
+      SELECT start_key, CAST(FLOOR(node / 2) AS BIGINT) AS node, depth + 1 AS depth
+      FROM walk WHERE node > 0
+    )
+    SELECT depth, COUNT(*) AS n_paths, CAST(SUM(node) AS BIGINT) AS sum_nodes
+    FROM walk GROUP BY depth
+"""
+
+
+@query("sql_recursive_cte_walk", oracle=_SQL_RECURSIVE_WALK)
+def q_sql_recursive_cte_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE surface (SQL:1999 WITH RECURSIVE, native in
+    Spark 4): every supplier key walks its halving chain to the root,
+    aggregated per depth. The reference has no recursion anywhere; this
+    proves the engine's iterative-fixpoint SQL path with the identical
+    text running on DuckDB as the oracle. At scale the recursion depth
+    is log2(max key) and each level is a full set-at-a-time step, so the
+    plan is O(log n) joins — the same structure the dedup connected-
+    components oracle uses, now first-class in the query surface."""
+    register_views(spark, sf_dir, ("supplier",))
+    return spark.sql(_SQL_RECURSIVE_WALK)
+
+
+#: Shared SQL text (implementation AND oracle): correlated LATERAL
+#: top-k — for each nation, its 2 richest customers via an ORDER BY +
+#: LIMIT subquery referencing the outer row.
+_SQL_LATERAL_TOPK = """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) t
+"""
+
+
+@query("join_lateral_topk", oracle=_SQL_LATERAL_TOPK)
+def q_join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (top-2 customers per nation via an
+    outer-referencing ORDER BY/LIMIT subquery) — the SQL-standard
+    spelling of per-group top-k, complementing the window-function
+    spelling in ``window_rank_topn_per_group``. Catalyst decorrelates
+    the lateral subquery into a ranked join rather than re-executing it
+    per outer row, so the same text that reads as a nested loop executes
+    as a single shuffle at any nation count. Deterministic tie-break on
+    (acctbal DESC, name)."""
+    register_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(_SQL_LATERAL_TOPK)
