@@ -45,24 +45,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     here; scans must stay lazy so filters written later still reach the
     parquet reader.
 
-    ``events.ts`` is nanosecond-precision in parquet, which Spark has no
-    timestamp type for (PARQUET_TYPE_ILLEGAL by default). We read nanos
-    as long and truncate to microseconds — the same floor-truncation
-    DuckDB applies — so both engines see identical values.
+    ``events.ts`` arrives as either nanosecond-precision parquet (which
+    Spark has no timestamp type for — PARQUET_TYPE_ILLEGAL by default) or
+    plain micros, depending on the generator. Handle both: nanos are read
+    as long and floor-truncated to micros (the same truncation DuckDB
+    applies); micros pass through. Either way the column is normalized to
+    a session-TZ timestamp with the session pinned to UTC, so
+    date_trunc/window agree with DuckDB's naive reading.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # timestamp_micros yields a session-TZ (LTZ) timestamp; pin the
-        # session to UTC so date_trunc/window agree with DuckDB's naive
-        # reading even when the caller's session default isn't UTC.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        from pyspark.sql import functions as F
-
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return normalize_events_ts(df)
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a UTC-session ``TIMESTAMP`` regardless of
+    how the parquet encoded it (int64 nanos, TIMESTAMP_NTZ micros, or
+    already-LTZ). Keeping one output type means every downstream query and
+    oracle sees identical values across generator versions."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # int64 nanos → floor-truncate to micros (DuckDB does the same).
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(ts_type, T.TimestampNTZType):
+        # NTZ micros: reinterpret the naive value as UTC wall-clock (the
+        # session TZ is pinned to UTC, so this is value-preserving).
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:

@@ -29,8 +29,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: Physical schema of events parquet (ts is INT64 nanos — see
-#: sources.io.load_table for the same handling on the batch path).
+#: Physical schema of events parquet when ``ts`` is INT64 nanos (older
+#: generator) — see sources.io.load_table for the batch-path handling.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -48,15 +48,22 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
 
     ``maxFilesPerTrigger`` bounds micro-batch size so a backlog of files
     never produces one giant batch (the streaming twin of
-    ``files.maxPartitionBytes``).
+    ``files.maxPartitionBytes``). Streaming sources need an explicit
+    schema; we take it from the existing files' footer (metadata-only
+    batch read) so the int64-nanos and timestamp-micros generator
+    variants both work, then normalize ``ts`` exactly as the batch path.
     """
+    from ..sources.io import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(source_dir).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 8)
         .parquet(source_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_events_ts(raw)
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

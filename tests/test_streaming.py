@@ -8,20 +8,28 @@ import os
 
 from pyspark.sql import functions as F
 
-from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import load_table
+from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import (
+    load_table,
+    normalize_events_ts,
+)
 from aws_glue_pyspark_incrementality_and_parallelism_spark.streaming import incremental as si
 
 from .conftest import SF_SMALL
 
 
 def _split_events(spark, tmp):
-    """Events as two append batches split on event time."""
-    events_raw = spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
-    # keep raw long ts (streaming source reads the raw schema)
-    cut = events_raw.agg(F.expr("percentile(ts, 0.5)")).collect()[0][0]
+    """Events as two append batches split on event time. Normalize ``ts``
+    first so the split works for both generator variants (int64 nanos and
+    timestamp micros); the stream source derives its schema from the
+    written files."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = normalize_events_ts(
+        spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+    )
+    cut = events.agg(F.expr("percentile(cast(ts as long), 0.5)")).collect()[0][0]
     src = os.path.join(tmp, "stream_src")
-    events_raw.filter(F.col("ts") <= cut).write.parquet(src)
-    later = events_raw.filter(F.col("ts") > cut)
+    events.filter(F.col("ts").cast("long") <= cut).write.parquet(src)
+    later = events.filter(F.col("ts").cast("long") > cut)
     return src, later
 
 
@@ -77,9 +85,11 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     # batch equivalent: events (slice 1) inner-joined to customers
     from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import load_table
 
-    events_b = spark.read.parquet(src).withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import (
+        normalize_events_ts,
     )
+
+    events_b = normalize_events_ts(spark.read.parquet(src))
     customers = load_table(spark, SF_SMALL, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
     )
@@ -160,7 +170,11 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination()
     got = spark.read.parquet(out).select("purchase_id", "click_id")
 
-    ev = spark.read.parquet(src).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import (
+        normalize_events_ts,
+    )
+
+    ev = normalize_events_ts(spark.read.parquet(src))
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
         F.col("ts").alias("click_ts"),
