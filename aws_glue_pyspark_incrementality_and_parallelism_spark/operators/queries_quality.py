@@ -1,0 +1,209 @@
+"""Data-quality / warehouse-housekeeping operators: distributed column
+profiling, z-score outlier detection, SCD Type 2 history construction,
+and sliding (overlapping) event-time windows.
+
+None of these exist in the reference (its only aggregate is a grouped
+sum, glue_rds_to_redshift.py:62,74); they are the operations a pipeline
+team layers on top of exactly this kind of ETL job before trusting its
+output. All are single-pass JVM-side plans — no Python in the hot path,
+no driver-side collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import query
+from ..sources.io import load_table
+
+#: Columns profiled by ``profile_table_columns`` (orders table).
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+
+
+@query(
+    "profile_table_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR),
+           CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR)
+    FROM orders
+    """,
+)
+def q_profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed column profiler: per-column row/null/distinct counts
+    and min/max, the first thing a data-quality gate computes over a new
+    drop. One wide aggregate over one scan; Catalyst rewrites the
+    multi-DISTINCT into a single Expand+partial-agg pipeline, so the
+    table is still read once (at 100 TB the Expand factor — one row copy
+    per distinct column — is the knob: profile columns in batches of
+    4-8). min/max for the timestamp column is excluded because engines
+    format timestamps differently as strings; numeric min/max are
+    rounded to dodge double-printing differences.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def col_profile(c: str, numeric: bool) -> list:
+        mn, mx = F.min(c), F.max(c)
+        if numeric:
+            mn, mx = F.round(mn, 2), F.round(mx, 2)
+        return [
+            F.count(F.lit(1)).alias(f"{c}__n_rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_nulls"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            mn.cast("string").alias(f"{c}__min"),
+            mx.cast("string").alias(f"{c}__max"),
+        ]
+
+    profiled = [("o_orderkey", False), ("o_custkey", False),
+                ("o_orderstatus", False), ("o_totalprice", True)]
+    aggs = [a for c, num in profiled for a in col_profile(c, num)]
+    wide = orders.agg(*aggs)
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"{c}__n_rows").alias("n_rows"),
+                        F.col(f"{c}__n_nulls").alias("n_nulls"),
+                        F.col(f"{c}__n_distinct").alias("n_distinct"),
+                        F.col(f"{c}__min").alias("min_value"),
+                        F.col(f"{c}__max").alias("max_value"),
+                    )
+                    for c, _ in profiled
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.*")
+
+
+@query(
+    "agg_zscore_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             AVG(value) AS mu,
+             STDDEV_SAMP(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_outliers,
+           ROUND(MIN(ABS((e.value - s.mu) / s.sigma)), 4) AS min_abs_z,
+           ROUND(MAX(ABS((e.value - s.mu) / s.sigma)), 4) AS max_abs_z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE ABS((e.value - s.mu) / s.sigma) > 3.0
+    GROUP BY e.event_type
+    """,
+)
+def q_agg_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier gate: flag events whose value is >3 sample
+    standard deviations from its event-type mean. Two-pass shape (tiny
+    per-type stats aggregate broadcast back into the scan) — the stats
+    side is O(types) rows, so the join is a broadcast at any scale and
+    the big side is read exactly twice with the filter fully codegen'd.
+    """
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .filter(z > 3.0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.round(F.min(z), 4).alias("min_abs_z"),
+            F.round(F.max(z), 4).alias("max_abs_z"),
+        )
+    )
+
+
+@query(
+    "scd2_user_value_history",
+    oracle="""
+    SELECT user_id, event_id, value AS attr_value,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build: turn a change-event log
+    into validity intervals (valid_from, valid_to, is_current) per key —
+    the standard way a warehouse keeps dimension history next to the
+    reference's as-of-now dimension tables (mysql/tbl_users.sql). One
+    window over the natural (user_id) partitioning: a single shuffle by
+    key, no self-join. Ordering is (ts, event_id) so ties are
+    deterministic.
+    """
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w)
+    return events.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )
+
+
+@query(
+    "events_sliding_window_rollup",
+    oracle="""
+    SELECT window_start, event_type, COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes'
+               AS window_start,
+             event_type, value
+      FROM events, unnest(generate_series(0, 3)) AS g(k)
+    )
+    GROUP BY window_start, event_type
+    """,
+)
+def q_events_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (overlapping) event-time windows: 2-hour windows sliding
+    every 30 minutes, so each event lands in 4 windows. Spark's native
+    ``window()`` grouping expression replicates rows JVM-side before the
+    one aggregation shuffle — the same plan Structured Streaming uses,
+    so this rollup is streaming-portable verbatim. The oracle makes the
+    replication explicit with a 4-element series join.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )

@@ -540,3 +540,39 @@ def q_rag_retrieve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         doc_tokens.alias("doc_tokens"),
     )
+
+
+@query(
+    "embed_dim_stats",
+    oracle="""
+    SELECT dim,
+           COUNT(*) AS n,
+           ROUND(AVG(e), 4) AS mean_val,
+           ROUND(STDDEV_SAMP(e), 4) AS std_val,
+           ROUND(MIN(e), 4) AS min_val,
+           ROUND(MAX(e), 4) AS max_val
+    FROM (
+      SELECT i AS dim, embedding[i] AS e
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+    )
+    GROUP BY dim
+    """,
+)
+def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column — the
+    input to feature scaling / whitening before ANN indexing, and the
+    standard drift check on a new embedding drop. posexplode keeps the
+    dimension index JVM-side; the aggregate shuffles only (dim, partial
+    state) — O(dims × partitions) rows, independent of corpus size, so
+    the plan holds at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(F.posexplode("embedding").alias("pos", "e")).select(
+        (F.col("pos") + 1).alias("dim"), F.col("e").cast("double").alias("e")
+    )
+    return exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("e"), 4).alias("mean_val"),
+        F.round(F.stddev_samp("e"), 4).alias("std_val"),
+        F.round(F.min("e"), 4).alias("min_val"),
+        F.round(F.max("e"), 4).alias("max_val"),
+    )

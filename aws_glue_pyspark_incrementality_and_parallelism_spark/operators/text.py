@@ -485,3 +485,48 @@ def q_text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.alias("start_offset"),
         F.floor(start / PACK_CAP).cast("bigint").alias("bin_id"),
     )
+
+
+#: RAG chunking: window width / stride in tokens.
+CHUNK_W, CHUNK_S = 16, 8
+
+
+@query(
+    "text_chunk_sliding",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    )
+    SELECT doc_id, i AS chunk_start,
+           len(toks[i+1 : i+{CHUNK_W}]) AS chunk_len,
+           array_to_string(toks[i+1 : i+{CHUNK_W}], ' ') AS chunk_text
+    FROM t, unnest(generate_series(0, greatest(len(toks) - {CHUNK_W}, 0), {CHUNK_S}))
+           AS g(i)
+    """,
+)
+def q_text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: overlapping token windows of width
+    CHUNK_W at stride CHUNK_S (the standard retrieval-corpus prep step
+    before embedding). Pure codegen array ops — tokenize once, explode a
+    start-offset sequence, slice — so chunking 100 TB is a map-only job
+    with zero shuffles; output partitioning follows the input. The
+    short-tail rule (a doc shorter than one window yields exactly one
+    partial chunk) is pinned by both engines computing the same
+    ``sequence(0, max(len-W, 0), S)`` start set."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("toks") - CHUNK_W, F.lit(0)),
+        F.lit(CHUNK_S),
+    )
+    chunk = F.slice("toks", F.col("chunk_start") + 1, CHUNK_W)
+    return (
+        toks.select("doc_id", "toks", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.size(chunk).alias("chunk_len"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

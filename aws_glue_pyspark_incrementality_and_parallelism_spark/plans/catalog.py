@@ -15,6 +15,7 @@ from ..operators import (  # noqa: F401
     queries_analytics,
     queries_functions,
     queries_joins,
+    queries_quality,
     queries_reports,
     queries_sessions,
     queries_setops,
