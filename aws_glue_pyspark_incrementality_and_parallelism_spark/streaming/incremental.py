@@ -217,3 +217,28 @@ def run_incremental_merge_stream(
         .start()
     )
     query.awaitTermination()
+
+
+def session_rollup_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 minute"
+) -> DataFrame:
+    """Streaming sessionization with the native ``session_window``
+    grouping: per (user, session) event count, total value, and session
+    bounds. Dynamic-gap session windows merge as events arrive; the
+    watermark finalizes a session once no event can extend it, so state
+    is O(open sessions). The same expression runs identically in batch —
+    the append-mode stream emits exactly the batch result for every
+    session already closed by the final watermark.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
