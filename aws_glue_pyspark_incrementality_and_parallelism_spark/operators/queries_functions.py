@@ -640,3 +640,60 @@ def q_join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (acctbal DESC, name)."""
     register_views(spark, sf_dir, ("nation", "customer"))
     return spark.sql(_SQL_LATERAL_TOPK)
+
+
+@query(
+    "fn_xml_extract",
+    oracle="""
+    SELECT event_id, event_type AS xml_type, ROUND(value, 4) AS xml_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    """,
+)
+def q_fn_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface: serialize each event to an XML fragment,
+    parse it back with Spark 4's native ``from_xml`` into a typed
+    struct, and emit the extracted fields. Roundtripping through a
+    string proves the parse path; the oracle reads the same values off
+    the base columns directly (DuckDB has no XML type). Both the
+    serialize and parse are codegen'd expressions — no Python."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    xml = F.format_string("<e><t>%s</t><v>%.4f</v></e>", "event_type", "value")
+    parsed = F.from_xml(xml, "t STRING, v DOUBLE")
+    return events.select(
+        "event_id",
+        parsed.getField("t").alias("xml_type"),
+        parsed.getField("v").alias("xml_value"),
+    )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+    SELECT event_id,
+           'events.example.com' AS url_host,
+           '/' || event_type || '/' || CAST(user_id AS VARCHAR) AS url_path,
+           'v=' || CAST(event_id AS VARCHAR) AS url_query,
+           CAST(event_id AS VARCHAR) AS v_param
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def q_fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL surface: build canonical event URLs, then parse host / path /
+    query / single-parameter back out with ``parse_url`` — the web-log
+    normalization primitive (crawl dedup keys on exactly this). All
+    codegen string expressions; the oracle re-derives each component
+    from the base columns since DuckDB has no URL parser."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    url = F.format_string(
+        "https://events.example.com/%s/%d?v=%d", "event_type", "user_id", "event_id"
+    )
+    return events.select(
+        "event_id",
+        F.parse_url(url, F.lit("HOST")).alias("url_host"),
+        F.parse_url(url, F.lit("PATH")).alias("url_path"),
+        F.parse_url(url, F.lit("QUERY")).alias("url_query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("v")).alias("v_param"),
+    )

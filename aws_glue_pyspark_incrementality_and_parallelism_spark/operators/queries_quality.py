@@ -207,3 +207,34 @@ def q_events_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
+
+
+@query(
+    "agg_table_checksum",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           SUM(CAST(('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+                                                  o_orderstatus)), 1, 8))
+                    AS BIGINT)) AS checksum_sum,
+           MIN(md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus))) AS min_digest,
+           MAX(md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus))) AS max_digest
+    FROM orders
+    """,
+)
+def q_agg_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint: per-row md5 over a canonical
+    column encoding, aggregated commutatively (sum of a 32-bit digest
+    prefix + min/max digest). Two tables match iff the triple matches —
+    the cheap way to anti-entropy-check a 100 TB replica pair without
+    sorting or shuffling a single data row: one scan, one O(1) result.
+    md5 (not xxhash) because the digest must be identical across engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digest = F.md5(F.concat_ws("|", "o_orderkey", "o_custkey", "o_orderstatus"))
+    h32 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h32).alias("checksum_sum"),
+        F.min(digest).alias("min_digest"),
+        F.max(digest).alias("max_digest"),
+    )

@@ -160,3 +160,29 @@ def q_udf_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.doc_id, s.sentence_idx, s.sentence "
         "FROM udtf_docs_in, LATERAL split_sentences(doc_id, text) s"
     )
+
+
+@query("udf_ewma_per_user", oracle=None)
+def q_udf_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of event values per user —
+    an inherently sequential recurrence (s_t = α·x_t + (1-α)·s_{t-1})
+    that no window frame expresses, so it's the canonical applyInPandas
+    slot: one Arrow batch per user key, ordered locally, recurrence in
+    vectorized numpy. The shuffle is the groupBy(user_id) hash exchange
+    — each key's history must colocate, the same constraint any
+    stateful per-entity model scoring has. State is O(1) per key.
+    Rows-only check (the recurrence isn't finite-depth SQL); pytest
+    verifies against pandas' own ewm on a sample of users."""
+    alpha = 0.3
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        pdf["ewma_value"] = (
+            pdf["value"].ewm(alpha=alpha, adjust=False).mean().round(6)
+        )
+        return pdf[["user_id", "event_id", "ewma_value"]]
+
+    return events.groupBy("user_id").applyInPandas(
+        ewma, "user_id long, event_id long, ewma_value double"
+    )

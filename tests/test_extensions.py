@@ -239,3 +239,36 @@ def test_hll_rollup_estimate_within_5pct(spark):
     assert set(est) == set(exact)
     for year, n in exact.items():
         assert abs(est[year] - n) / n < 0.05, (year, est[year], n)
+
+
+def test_ewma_matches_pandas_reference(spark):
+    """EWMA recurrence per user equals pandas ewm on the same ordered
+    series for a sample of users."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import REGISTRY
+    from .conftest import SF_SMALL
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    got = (
+        REGISTRY["udf_ewma_per_user"].fn(spark, SF_SMALL)
+        .filter(F.col("user_id") % 7 == 0)
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+    )
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import load_table
+
+    raw = (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("user_id") % 7 == 0)
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+    )
+    expect = []
+    for uid, g in raw.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        s = g["value"].ewm(alpha=0.3, adjust=False).mean().round(6)
+        expect.append(pd.DataFrame({"user_id": uid, "event_id": g["event_id"], "ewma_value": s}))
+    expect = pd.concat(expect).sort_values(["user_id", "event_id"])
+    merged = got.merge(expect, on=["user_id", "event_id"], suffixes=("_got", "_exp"))
+    assert len(merged) == len(got) > 0
+    assert (merged["ewma_value_got"] - merged["ewma_value_exp"]).abs().max() < 1e-9

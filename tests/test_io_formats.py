@@ -139,3 +139,37 @@ class TestPythonDataSource:
         agg = df.groupBy("event_type").agg(F.count("*").alias("n"))
         assert agg.count() == 4
         assert df.filter(F.col("user_id") < 5).count() > 0
+
+
+class TestBinaryFileSource:
+    def test_binary_dir_ingestion(self, spark, tmp_path):
+        """binaryFile source: one row per asset, bytes intact, glob
+        pruning at listing time."""
+        from aws_glue_pyspark_incrementality_and_parallelism_spark.operators import (
+            multimodal as mm,
+        )
+
+        d = tmp_path / "assets"
+        d.mkdir()
+        png = b"\x89PNG\r\n\x1a\n" + bytes(range(64))
+        wav = b"RIFF....WAVE" + bytes(64)
+        (d / "a.png").write_bytes(png)
+        (d / "b.png").write_bytes(png * 2)
+        (d / "c.wav").write_bytes(wav)
+
+        allf = mm.read_binary_dir(spark, str(d))
+        assert allf.count() == 3
+        assert {"path", "modificationTime", "length", "content"} <= set(allf.columns)
+
+        pngs = mm.read_binary_dir(spark, str(d), glob="*.png")
+        assert pngs.count() == 2
+        got = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in pngs.collect()}
+        assert got["a.png"] == png and got["b.png"] == png * 2
+
+        feats = mm.binary_dir_features(spark, str(d), glob="*.png").collect()
+        import binascii
+
+        expected_crc = binascii.crc32(png) & 0xFFFFFFFF
+        by_name = {r.path.rsplit("/", 1)[-1]: r for r in feats}
+        assert by_name["a.png"].n_bytes == len(png)
+        assert by_name["a.png"].payload_crc32 == expected_crc
