@@ -147,3 +147,29 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_chunking_is_map_only(spark):
+    """RAG chunking must stay a zero-shuffle map job: tokenize, explode
+    offsets, slice — partitioning follows the input at any corpus size."""
+    plan = _plan(spark, "text_chunk_sliding")
+    assert "Exchange" not in plan
+
+
+def test_table_checksum_single_aggregate_pass(spark):
+    """The anti-entropy checksum is one scan + one partial/final
+    aggregate: exactly one shuffle (of O(1)-size partial states), no
+    sort, no join."""
+    plan = _plan(spark, "agg_table_checksum")
+    # formatted explain repeats each node in the detail section; count
+    # tree entries only
+    assert plan.count("- Exchange") <= 1
+    # no join, no standalone sort (SortAggregate with empty keys is fine)
+    assert "Join" not in plan and "+- Sort " not in plan
+
+
+def test_zscore_stats_side_is_broadcast(spark):
+    """The per-type stats relation must broadcast back into the event
+    scan — the big side never shuffles for the join."""
+    plan = _plan(spark, "agg_zscore_outliers")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
