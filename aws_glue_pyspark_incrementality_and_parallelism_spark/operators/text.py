@@ -530,3 +530,81 @@ def q_text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+@query(
+    "text_distribution_drift",
+    oracle="""
+    WITH toks AS (
+      SELECT CASE WHEN source = 'src0' THEN 'a' ELSE 'b' END AS side,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ), counts AS (
+      SELECT tok,
+             SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS n_b
+      FROM toks GROUP BY tok
+    ), totals AS (
+      SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b FROM counts
+    )
+    SELECT CAST(tot_a AS BIGINT) AS n_tokens_a,
+           CAST(tot_b AS BIGINT) AS n_tokens_b,
+           COUNT(*) AS vocab_size,
+           ROUND(0.5 * SUM(ABS(n_a * 1.0 / tot_a - n_b * 1.0 / tot_b)), 6)
+             AS tv_distance
+    FROM counts, totals
+    GROUP BY tot_a, tot_b
+    """,
+)
+def q_text_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: total-variation distance between the token
+    distributions of two corpus slices (source 'src0' vs the rest) —
+    the statistical gate that catches a bad crawl or a source mix shift
+    before training. One explode + one (token) aggregate + one O(1)
+    reduce; the token aggregate is the only data-sized shuffle, so the
+    plan is the word-count plan and scales the same way."""
+    docs = load_table(spark, sf_dir, "documents")
+    side = F.when(F.col("source") == "src0", "a").otherwise("b")
+    toks = docs.select(side.alias("side"), F.explode(_tokens(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("side") == "b", 1).otherwise(0)).alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("tot_a").alias("n_tokens_a"),
+            F.first("tot_b").alias("n_tokens_b"),
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.round(
+                0.5
+                * F.sum(
+                    F.abs(
+                        F.col("n_a") / F.col("tot_a") - F.col("n_b") / F.col("tot_b")
+                    )
+                ),
+                6,
+            ).alias("tv_distance"),
+        )
+    )
+
+
+@query("text_freq_items_sketch", oracle=None)
+def q_text_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter sketch over corpus tokens: ``DataFrame.stat.freqItems``
+    (Karp et al. single-pass counting) with support 0.01. The guarantee
+    is one-sided — every token with true frequency > support is in the
+    result, possibly with false positives — which is exactly the cheap
+    pre-filter a pipeline wants before an exact count of candidates
+    (contrast ``text_vocabulary_topk``, the exact two-shuffle path).
+    Rows-only: the sketch's false-positive set isn't SQL-expressible;
+    the containment guarantee is asserted in pytest."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    hot = toks.stat.freqItems(["tok"], support=0.01)
+    return hot.select(
+        F.explode("tok_freqItems").alias("candidate_token")
+    ).orderBy("candidate_token")

@@ -272,3 +272,28 @@ def test_ewma_matches_pandas_reference(spark):
     merged = got.merge(expect, on=["user_id", "event_id"], suffixes=("_got", "_exp"))
     assert len(merged) == len(got) > 0
     assert (merged["ewma_value_got"] - merged["ewma_value_exp"]).abs().max() < 1e-9
+
+
+def test_freq_items_contains_all_true_heavy_hitters(spark):
+    """freqItems guarantee: every token with true frequency > support
+    appears among the candidates (false positives allowed)."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import REGISTRY
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import load_table
+    from .conftest import SF_SMALL
+    from pyspark.sql import functions as F
+
+    cands = {
+        r.candidate_token
+        for r in REGISTRY["text_freq_items_sketch"].fn(spark, SF_SMALL).collect()
+    }
+    toks = (
+        load_table(spark, SF_SMALL, "documents")
+        .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"))
+    )
+    n = toks.count()
+    true_heavy = {
+        r.tok
+        for r in toks.groupBy("tok").count().filter(F.col("count") > 0.01 * n).collect()
+    }
+    assert true_heavy, "fixture should have at least one heavy token"
+    assert true_heavy <= cands
