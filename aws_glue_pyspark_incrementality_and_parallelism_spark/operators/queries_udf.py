@@ -186,3 +186,47 @@ def q_udf_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("user_id").applyInPandas(
         ewma, "user_id long, event_id long, ewma_value double"
     )
+
+
+@query(
+    "udf_grouped_agg_gini",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey % 10 AS grp, o_totalprice AS x,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey % 10 ORDER BY o_totalprice) AS i,
+             COUNT(*) OVER (PARTITION BY o_custkey % 10) AS n,
+             SUM(o_totalprice) OVER (PARTITION BY o_custkey % 10) AS s
+      FROM orders
+    )
+    SELECT grp, ROUND(2.0 * SUM(i * x) / (n * s) - (n + 1.0) / n, 4) AS gini
+    FROM ranked GROUP BY grp, n, s
+    """,
+)
+def q_udf_grouped_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate (UDAF) via a grouped-agg Pandas UDF: the Gini
+    concentration coefficient of order value per customer cohort — an
+    aggregate Spark has no built-in for. Arrow ships each group's column
+    once; the numpy body is vectorized (sort + dot), never per-row
+    Python. The oracle is the exact rank-formula spelling of the same
+    statistic, so this UDAF is value-checked, not just rows-checked.
+    Grouped-agg UDFs hold one group's column in memory — cohorts must
+    be bounded (here ≤10 cohorts); for unbounded keys use the power-sum
+    decomposition pattern (``agg_skewness_kurtosis``) instead."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def gini(v: pd.Series) -> float:
+        x = np.sort(v.to_numpy(dtype="float64"))
+        n = x.size
+        if n == 0 or x.sum() == 0.0:
+            return 0.0
+        i = np.arange(1, n + 1, dtype="float64")
+        return float(2.0 * np.dot(i, x) / (n * x.sum()) - (n + 1.0) / n)
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("grp", F.col("o_custkey") % 10)
+        .groupBy("grp")
+        .agg(F.round(gini(F.col("o_totalprice")), 4).alias("gini"))
+    )

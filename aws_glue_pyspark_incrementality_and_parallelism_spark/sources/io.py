@@ -180,3 +180,53 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction — the housekeeping pass every incremental
+    sink eventually needs: append-mode micro-batches (streaming
+    foreachBatch, per-run bookmark slices) accumulate files far below
+    the ideal scan unit, and scan parallelism degrades into
+    per-file-overhead noise.
+
+    Strategy: size the output file count from the directory's actual
+    bytes (ceil(total/target)), rewrite with ``coalesce`` (no shuffle —
+    compaction must not pay a data-sized exchange), then swap the new
+    files in atomically enough for a single-writer layout: write to a
+    sibling staging dir, delete the old files, move the new ones in.
+    On a real lakehouse this is table-format territory (Delta OPTIMIZE /
+    Iceberg rewrite_data_files with snapshot isolation); the planning
+    logic — bytes-driven target file count, shuffle-free rewrite — is
+    identical here.
+
+    Returns {"files_before", "files_after", "bytes"}.
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    files_before = [
+        p for p in _glob.glob(_os.path.join(path, "*.parquet")) if _os.path.isfile(p)
+    ]
+    if not files_before:
+        files_before = [
+            p
+            for p in _glob.glob(_os.path.join(path, "part-*"))
+            if _os.path.isfile(p)
+        ]
+    total = sum(_os.path.getsize(p) for p in files_before)
+    n_out = max(1, -(-total // target_file_bytes))
+    staging = path.rstrip("/") + "__compact_staging"
+    spark.read.parquet(path).coalesce(int(n_out)).write.mode("overwrite").parquet(staging)
+    for p in files_before:
+        _os.remove(p)
+    moved = 0
+    for p in _glob.glob(_os.path.join(staging, "part-*")):
+        _shutil.move(p, _os.path.join(path, _os.path.basename(p)))
+        moved += 1
+    _shutil.rmtree(staging, ignore_errors=True)
+    return {"files_before": len(files_before), "files_after": moved, "bytes": total}
