@@ -608,3 +608,44 @@ def q_text_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hot.select(
         F.explode("tok_freqItems").alias("candidate_token")
     ).orderBy("candidate_token")
+
+
+@query(
+    "text_perplexity_proxy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT SUM(n) AS t FROM freq
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(-LN(n * 1.0 / t)), 4) AS avg_neg_logprob
+    FROM toks JOIN freq USING (tok), tot
+    GROUP BY doc_id
+    """,
+)
+def q_text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring with a self-trained unigram LM
+    (the CCNet-filter shape): pass 1 builds the corpus token-frequency
+    model, pass 2 scores every document by its tokens' mean negative
+    log-probability. High scores = out-of-distribution text (boilerplate,
+    noise, wrong language) — the standard pretraining quality gate. The
+    LM side is O(vocab) rows, so the score join shuffles on token with
+    map-side combine on both inputs; nothing touches the driver. With a
+    fixed external LM the freq relation is just a broadcast lookup."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(F.sum("n").alias("t"))
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("n") / F.col("t"))), 4).alias("avg_neg_logprob"),
+        )
+    )
