@@ -129,12 +129,22 @@ class _DynamicFrameReader:
             ctx_key = transformation_ctx or table_name
             from pyspark.sql import functions as F
 
+            from .sources.incremental import composite_gt
+
             hwm = self._ctx.bookmarks.get(ctx_key)
             if hwm is not None:
-                df = df.filter(F.col(keys[0]) > F.lit(hwm))
-            agg = df.select(F.max(keys[0]).alias("m"))
+                if len(keys) == 1:
+                    df = df.filter(F.col(keys[0]) > F.lit(hwm))
+                else:
+                    # composite jobBookmarkKeys: lexicographic ordering,
+                    # exactly Glue's multi-key bookmark semantic
+                    df = df.filter(composite_gt(list(keys), list(hwm)))
+            if len(keys) == 1:
+                agg = df.select(F.max(keys[0]).alias("m"))
+            else:
+                agg = df.select(F.max(F.struct(*keys)).alias("m"))
             with self._ctx._lock:
-                self._ctx._pending[ctx_key] = (keys[0], agg)
+                self._ctx._pending[ctx_key] = (keys, agg)
         return DynamicFrameShim(df, self._ctx, table_name)
 
 
@@ -193,7 +203,8 @@ class GlueCompatContext:
             return
         with self._lock:
             pending, self._pending = self._pending, {}
-        for ctx_key, (key_col, agg) in pending.items():
+        for ctx_key, (keys, agg) in pending.items():
             row = agg.collect()[0]
             if row.m is not None:
-                self.bookmarks.commit(ctx_key, row.m)
+                hwm = list(row.m) if not isinstance(keys, str) and len(keys) > 1 else row.m
+                self.bookmarks.commit(ctx_key, hwm)

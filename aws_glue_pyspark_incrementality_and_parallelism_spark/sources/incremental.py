@@ -80,19 +80,31 @@ class BookmarkStore:
 
 @dataclass
 class IncrementalBatch:
-    """One incremental slice plus the HWM to commit after the sink succeeds."""
+    """One incremental slice plus the HWM to commit after the sink succeeds.
+
+    ``key`` is a column name or a list of column names (composite
+    bookmark — Glue's ``jobBookmarkKeys`` is a list, ordered
+    lexicographically)."""
 
     df: DataFrame
     source: str
-    key: str
+    key: str | list[str]
     store: BookmarkStore
     _pending_hwm: Any = None
 
     def pending_hwm(self) -> Any:
-        """Max key in this batch (one small agg job; None for empty batch)."""
+        """Max key in this batch (one small agg job; None for empty batch).
+
+        For composite keys, ``max(struct(k1, k2, ...))`` — Spark orders
+        structs lexicographically, so one aggregate yields the composite
+        HWM without a sort."""
         if self._pending_hwm is None:
-            row = self.df.agg(F.max(self.key).alias("hwm")).collect()[0]
-            self._pending_hwm = row["hwm"]
+            if isinstance(self.key, str):
+                row = self.df.agg(F.max(self.key).alias("hwm")).collect()[0]
+                self._pending_hwm = row["hwm"]
+            else:
+                row = self.df.agg(F.max(F.struct(*self.key)).alias("hwm")).collect()[0]
+                self._pending_hwm = None if row["hwm"] is None else list(row["hwm"])
         return self._pending_hwm
 
     def commit(self) -> Any:
@@ -103,19 +115,37 @@ class IncrementalBatch:
         return hwm
 
 
+def composite_gt(keys: list[str], hwm: list[Any]):
+    """Lexicographic strictly-greater predicate over ``keys``:
+    (k1 > h1) OR (k1 = h1 AND (k2 > h2 OR ...)). Catalyst pushes the
+    OR-of-ANDs into the parquet scan, where row-group min/max stats on
+    the leading key prune files exactly like the single-key case."""
+    assert len(keys) == len(hwm) and keys
+    pred = F.col(keys[-1]) > F.lit(hwm[-1])
+    for k, h in zip(reversed(keys[:-1]), reversed(hwm[:-1])):
+        pred = (F.col(k) > F.lit(h)) | ((F.col(k) == F.lit(h)) & pred)
+    return pred
+
+
 def incremental_read(
     df: DataFrame,
-    key: str,
+    key: str | list[str],
     store: BookmarkStore,
     source: str,
 ) -> IncrementalBatch:
     """Bookmark-filtered view of ``df`` (rows with key > committed HWM).
 
     The filter is a plain Catalyst predicate, so it is pushed down into
-    the parquet scan (PushedFilters: [GreaterThan(key, hwm)]).
-    """
+    the parquet scan (PushedFilters: [GreaterThan(key, hwm)]). A list
+    ``key`` gives Glue's composite-``jobBookmarkKeys`` semantic via the
+    lexicographic predicate."""
     hwm = store.get(source)
-    sliced = df if hwm is None else df.filter(F.col(key) > F.lit(hwm))
+    if hwm is None:
+        sliced = df
+    elif isinstance(key, str):
+        sliced = df.filter(F.col(key) > F.lit(hwm))
+    else:
+        sliced = df.filter(composite_gt(list(key), list(hwm)))
     return IncrementalBatch(df=sliced, source=source, key=key, store=store)
 
 

@@ -125,3 +125,49 @@ def test_incremental_aggregate_maintenance(spark):
     merged = merge_report_increment(old, inc, ["l_suppkey"])
     full = report(lineitem)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_composite_key_bookmark_two_runs(spark, tmp_path):
+    """Composite jobBookmarkKeys semantic: lexicographic HWM over
+    (l_orderkey, l_linenumber). Two runs over a split source cover the
+    table exactly once — no duplicates, no gaps — and the second run's
+    predicate excludes everything at or below the committed pair."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.incremental import (
+        BookmarkStore,
+        incremental_read,
+    )
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import load_table
+    from .conftest import SF_SMALL
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    cut = li.approxQuantile("l_orderkey", [0.5], 0.01)[0]
+    store = BookmarkStore(str(tmp_path / "bm.json"))
+    keys = ["l_orderkey", "l_linenumber"]
+
+    # run 1 sees only the first half; commit advances the composite HWM
+    first = li.filter(F.col("l_orderkey") <= cut)
+    b1 = incremental_read(first, keys, store, "lineitem")
+    n1 = b1.df.count()
+    assert n1 == first.count()
+    hwm = b1.commit()
+    assert isinstance(hwm, list) and len(hwm) == 2
+
+    # run 2 sees the whole table but reads only rows above the pair
+    b2 = incremental_read(li, keys, store, "lineitem")
+    n2 = b2.df.count()
+    assert n1 + n2 == li.count()
+    # strictness: nothing at or below the committed pair leaks through
+    leaked = b2.df.filter(
+        (F.col("l_orderkey") < hwm[0])
+        | ((F.col("l_orderkey") == hwm[0]) & (F.col("l_linenumber") <= hwm[1]))
+    ).count()
+    assert leaked == 0
+    b2.commit()
+
+    # run 3: nothing new
+    b3 = incremental_read(li, keys, store, "lineitem")
+    assert b3.df.count() == 0
