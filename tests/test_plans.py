@@ -173,3 +173,18 @@ def test_zscore_stats_side_is_broadcast(spark):
     scan — the big side never shuffles for the join."""
     plan = _plan(spark, "agg_zscore_outliers")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_join_hints_control_physical_strategy(spark):
+    """Join-strategy hints must reach the physical plan: merge →
+    SortMergeJoin, shuffle_hash → ShuffledHashJoin — the manual override
+    when AQE's choice is wrong for a known workload."""
+    l = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_orderdate")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+
+    merged = l.join(o.hint("merge"), l.l_orderkey == o.o_orderkey)
+    assert "SortMergeJoin" in merged._jdf.queryExecution().explainString(mode)
+
+    hashed = l.join(o.hint("shuffle_hash"), l.l_orderkey == o.o_orderkey)
+    assert "ShuffledHashJoin" in hashed._jdf.queryExecution().explainString(mode)
