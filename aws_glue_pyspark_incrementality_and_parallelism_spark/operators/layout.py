@@ -102,3 +102,29 @@ def q_layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sk").alias("max_supp"),
         )
     )
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered write: global range-partition on ``sort_cols``,
+    sort within each partition, one parquet file per partition. Every
+    file then owns a disjoint key range, so parquet footer min/max
+    statistics prune whole FILES for any range/point predicate on the
+    leading sort column — the single-dimension complement to the
+    Z-order path (multi-dimension) above.
+
+    One range-exchange shuffle (sampled boundaries, skew-resistant) +
+    a spill-safe local sort; at 100 TB this is the standard "sorted
+    table" materialization, and ``num_files`` is sized from total
+    bytes / target file size (see sources.io.compact_parquet_dir)."""
+    (
+        df.repartitionByRange(num_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -61,3 +61,91 @@ def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type, next_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT event_type, next_type, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY event_type), 4) AS p
+    FROM pairs
+    """,
+)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the behavioral model
+    behind next-action prediction and funnel-dropoff analysis. One
+    shuffle by user for the lead() window, then an O(types²) aggregate;
+    the transition matrix itself is tiny at any corpus size, so the
+    normalizing window runs on O(types²) rows."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    seq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "event_type", F.lead("event_type").over(seq_w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norm_w = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(norm_w), 4).alias("p"),
+    )
+
+
+@query(
+    "agg_entropy_per_group",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id % 10 AS cohort, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id % 10, event_type
+    ), probs AS (
+      SELECT cohort, n, n * 1.0 / SUM(n) OVER (PARTITION BY cohort) AS p
+      FROM counts
+    )
+    SELECT cohort,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           ROUND(-SUM(p * LN(p)) / LN(2), 4) AS entropy_bits
+    FROM probs
+    GROUP BY cohort
+    """,
+)
+def q_agg_entropy_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type mix per user cohort — the
+    diversity/imbalance gauge for behavioral segments (low entropy =
+    single-action bots). Two O(cohorts × types) aggregates after one
+    data-sized groupBy; entropy math happens on the tiny count relation."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    counts = (
+        events.withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("cohort", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cohort")
+    p = F.col("n") / F.sum("n").over(w)
+    return (
+        counts.select("cohort", "n", (-p * F.log(p)).alias("term"))
+        .groupBy("cohort")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("term") / F.log(F.lit(2.0)), 4).alias("entropy_bits"),
+        )
+    )

@@ -63,3 +63,39 @@ def test_zorder_prunes_second_dimension(spark):
     # z-ordered layout: only buckets whose interleaved prefix admits the
     # sk slice survive — at most ~a quarter at this bucket granularity
     assert z_frac <= 0.3, (z_frac, p_frac)
+
+
+def test_range_sorted_write_produces_disjoint_file_ranges(spark, tmp_path):
+    """After write_range_sorted, parquet files own disjoint key ranges
+    (footer min/max don't overlap) — the property that lets a point or
+    range predicate skip whole files."""
+    import pyarrow.parquet as pq
+    import glob as g
+
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.layout import (
+        write_range_sorted,
+    )
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import load_table
+    from .conftest import SF_SMALL
+
+    out = str(tmp_path / "orders_sorted")
+    orders = load_table(spark, SF_SMALL, "orders")
+    write_range_sorted(orders, out, ["o_orderkey"], num_files=6)
+
+    ranges = []
+    for f in g.glob(out + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "o_orderkey"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+    # data intact
+    assert spark.read.parquet(out).count() == orders.count()
