@@ -238,3 +238,51 @@ def q_agg_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(digest).alias("min_digest"),
         F.max(digest).alias("max_digest"),
     )
+
+
+@query(
+    "agg_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS m
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, m, median(ABS(e.value - m)) AS mad
+      FROM events e JOIN med USING (event_type)
+      GROUP BY e.event_type, m
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_outliers,
+           ROUND(MAX(ABS(e.value - m) / (1.4826 * mad)), 4) AS max_robust_z
+    FROM events e JOIN mad USING (event_type)
+    WHERE ABS(e.value - m) / (1.4826 * mad) > 3.5
+    GROUP BY e.event_type
+    """,
+)
+def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate via median absolute deviation: flag events
+    with |x − median| / (1.4826·MAD) > 3.5. Unlike the z-score gate
+    (``agg_zscore_outliers``), heavy outliers can't inflate the
+    threshold that's supposed to catch them. Three passes over the
+    big side with two tiny broadcast joins between — medians come from
+    exact ``percentile`` (swap in approx_percentile at 100 TB for a
+    single-pass sketch)."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "m")
+        .agg(F.expr("percentile(abs(value - m), 0.5)").alias("mad"))
+    )
+    rz = F.abs(F.col("value") - F.col("m")) / (1.4826 * F.col("mad"))
+    return (
+        events.join(F.broadcast(mad), "event_type")
+        .filter(rz > 3.5)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.round(F.max(rz), 4).alias("max_robust_z"),
+        )
+    )
