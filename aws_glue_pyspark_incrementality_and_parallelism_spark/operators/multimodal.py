@@ -271,3 +271,43 @@ def binary_dir_features(spark: SparkSession, path: str, glob: str | None = None)
         F.substring(F.base64("content"), 1, 12).alias("header_b64"),
         F.crc32("content").alias("payload_crc32"),
     )
+
+
+@query(
+    "multimodal_arrow_stats",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           ascii(text) AS first_byte
+    FROM documents
+    """,
+)
+def q_multimodal_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow payload statistics: the zero-copy sibling of the
+    mapInPandas decode path — batches stay pyarrow RecordBatches, so
+    binary payloads are never converted into pandas objects (for
+    media-sized blobs that conversion is the dominant cost). Computes
+    byte length + first byte per payload; the oracle reads the same
+    numbers off the source text (ASCII corpus ⇒ first utf-8 byte ==
+    first codepoint)."""
+    import pyarrow as pa
+
+    media = as_media_frame(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+
+    def stats(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            payloads = batch.column("payload")
+            n_bytes = pa.array(
+                [len(v.as_py()) for v in payloads], type=pa.int64()
+            )
+            first = pa.array(
+                [v.as_py()[0] if len(v.as_py()) else None for v in payloads],
+                type=pa.int32(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), n_bytes, first],
+                names=["doc_id", "n_bytes", "first_byte"],
+            )
+
+    return media.mapInArrow(stats, "doc_id long, n_bytes long, first_byte int")

@@ -434,3 +434,27 @@ def q_agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates: bucket each key
+    into a 32k-bit bitmap (bitmap_bucket_number/bitmap_bit_position),
+    OR the bitmaps per group, sum the popcounts. Same answer as
+    COUNT(DISTINCT) but the shuffle carries fixed-size bitmaps instead
+    of every distinct value — the exact-count analog of the HLL ladder
+    (``agg_hll_rollup_merge``) when approximate isn't acceptable, and
+    the bitmaps are mergeable across days/partitions the same way."""
+    events = load_table(spark, sf_dir, "events")
+    per_bucket = events.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bucket")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
+    )
