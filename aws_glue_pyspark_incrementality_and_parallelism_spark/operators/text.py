@@ -649,3 +649,41 @@ def q_text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log(F.col("n") / F.col("t"))), 4).alias("avg_neg_logprob"),
         )
     )
+
+
+@query(
+    "fn_dataset_split",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS h
+      FROM documents
+    )
+    SELECT CASE WHEN h < 0.8 THEN 'train'
+                WHEN h < 0.9 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs
+    FROM hashed
+    GROUP BY split, lang
+    """,
+)
+def q_fn_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by hashing the
+    document id into [0,1) — reproducible across engines, runs, and
+    cluster sizes (no RNG, no global sort, no state). md5 rather than
+    xxhash so the assignment is portable; per-(split, lang) counts make
+    the stratification auditable. This is how a 100 TB corpus gets
+    split: a pure map expression any engine can re-derive."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    split = (
+        F.when(h < 0.8, "train").when(h < 0.9, "val").otherwise("test")
+    )
+    return docs.select(split.alias("split"), "lang").groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -229,3 +229,33 @@ def test_merge_sink_exactly_once(spark, tmp_path):
     got2 = spark.read.parquet(report).select("window_start", "event_type", "n_events")
     assert got2.count() == expected.count()
     assert got2.exceptAll(expected).count() == 0
+
+
+def test_stream_sink_then_compaction(spark, tmp_path):
+    """Ops composition: the append-mode streaming sink accumulates
+    per-batch files; compaction rewrites them into few right-sized files
+    without changing the row set — the nightly housekeeping pass every
+    incremental pipeline runs."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import (
+        compact_parquet_dir,
+    )
+
+    tmp = str(tmp_path)
+    src, later = _split_events(spark, tmp)
+    ckpt = os.path.join(tmp, "ckpt")
+    out = os.path.join(tmp, "out")
+
+    si.run_incremental_stream(spark, src, ckpt, out, watermark="100 hours")
+    later.write.mode("append").parquet(src)
+    si.run_incremental_stream(spark, src, ckpt, out, watermark="100 hours")
+
+    before = spark.read.parquet(out)
+    n_rows = before.count()
+    total_events = before.agg(F.sum("n_events")).collect()[0][0]
+
+    stats = compact_parquet_dir(spark, out)
+    assert stats["files_after"] < stats["files_before"]
+
+    after = spark.read.parquet(out)
+    assert after.count() == n_rows
+    assert after.agg(F.sum("n_events")).collect()[0][0] == total_events
