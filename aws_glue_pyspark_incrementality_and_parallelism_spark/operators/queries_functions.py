@@ -697,3 +697,32 @@ def q_fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("url_query"),
         F.parse_url(url, F.lit("QUERY"), F.lit("v")).alias("v_param"),
     )
+
+
+@query(
+    "sql_pipe_syntax_report",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_pipe_syntax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL pipe syntax (|>): the same logical plan as the
+    standard-SQL oracle, written as a linear dataflow — each |> stage
+    is parsed into the identical Catalyst operators (filter →
+    aggregate), so there is zero execution difference; this query pins
+    that the surface exists and resolves correctly."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     ROUND(SUM(o_totalprice), 2) AS revenue
+           GROUP BY o_orderpriority
+        """
+    ).select("o_orderpriority", "n_orders", "revenue")
