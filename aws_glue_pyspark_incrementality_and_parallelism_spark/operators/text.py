@@ -310,20 +310,16 @@ def q_text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gram_rows(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, gram) rows of word n-grams via posexplode + lead window —
-    same codegen-friendly shape as dedup.shingle_rows, without the
-    short-doc fallback (docs shorter than n yield nothing)."""
+    """(doc_id, gram) rows of word n-grams via explode(sequence) + slice
+    + array_join — all codegen, zero shuffles (same shape as
+    dedup.shingle_rows; a window-``lead`` formulation would shuffle and
+    sort every token by doc). Docs shorter than n yield nothing."""
     toks = _tokens(F.col("text"))
-    base = docs.select(
-        "doc_id", F.size(toks).alias("n_toks"), F.posexplode(toks).alias("pos", "w")
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
-    return (
-        base.filter(F.col("n_toks") >= n)
-        .select("doc_id", "pos", "n_toks", F.concat_ws(" ", *parts).alias("gram"))
-        .filter(F.col("pos") <= F.col("n_toks") - n)
-        .select("doc_id", "gram")
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
+    starts = F.sequence(F.lit(0), F.size("toks") - n)
+    return base.select("doc_id", "toks", F.explode(starts).alias("p")).select(
+        "doc_id",
+        F.array_join(F.slice("toks", F.col("p") + 1, n), " ").alias("gram"),
     )
 
 
