@@ -280,27 +280,21 @@ def winnow_fingerprints(
     any shared run of ≥ k+window-1 tokens between two docs shares a
     fingerprint, with output ~1/window of the shingle count.
 
-    Pure codegen: posexplode + lead-window shingles → xxhash64 → min
-    over a rows-frame → distinct. One shuffle (by doc) for the window
-    sort; fingerprints stay (doc_id, fp) rows — join-ready for
-    plagiarism/overlap detection at corpus scale."""
+    Pure codegen: slice-based shingles (zero-shuffle map stage, see
+    ``shingle_rows``) → xxhash64 → min over a rows-frame → distinct.
+    The ONLY shuffle is the by-doc sort the rolling-min window needs —
+    that one is inherent to winnowing (consecutive hash positions must
+    colocate in order); fingerprints stay (doc_id, fp) rows —
+    join-ready for plagiarism/overlap detection at corpus scale."""
     from pyspark.sql.window import Window as W
 
     toks = _tokens(F.col("text"))
-    base = docs.select(
-        "doc_id", F.size(toks).alias("n_toks"), F.posexplode(toks).alias("pos", "w")
-    )
-    win = W.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, k)]
-    grams = (
-        base.filter(F.col("n_toks") >= k)
-        .select(
-            "doc_id",
-            "pos",
-            "n_toks",
-            F.xxhash64(F.concat_ws(" ", *parts)).alias("h"),
-        )
-        .filter(F.col("pos") <= F.col("n_toks") - k)
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= k)
+    starts = F.sequence(F.lit(0), F.size("toks") - k)
+    grams = base.select("doc_id", "toks", F.explode(starts).alias("pos")).select(
+        "doc_id",
+        "pos",
+        F.xxhash64(F.array_join(F.slice("toks", F.col("pos") + 1, k), " ")).alias("h"),
     )
     frame = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
     return (
