@@ -458,3 +458,32 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
     )
+
+
+@query(
+    "agg_rollup_grouping_id",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority) AS g_priority,
+           GROUPING(o_orderstatus) AS g_status,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() metadata: the indicator that
+    distinguishes a real NULL group from a subtotal row — required the
+    moment rollup output feeds a report layer. Same single Expand+agg
+    plan as the plain rollup; grouping() reads the expand tag, costing
+    nothing."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "g_priority", "g_status", "n")
+    )

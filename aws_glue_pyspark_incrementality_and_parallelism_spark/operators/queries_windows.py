@@ -323,3 +323,32 @@ def q_window_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") - prev, 2).alias("yoy_delta"),
         F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("yoy_pct"),
     )
+
+
+@query(
+    "window_moving_avg_rows",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+             AS moving_avg4
+    FROM events WHERE event_type = 'view'
+    """,
+)
+def q_window_moving_avg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ROWS-frame moving average (last 4 events per user) —
+    the count-based smoothing frame, complementing the time-based RANGE
+    frame (``window_range_frame_1h``) and the unbounded running frame
+    (``window_running_sum``). Bounded frames keep O(frame) state per
+    row during the single per-user sort pass."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("moving_avg4"),
+    )
