@@ -138,7 +138,12 @@ class _DynamicFrameReader:
                 else:
                     # composite jobBookmarkKeys: lexicographic ordering,
                     # exactly Glue's multi-key bookmark semantic
-                    df = df.filter(composite_gt(list(keys), list(hwm)))
+                    df = df.filter(
+                        composite_gt(
+                            list(keys),
+                            list(hwm) if isinstance(hwm, (list, tuple)) else hwm,
+                        )
+                    )
             if len(keys) == 1:
                 agg = df.select(F.max(keys[0]).alias("m"))
             else:

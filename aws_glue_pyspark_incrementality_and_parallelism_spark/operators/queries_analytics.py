@@ -374,7 +374,8 @@ def q_agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), streaks AS (
       SELECT user_id, island, COUNT(*) AS streak_len FROM grouped GROUP BY 1, 2
     )
-    SELECT user_id, MAX(streak_len) AS longest_streak, SUM(streak_len) AS n_active_days
+    SELECT user_id, MAX(streak_len) AS longest_streak,
+           CAST(SUM(streak_len) AS BIGINT) AS n_active_days
     FROM streaks GROUP BY user_id
     """,
 )

@@ -491,7 +491,7 @@ def q_events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     """,
@@ -528,7 +528,8 @@ def q_fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN safe_ratio IS NULL THEN 1 ELSE 0 END) AS n_div_zero,
+           CAST(SUM(CASE WHEN safe_ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_div_zero,
            ROUND(MIN(safe_ratio), 4) AS min_ratio,
            ROUND(MAX(safe_ratio), 4) AS max_ratio
     FROM r GROUP BY l_returnflag

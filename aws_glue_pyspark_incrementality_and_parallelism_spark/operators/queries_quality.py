@@ -18,37 +18,35 @@ from pyspark.sql.window import Window
 from ..plans.registry import query
 from ..sources.io import load_table
 
-#: Columns profiled by ``profile_table_columns`` (orders table).
-_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
-
-
-@query(
-    "profile_table_columns",
-    oracle="""
-    SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
-           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
-           COUNT(DISTINCT o_orderkey) AS n_distinct,
-           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
-           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
-    FROM orders
-    UNION ALL
-    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
-           COUNT(DISTINCT o_custkey),
-           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
-    FROM orders
-    UNION ALL
-    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
-           COUNT(DISTINCT o_orderstatus),
-           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
-    FROM orders
-    UNION ALL
-    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
-           COUNT(DISTINCT o_totalprice),
-           CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR),
-           CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR)
-    FROM orders
-    """,
+#: Columns profiled by ``profile_table_columns`` (orders table), with the
+#: numeric flag controlling min/max rounding. The implementation and the
+#: oracle both derive from this list so they cannot drift. o_orderdate is
+#: deliberately absent: engines format timestamp min/max differently.
+_PROFILE_COLS = (
+    ("o_orderkey", False),
+    ("o_custkey", False),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
 )
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, numeric in _PROFILE_COLS:
+        mn = f"ROUND(MIN({c}), 2)" if numeric else f"MIN({c})"
+        mx = f"ROUND(MAX({c}), 2)" if numeric else f"MAX({c})"
+        parts.append(
+            f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows,\n"
+            f"       COUNT(*) - COUNT({c}) AS n_nulls,\n"
+            f"       COUNT(DISTINCT {c}) AS n_distinct,\n"
+            f"       CAST({mn} AS VARCHAR) AS min_value,\n"
+            f"       CAST({mx} AS VARCHAR) AS max_value\n"
+            f"FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("profile_table_columns", oracle=_profile_oracle())
 def q_profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed column profiler: per-column row/null/distinct counts
     and min/max, the first thing a data-quality gate computes over a new
@@ -79,11 +77,9 @@ def q_profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             mx.cast("string").alias("max_value"),
         )
 
-    profiled = [("o_orderkey", False), ("o_custkey", False),
-                ("o_orderstatus", False), ("o_totalprice", True)]
     return reduce(
         lambda a, b: a.unionByName(b),
-        [col_profile(c, num) for c, num in profiled],
+        [col_profile(c, num) for c, num in _PROFILE_COLS],
     )
 
 
@@ -95,6 +91,7 @@ def q_profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
              AVG(value) AS mu,
              STDDEV_SAMP(value) AS sigma
       FROM events GROUP BY event_type
+      HAVING STDDEV_SAMP(value) > 0
     )
     SELECT e.event_type,
            COUNT(*) AS n_outliers,
@@ -113,8 +110,13 @@ def q_agg_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the big side is read exactly twice with the filter fully codegen'd.
     """
     events = load_table(spark, sf_dir, "events")
-    stats = events.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    stats = (
+        events.groupBy("event_type")
+        .agg(F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma"))
+        # Degenerate groups (constant value -> sigma 0/NULL) are dropped
+        # identically on both sides: Spark's non-ANSI x/0 yields NULL while
+        # DuckDB's IEEE division yields inf, so they'd diverge otherwise.
+        .filter(F.col("sigma") > 0)
     )
     z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
     return (
@@ -202,9 +204,9 @@ def q_events_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     "agg_table_checksum",
     oracle="""
     SELECT COUNT(*) AS n_rows,
-           SUM(CAST(('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
-                                                  o_orderstatus)), 1, 8))
-                    AS BIGINT)) AS checksum_sum,
+           CAST(SUM(CAST(('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+                                                       o_orderstatus)), 1, 8))
+                         AS BIGINT)) AS BIGINT) AS checksum_sum,
            MIN(md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus))) AS min_digest,
            MAX(md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus))) AS max_digest
     FROM orders
@@ -239,6 +241,7 @@ def q_agg_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.event_type, m, median(ABS(e.value - m)) AS mad
       FROM events e JOIN med USING (event_type)
       GROUP BY e.event_type, m
+      HAVING median(ABS(e.value - m)) > 0
     )
     SELECT e.event_type,
            COUNT(*) AS n_outliers,
@@ -264,6 +267,10 @@ def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.join(F.broadcast(med), "event_type")
         .groupBy("event_type", "m")
         .agg(F.expr("percentile(abs(value - m), 0.5)").alias("mad"))
+        # MAD = 0 (majority-constant group) would divide by zero: Spark
+        # yields NULL (rows silently filtered), DuckDB yields inf (rows
+        # kept) — drop those groups identically on both sides instead.
+        .filter(F.col("mad") > 0)
     )
     rz = F.abs(F.col("value") - F.col("m")) / (1.4826 * F.col("mad"))
     return (

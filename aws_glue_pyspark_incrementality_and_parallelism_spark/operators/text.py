@@ -158,7 +158,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
       WHERE n_tokens >= 20 AND unique_ratio >= 0.2
     )
-    SELECT lang, COUNT(*) AS docs_kept, SUM(n_tokens) AS tokens_kept
+    SELECT lang, COUNT(*) AS docs_kept, CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
     FROM keepers WHERE copy_rank = 1
     GROUP BY 1
     """,
@@ -337,7 +337,7 @@ def _gram_rows(docs: DataFrame, n: int) -> DataFrame:
     ), cnt AS (
       SELECT doc_id, gram, COUNT(*) AS c FROM tri GROUP BY 1, 2
     )
-    SELECT doc_id, SUM(c) AS n_trigrams, MAX(c) AS max_trigram_count,
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams, MAX(c) AS max_trigram_count,
            ROUND(MAX(c) * 1.0 / SUM(c), 6) AS repetition_ratio
     FROM cnt GROUP BY doc_id
     """,
@@ -426,8 +426,9 @@ PACK_PARTITIONS = 8
       FROM documents
     )
     SELECT doc_id, n_tokens,
-           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS start_offset,
            CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {PACK_CAP})
              AS BIGINT) AS bin_id

@@ -120,7 +120,20 @@ def composite_gt(keys: list[str], hwm: list[Any]):
     (k1 > h1) OR (k1 = h1 AND (k2 > h2 OR ...)). Catalyst pushes the
     OR-of-ANDs into the parquet scan, where row-group min/max stats on
     the leading key prune files exactly like the single-key case."""
-    assert len(keys) == len(hwm) and keys
+    if not keys:
+        raise ValueError("composite_gt: keys must be non-empty")
+    if isinstance(hwm, (str, bytes)) or not isinstance(hwm, (list, tuple)):
+        raise ValueError(
+            f"composite_gt: hwm must be a list matching keys={keys}, got "
+            f"{type(hwm).__name__} — a scalar bookmark committed by an "
+            "earlier single-key run cannot drive a composite-key read "
+            "(bookmark key set changed; reset the bookmark)"
+        )
+    if len(keys) != len(hwm):
+        raise ValueError(
+            f"composite_gt: {len(keys)} keys but {len(hwm)} HWM components "
+            "(bookmark key set changed; reset the bookmark)"
+        )
     pred = F.col(keys[-1]) > F.lit(hwm[-1])
     for k, h in zip(reversed(keys[:-1]), reversed(hwm[:-1])):
         pred = (F.col(k) > F.lit(h)) | ((F.col(k) == F.lit(h)) & pred)
@@ -145,7 +158,12 @@ def incremental_read(
     elif isinstance(key, str):
         sliced = df.filter(F.col(key) > F.lit(hwm))
     else:
-        sliced = df.filter(composite_gt(list(key), list(hwm)))
+        # Pass the stored HWM through unchanged: composite_gt rejects a
+        # legacy scalar bookmark with a clear "key set changed" error
+        # rather than list('abc') silently exploding it into characters.
+        sliced = df.filter(
+            composite_gt(list(key), list(hwm) if isinstance(hwm, (list, tuple)) else hwm)
+        )
     return IncrementalBatch(df=sliced, source=source, key=key, store=store)
 
 

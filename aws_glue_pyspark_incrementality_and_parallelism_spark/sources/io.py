@@ -218,6 +218,26 @@ def compact_parquet_dir(
             for p in _glob.glob(_os.path.join(path, "part-*"))
             if _os.path.isfile(p)
         ]
+    # Hive-partitioned layouts keep data in key=value subdirectories; the
+    # read-then-delete swap below only tracks top-level files, so compacting
+    # such a dataset would merge partition data into new top-level files
+    # while leaving the originals in place — silently doubling the table.
+    partition_dirs = [
+        d
+        for d in _glob.glob(_os.path.join(path, "*"))
+        if _os.path.isdir(d) and not _os.path.basename(d).startswith((".", "_"))
+    ]
+    if partition_dirs:
+        raise ValueError(
+            f"compact_parquet_dir: {path} contains partition subdirectories "
+            f"({_os.path.basename(partition_dirs[0])}, ...); flat-layout "
+            "compaction would duplicate their rows. Compact each partition "
+            "directory individually instead."
+        )
+    if not files_before:
+        raise ValueError(
+            f"compact_parquet_dir: no top-level data files found under {path}"
+        )
     total = sum(_os.path.getsize(p) for p in files_before)
     n_out = max(1, -(-total // target_file_bytes))
     staging = path.rstrip("/") + "__compact_staging"

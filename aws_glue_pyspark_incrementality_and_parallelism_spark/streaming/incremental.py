@@ -57,7 +57,13 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(source_dir).schema
+    try:
+        schema = spark.read.parquet(source_dir).schema
+    except Exception:
+        # Empty or not-yet-created source dir (normal at stream start):
+        # fall back to the canonical raw schema instead of failing the
+        # 'unable to infer schema' batch probe.
+        schema = EVENTS_RAW_SCHEMA
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 8)

@@ -1,8 +1,10 @@
 """Benchmark runner — times every registered query at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-    {"metric": "bench_wall_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+Prints ONE SHORT JSON line (the headline, LAST on stdout so tail-truncating
+readers still parse it):
+    {"metric": "bench_wall_sec", "value": N, "unit": "sec", "sf": 0.1,
+     "queries": {"etl_pipeline_concurrent": sec}}
+The full per-query timing map goes to BENCH_DETAIL.json next to this file.
 
 Each query is forced with the no-op sink (computes every output column,
 writes nothing) so timings reflect full plan execution, not just a count.
@@ -80,14 +82,30 @@ def main() -> None:
         timings["etl_pipeline_concurrent"] = round(time.perf_counter() - t0, 3)
 
     total = round(time.perf_counter() - wall0, 3)
+    # Full per-query map -> side artifact; stdout gets one short line the
+    # driver can parse even if it only keeps the tail of the stream
+    # (round 1: the 6 KB queries map made the line unparseable).
+    detail = {
+        "metric": "bench_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "threads": threads,
+    }
+    with open(os.path.join(_REPO_ROOT, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
                 "metric": "bench_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "queries": {
+                    "etl_pipeline_concurrent": timings.get("etl_pipeline_concurrent")
+                },
             }
         )
     )

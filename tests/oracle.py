@@ -21,6 +21,81 @@ def duckdb_rows(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
     return cols, cur.fetchall()
 
 
+def duckdb_result_types(sql: str, sf_dir: str) -> dict[str, str]:
+    """Column -> DuckDB type name for an oracle query, without executing it."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+    rel = con.sql(sql)
+    return dict(zip(rel.columns, (str(t).upper() for t in rel.types)))
+
+
+_DUCK_INTS = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+
+
+def _duck_class(t: str) -> str:
+    if t.startswith("DECIMAL"):
+        return "DECIMAL"  # becomes float64 through pandas
+    if t == "HUGEINT":
+        return "HUGEINT"  # becomes float64 through pandas
+    if t in _DUCK_INTS:
+        return "int"
+    if t in ("FLOAT", "DOUBLE"):
+        return "float"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t == "VARCHAR":
+        return "str"
+    if t.endswith("[]"):
+        return "list"
+    return t.lower()
+
+
+def _spark_class(dt) -> str:
+    s = dt.simpleString()
+    if s.startswith("decimal"):
+        return "spark_decimal"  # becomes object(Decimal) through toPandas
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    if s.startswith("timestamp"):
+        return "ts"
+    if s == "string":
+        return "str"
+    if s.startswith("array"):
+        return "list"
+    return s
+
+
+def assert_type_compat(spark, name: str, sf_dir: str) -> None:
+    """Mirror the driver's type-strict value hashing at the schema level.
+
+    The driver materializes both sides through pandas, where DuckDB HUGEINT
+    (SUM of any integer) and DECIMAL arrive as float64 — so an integer Spark
+    column hashed as ``5`` vs an uncast oracle SUM hashed as ``5.0`` fails
+    even when values agree (round-1 ``window_gaps_islands``).  Both schemas
+    are available lazily, so this costs no query execution.
+    """
+    spec = REGISTRY[name]
+    assert spec.oracle is not None, f"{name} has no oracle"
+    s_types = {f.name: _spark_class(f.dataType) for f in spec.fn(spark, sf_dir).schema.fields}
+    o_types = {c: _duck_class(t) for c, t in duckdb_result_types(spec.oracle, sf_dir).items()}
+    bad = []
+    for col, sc in s_types.items():
+        oc = o_types.get(col)
+        if oc is None:
+            bad.append(f"{col}: missing from oracle (oracle cols: {sorted(o_types)})")
+            continue
+        ok = sc == oc or (sc == "float" and oc in ("float", "DECIMAL", "HUGEINT"))
+        if not ok:
+            bad.append(f"{col}: spark={sc} oracle={oc} (add an explicit CAST in the oracle)")
+    assert not bad, f"{name}: type-class mismatches vs driver hashing: {bad}"
+
+
 def _norm_cell(v):
     if v is None:
         return "NULL"

@@ -8,7 +8,7 @@ import pytest
 from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import REGISTRY
 
 from .conftest import SF_SMALL
-from .oracle import assert_parity
+from .oracle import assert_parity, assert_type_compat
 
 ORACLE_QUERIES = sorted(name for name, spec in REGISTRY.items() if spec.oracle is not None)
 
@@ -16,6 +16,12 @@ ORACLE_QUERIES = sorted(name for name, spec in REGISTRY.items() if spec.oracle i
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_parity(spark, name):
     assert_parity(spark, name, SF_SMALL)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_type_compat(spark, name):
+    """Schema-level mirror of the driver's type-strict hash (no execution)."""
+    assert_type_compat(spark, name, SF_SMALL)
 
 
 def test_rows_only_queries_run(spark):
