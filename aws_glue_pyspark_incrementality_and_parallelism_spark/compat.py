@@ -17,7 +17,15 @@ this engine unchanged in shape:
   the reference forgot, Bug B10),
 * every transform is a thin lazy DataFrame wrapper: no row-level
   record-model emulation (SURVEY §1.4 maps DynamicFrame → DataFrame
-  one-to-one; choice types never occur on parquet sources).
+  one-to-one; choice types never occur on parquet sources),
+* choice types (the self-describing-record model's answer to
+  per-record type ambiguity, SURVEY §1.1) are represented the way Glue
+  itself surfaces them in a DataFrame — ``struct<long:bigint,
+  string:string>`` with exactly one non-null variant per record — and
+  resolved via ``DynamicFrameShim.resolveChoice`` with Glue's four
+  actions (``cast:<type>``, ``project:<type>``, ``make_cols``,
+  ``make_struct``). ``infer_choice`` builds the struct from a mixed
+  string column (the MySQL→Redshift int-vs-string ambiguity class).
 
 Glue semantic notes implemented faithfully:
 
@@ -68,9 +76,94 @@ class DynamicFrameShim:
     def count(self) -> int:
         return self.df.count()
 
+    def resolveChoice(self, specs: list[tuple[str, str]]) -> "DynamicFrameShim":
+        """Glue's choice-type resolution, acting on columns encoded as
+        ``struct<<typename>:<type>, ...>`` (one non-null variant per
+        record — the shape ``infer_choice`` builds and Glue's own
+        DynamicFrame.toDF() produces for unresolved choices):
+
+        - ``cast:<type>``  — coalesce every variant cast to <type>
+        - ``project:<type>`` — keep only that variant, others become null
+        - ``make_cols``   — one output column per variant (col_type)
+        - ``make_struct`` — keep the struct encoding as-is
+        """
+        from pyspark.sql import functions as F
+
+        df = self.df
+        for col, action in specs:
+            variants = _choice_variants(df, col)
+            if variants is None:
+                raise ValueError(
+                    f"resolveChoice: column {col!r} is not a choice struct"
+                )
+            if action == "make_struct":
+                continue
+            if action == "make_cols":
+                df = df.select(
+                    *[c for c in df.columns if c != col],
+                    *[F.col(f"{col}.{v}").alias(f"{col}_{v}") for v in variants],
+                )
+            elif action.startswith("cast:"):
+                target = action.split(":", 1)[1]
+                df = df.withColumn(
+                    col,
+                    F.coalesce(
+                        *[F.col(f"{col}.{v}").try_cast(target) for v in variants]
+                    ),
+                )
+            elif action.startswith("project:"):
+                target = action.split(":", 1)[1]
+                if target not in variants:
+                    raise ValueError(
+                        f"resolveChoice: {col!r} has no {target!r} variant "
+                        f"(has {sorted(variants)})"
+                    )
+                df = df.withColumn(col, F.col(f"{col}.{target}"))
+            else:
+                raise ValueError(f"resolveChoice: unknown action {action!r}")
+        return DynamicFrameShim(df, self._glue_ctx, self.name)
+
     @staticmethod
     def fromDF(df: DataFrame, glue_ctx: "GlueCompatContext", name: str) -> "DynamicFrameShim":
         return DynamicFrameShim(df, glue_ctx, name)
+
+
+#: Variant names a choice struct may carry (Glue's scalar type names).
+_CHOICE_VARIANT_TYPES = frozenset(
+    {"boolean", "byte", "short", "int", "long", "float", "double", "string", "binary"}
+)
+
+
+def _choice_variants(df: DataFrame, col: str) -> list[str] | None:
+    """Field names of ``col`` if it is a choice struct (every field named
+    after a scalar type), else None."""
+    from pyspark.sql.types import StructType
+
+    for f in df.schema.fields:
+        if f.name == col and isinstance(f.dataType, StructType):
+            names = [sf.name for sf in f.dataType.fields]
+            if names and all(n in _CHOICE_VARIANT_TYPES for n in names):
+                return names
+    return None
+
+
+def infer_choice(df: DataFrame, col: str) -> DataFrame:
+    """Record-level choice detection for a string column with mixed
+    encodings — the ambiguity the reference's MySQL→Redshift catalog
+    surfaces as ``choice`` (SURVEY §1.1): integer-looking values land in
+    the ``long`` variant, everything else in ``string``. Pure column
+    expressions (one codegen'd pass, no Python in the loop), so the
+    detection scales like any other projection."""
+    from pyspark.sql import functions as F
+
+    is_long = F.col(col).rlike(r"^-?\d+$") & F.col(col).try_cast("long").isNotNull()
+    return df.withColumn(
+        col,
+        F.struct(
+            F.when(is_long, F.col(col).try_cast("long")).alias("long"),
+            F.when(~is_long, F.col(col)).alias("string"),
+        ),
+    )
 
 
 class Join:

@@ -350,7 +350,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 SimHash: per-doc 64-bit locality-sensitive fingerprint.
     Near-dups are pairs within small Hamming distance; bucketing on
     16-bit chunks (pigeonhole: distance ≤3 ⇒ one exact chunk match)
-    makes the pair search a hash join at scale."""
+    makes the pair search a hash join at scale. Rows-only: the
+    fingerprint is built from Spark's xxhash64, which DuckDB lacks, so
+    no SQL oracle can reproduce the bits; fingerprint properties
+    (similar docs ⇒ small Hamming distance) are asserted in pytest."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_frame(docs)
 

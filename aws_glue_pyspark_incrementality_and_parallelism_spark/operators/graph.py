@@ -74,50 +74,119 @@ def pagerank(edges: DataFrame, n_iters: int = PAGERANK_ITERS, damping: float = D
         .localCheckpoint(eager=True)
     )
     for _ in range(n_iters):
-        rank_vec = F.broadcast(ranks) if broadcast_ranks else ranks
-        contribs = (
-            fanout.join(rank_vec, fanout.src == ranks.node)
-            .select("dst", (F.col("rank") / F.col("out_deg")).alias("contrib"))
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("incoming"))
-        )
-        # Mass sitting on dangling nodes this round: a 1-row relation,
-        # folded in via broadcast instead of collected to the driver.
-        dangling = ranks.filter("is_dangling").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass")
-        )
-        ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                "is_dangling",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.col("dangling_mass") / F.lit(float(n_nodes))
-                    + F.lit(damping) * F.coalesce(F.col("incoming"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        ranks = _pagerank_step(
+            fanout, nodes, ranks, n_nodes, damping, broadcast_ranks
+        ).localCheckpoint(eager=True)
     return ranks.select("node", "rank")
 
 
-@query("graph_pagerank_parts", oracle=None)
+def _pagerank_step(
+    fanout: DataFrame,
+    nodes: DataFrame,
+    ranks: DataFrame,
+    n_nodes: int,
+    damping: float,
+    broadcast_ranks: bool,
+) -> DataFrame:
+    """One rank-propagation pass (unmaterialized — the caller checkpoints).
+    Split out so plan tests can assert the broadcast-vs-shuffle join
+    strategy of the contribution join before the checkpoint hides it."""
+    rank_vec = F.broadcast(ranks) if broadcast_ranks else ranks
+    contribs = (
+        fanout.join(rank_vec, fanout.src == ranks.node)
+        .select("dst", (F.col("rank") / F.col("out_deg")).alias("contrib"))
+        .groupBy("dst")
+        .agg(F.sum("contrib").alias("incoming"))
+    )
+    # Mass sitting on dangling nodes this round: a 1-row relation,
+    # folded in via broadcast instead of collected to the driver.
+    dangling = ranks.filter("is_dangling").agg(
+        F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass")
+    )
+    return (
+        nodes.join(contribs, nodes.node == contribs.dst, "left")
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            "node",
+            "is_dangling",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.col("dangling_mass") / F.lit(float(n_nodes))
+                + F.lit(damping) * F.coalesce(F.col("incoming"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    )
+
+
+#: Rank threshold separating the bipartite graph's two tiers (parts sit
+#: near the teleport floor ~0.2, suppliers concentrate mass ~10-100x
+#: higher) — selection by a fixed threshold in that gap is stable under
+#: float noise, unlike a top-k whose k-th/k+1-th gap can be arbitrarily
+#: small.
+PAGERANK_RANK_THRESHOLD = 1.0
+
+
+def _pagerank_oracle(n_iters: int = PAGERANK_ITERS, damping: float = DAMPING) -> str:
+    """Unrolled fixed-iteration PageRank in plain SQL (one CTE per pass),
+    generated from the same constants as the Spark implementation."""
+    parts = [
+        "WITH edges AS MATERIALIZED (",
+        "  SELECT DISTINCT l_partkey AS src, -(l_suppkey + 1) AS dst FROM lineitem",
+        "), out_deg AS MATERIALIZED (",
+        "  SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src",
+        "), fanout AS MATERIALIZED (",
+        "  SELECT e.src, e.dst, d.out_deg FROM edges e JOIN out_deg d USING (src)",
+        "), nodes AS MATERIALIZED (",
+        "  SELECT node, node NOT IN (SELECT src FROM edges) AS is_dangling",
+        "  FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "), meta AS MATERIALIZED (",
+        "  SELECT COUNT(*) AS n FROM nodes",
+        "), r0 AS MATERIALIZED (",
+        "  SELECT node, is_dangling, 1.0 AS rank FROM nodes",
+        ")",
+    ]
+    for i in range(1, n_iters + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f", r{i} AS MATERIALIZED (\n"
+            f"  SELECT n.node, n.is_dangling,\n"
+            f"         {1 - damping} + {damping} * (SELECT COALESCE(SUM(rank), 0)\n"
+            f"                                      FROM {prev} WHERE is_dangling)\n"
+            f"                         / (SELECT n FROM meta)\n"
+            f"              + {damping} * COALESCE(inc.incoming, 0) AS rank\n"
+            f"  FROM nodes n LEFT JOIN (\n"
+            f"    SELECT f.dst AS node, SUM(r.rank / f.out_deg) AS incoming\n"
+            f"    FROM fanout f JOIN {prev} r ON f.src = r.node GROUP BY f.dst\n"
+            f"  ) inc USING (node)\n"
+            f")"
+        )
+    parts.append(
+        f"SELECT node, ROUND(rank, 4) AS rank FROM r{n_iters}\n"
+        f"WHERE rank >= {PAGERANK_RANK_THRESHOLD}"
+    )
+    return "\n".join(parts)
+
+
+@query("graph_pagerank_parts", oracle=_pagerank_oracle())
 def q_graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bipartite part→supplier fulfillment graph
-    (distinct lineitem (partkey, suppkey) pairs as directed edges; node
-    ids namespaced by sign). Suppliers are all dangling, exercising the
-    dangling-mass redistribution path. Rows-only check: iterative
-    fixpoints aren't SQL-expressible; invariants (mass conservation,
-    monotone convergence) are asserted in pytest."""
+    (distinct lineitem (partkey, suppkey) pairs as directed edges;
+    suppliers namespaced to -(suppkey+1) so supplier 0 cannot collide
+    with part 0). Suppliers are all dangling, exercising the
+    dangling-mass redistribution path. The oracle unrolls the same 8
+    iterations as plain SQL CTEs; the mass-concentrated tier (rank >=
+    PAGERANK_RANK_THRESHOLD, i.e. the suppliers) is the compared set —
+    a threshold in the tier gap is float-stable where top-k is not.
+    Mass conservation / convergence invariants stay in pytest."""
     l = load_table(spark, sf_dir, "lineitem")
     edges = (
         l.select(
             F.col("l_partkey").alias("src"),
-            (-F.col("l_suppkey")).alias("dst"),
+            (-(F.col("l_suppkey") + 1)).alias("dst"),
         )
         .distinct()
     )
     ranks = pagerank(edges)
-    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)
+    return ranks.filter(F.col("rank") >= PAGERANK_RANK_THRESHOLD).select(
+        "node", F.round("rank", 4).alias("rank")
+    )

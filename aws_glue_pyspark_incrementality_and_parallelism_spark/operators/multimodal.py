@@ -2,11 +2,12 @@
 
 Media assets are opaque ``binary`` payloads + a typed metadata struct.
 The engine's job is the Spark-side plumbing: schema, partition-friendly
-layout, Arrow-batched Pandas UDF decode/feature-extract — NOT the codecs
-themselves. Real decoders (PIL/torchaudio/ffmpeg) are not in this
-container, so the decode step is a deterministic stub behind
-``decode_stub=True`` (the default); passing ``decode_stub=False`` raises
-NotImplementedError exactly where the real library call belongs.
+layout, Arrow-batched Pandas UDF decode/feature-extract. Raw raster
+formats (P6 PPM, uncompressed 24-bit BMP) are decoded FOR REAL by the
+dependency-free ``decode_rgb`` (header parse + numpy reshape — no codec
+library involved); compressed codec formats (JPEG/PNG/...) still raise
+NotImplementedError at the exact line a PIL/ffmpeg call belongs, since
+those libraries are not in this container.
 
 The testdata has no binary table, so ``documents.text`` (utf-8 encoded)
 stands in as the payload. The pipeline shape is the real thing:
@@ -39,6 +40,21 @@ from pyspark.sql.types import (
 from ..plans.registry import query
 from ..sources.io import load_table
 
+# Ship this module's functions BY VALUE into Python workers. The harness
+# that drives the engine may put the repo on sys.path only in the driver
+# process; by-reference pickling of module-level helpers (decode_rgb inside
+# the mapInPandas closures) would then make every executor-side worker try
+# to import the package and die with ModuleNotFoundError. By-value pickling
+# keeps the closures self-contained, like a lambda would be.
+try:
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover - best-effort; in-path runs don't need it
+    pass
+
 FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -63,22 +79,134 @@ def as_media_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+#: Magic prefixes of compressed codec formats we cannot decode without
+#: external libraries — these (and only these) keep the NotImplementedError
+#: gate. Raw raster formats are decoded for real by ``decode_rgb``.
+_CODEC_MAGICS: tuple[tuple[bytes, str], ...] = (
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"\x89PNG", "png"),
+    (b"GIF8", "gif"),
+    (b"RIFF", "riff (webp/wav/avi)"),
+    (b"\x00\x00\x00", "mp4/iso-bmff"),
+)
+
+
+def decode_rgb(payload: bytes) -> "object":
+    """Dependency-free raster decode: payload bytes → HxWx3 uint8 array.
+
+    Supports the two headerful raw formats a test/ingest corpus can carry
+    without codec libraries:
+
+    - **P6 PPM** (binary PPM: ``P6\\n<w> <h>\\n<maxval>\\n`` + raw RGB) —
+      truncated pixel buffers are zero-padded, the streaming-safe choice.
+    - **Uncompressed 24-bit BMP** (``BM`` magic, BI_RGB): BGR rows,
+      4-byte-aligned, stored bottom-up — converted to top-down RGB.
+
+    Compressed codec formats raise ``NotImplementedError`` naming the
+    detected format; anything else raises ``ValueError``.
+    """
+    import re
+
+    import numpy as np
+
+    for magic, fmt in _CODEC_MAGICS:
+        if payload.startswith(magic):
+            raise NotImplementedError(
+                f"payload is {fmt}: decoding needs a codec library "
+                "(PIL/ffmpeg) not present in this environment"
+            )
+    if payload.startswith(b"P6"):
+        m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+        if not m:
+            raise ValueError("malformed P6 PPM header")
+        w, h, maxval = (int(g) for g in m.groups())
+        if maxval > 255:
+            raise ValueError("16-bit PPM not supported")
+        pixels = np.frombuffer(payload, np.uint8, offset=m.end())
+        need = w * h * 3
+        if len(pixels) < need:  # tolerate truncation: zero-pad
+            pixels = np.concatenate([pixels, np.zeros(need - len(pixels), np.uint8)])
+        return pixels[:need].reshape(h, w, 3)
+    if payload.startswith(b"BM"):
+        import struct as _struct
+
+        off, = _struct.unpack_from("<I", payload, 10)
+        w, h = _struct.unpack_from("<ii", payload, 18)
+        bpp, = _struct.unpack_from("<H", payload, 28)
+        comp, = _struct.unpack_from("<I", payload, 30)
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError("only uncompressed 24-bit BMP is supported")
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        rows = np.frombuffer(payload, np.uint8, count=stride * abs(h), offset=off)
+        img = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+        if h > 0:  # positive height = bottom-up storage
+            img = img[::-1]
+        return img[:, :, ::-1].copy()  # BGR -> RGB
+    raise ValueError(f"unrecognized payload magic {payload[:4]!r}")
+
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """REAL decode stage: mapInPandas over binary payloads → per-image
+    dimensions and channel means via ``decode_rgb``. Same Arrow-batched
+    shape as the stub path; payloads never cross a shuffle — features
+    come out, bytes stay at the scan."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "width": [], "height": [],
+                   "mean_r": [], "mean_g": [], "mean_b": []}
+            for payload in pdf["payload"]:
+                img = decode_rgb(bytes(payload))
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+                means = img.reshape(-1, 3).mean(axis=0)
+                out["mean_r"].append(float(means[0]))
+                out["mean_g"].append(float(means[1]))
+                out["mean_b"].append(float(means[2]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_decode, schema=DECODE_SCHEMA)
+
+
 def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     ``mapInPandas`` receives an iterator of pandas batches — the decode
     loop is vectorized per batch and payloads stream through without
-    materializing a partition. Swap the stub branch for a real decoder
-    (PIL.Image.open etc.) when the codec libraries exist.
+    materializing a partition. With ``decode_stub=False`` payloads are
+    decoded for real via ``decode_rgb`` (PPM/BMP; codec formats raise
+    inside it) and ``mean_byte`` becomes the mean decoded pixel value.
     """
 
     def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires codec libraries (PIL/torchaudio); "
-                    "install them and implement this branch"
+                payloads = pdf["payload"]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_bytes": payloads.map(len).astype("int64"),
+                        "mean_byte": payloads.map(
+                            lambda b: float(decode_rgb(bytes(b)).mean())
+                        ),
+                        "header_checksum": payloads.map(
+                            lambda b: int(sum(b[:16]) % 65536)
+                        ).astype("int64"),
+                    }
                 )
+                continue
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
@@ -238,6 +366,58 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orig_bytes",
         F.octet_length("resized").alias("resized_bytes"),
         F.round("resized_mean_byte", 4).alias("resized_mean_byte"),
+    )
+
+
+#: Fixed raster geometry for the PPM decode query: 32x16 RGB = 1536 bytes.
+_PPM_W, _PPM_H = 32, 16
+_PPM_BYTES = _PPM_W * _PPM_H * 3
+
+
+@query(
+    "multimodal_decode_ppm",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(split(substr(text, 1, {_PPM_BYTES}), ''),
+                            c -> unicode(c)) AS codes
+      FROM documents
+    )
+    SELECT doc_id, {_PPM_W} AS width, {_PPM_H} AS height,
+           ROUND(COALESCE(list_sum(list_select(codes,
+                 list_filter(range(1, {_PPM_BYTES + 1}, 3), i -> i <= len(codes)))), 0)
+                 / {_PPM_W * _PPM_H}.0, 4) AS mean_r,
+           ROUND(COALESCE(list_sum(list_select(codes,
+                 list_filter(range(2, {_PPM_BYTES + 1}, 3), i -> i <= len(codes)))), 0)
+                 / {_PPM_W * _PPM_H}.0, 4) AS mean_g,
+           ROUND(COALESCE(list_sum(list_select(codes,
+                 list_filter(range(3, {_PPM_BYTES + 1}, 3), i -> i <= len(codes)))), 0)
+                 / {_PPM_W * _PPM_H}.0, 4) AS mean_b
+    FROM b
+    """,
+)
+def q_multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 REAL decode path (no stub): build a valid binary P6 PPM per
+    document JVM-side (header + text bytes as the pixel buffer, decoder
+    zero-pads short images), then ``decode_media`` header-parses and
+    numpy-decodes each payload in one Arrow pass, emitting dimensions and
+    per-channel means. The oracle recomputes the channel means straight
+    from the text codepoints (ASCII corpus ⇒ bytes == code points;
+    padded positions contribute zero to a fixed /W*H denominator)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.encode(F.lit(f"P6\n{_PPM_W} {_PPM_H}\n255\n"), "utf-8"),
+        F.encode(F.substring("text", 1, _PPM_BYTES), "utf-8"),
+    )
+    media = docs.select("doc_id", payload.alias("payload"))
+    decoded = decode_media(media)
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
     )
 
 

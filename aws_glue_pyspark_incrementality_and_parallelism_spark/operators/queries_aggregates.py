@@ -71,15 +71,28 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct", oracle=None)
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_orderkey) AS n_exact, TRUE AS approx_within_2pct
+    FROM lineitem
+    """,
+)
 def q_agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB path when exact
-    distinct would shuffle every key. No oracle: estimates are
-    engine-specific (DuckDB's approx sketch differs); rows-only check.
-    Accuracy asserted in pytest against the exact count instead."""
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .agg(F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"))
+    distinct would shuffle every key. Raw estimates are engine-specific,
+    so the driver-checkable surface is (exact count, estimate-within-2%
+    flag): the oracle pins the exact column and expects the tolerance
+    flag TRUE, which fails if the sketch ever degrades."""
+    agg = load_table(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_orderkey").alias("n_exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx"),
+    )
+    return agg.select(
+        "n_exact",
+        (
+            F.abs(F.col("approx") - F.col("n_exact")) <= F.col("n_exact") * 0.02
+        ).alias("approx_within_2pct"),
     )
 
 
@@ -326,12 +339,21 @@ def q_fn_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
-@query("agg_quantile_bucketize", oracle=None)
+@query(
+    "agg_quantile_bucketize",
+    oracle="""
+    SELECT CAST(unnest(generate_series(1, 4)) AS INT) AS bucket,
+           TRUE AS share_ok,
+           (SELECT COUNT(*) FROM orders) AS total_rows
+    """,
+)
 def q_agg_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale twin of ntile: compute approx quantile cut-points (sketch,
     one small job), bucket rows with a CASE against the broadcast
-    literals — no global sort at any data size. Rows-only (sketch
-    cut-points are engine-specific); balance asserted in pytest."""
+    literals — no global sort at any data size. Sketch cut-points are
+    engine-specific, so the driver-checkable surface is the invariants:
+    all 4 buckets exist, each holds 25%±5% of rows (share_ok), and the
+    bucketing conserves the exact row count (total_rows)."""
     o = load_table(spark, sf_dir, "orders")
     q1, q2, q3 = o.agg(
         F.expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)")
@@ -342,7 +364,18 @@ def q_agg_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("o_totalprice") <= q3, 3)
         .otherwise(4)
     )
-    return o.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+    counts = o.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+    total = o.agg(F.count(F.lit(1)).alias("total_rows"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            (
+                F.abs(F.col("n") / F.col("total_rows") - 0.25) <= 0.05
+            ).alias("share_ok"),
+            "total_rows",
+        )
+    )
 
 
 @query(
@@ -365,7 +398,16 @@ def q_agg_global_no_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_rollup_merge", oracle=None)
+@query(
+    "agg_hll_rollup_merge",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS year,
+           COUNT(DISTINCT date_trunc('month', o_orderdate)) AS n_months,
+           COUNT(DISTINCT o_custkey) AS n_exact,
+           TRUE AS est_within_5pct
+    FROM orders GROUP BY 1
+    """,
+)
 def q_agg_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct-count ladder (Apache DataSketches HLL
     via Spark built-ins hll_sketch_agg / hll_union_agg): per-month
@@ -374,16 +416,29 @@ def q_agg_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored binary sketches — re-aggregation never touches the facts
     again. Exact distinct cannot ride a rollup ladder (distinct is not
     associative); sketches merge like sums, which is what makes
-    distinct-count rollups viable at 100 TB. Rows-only (sketch binaries
-    are engine-specific); estimate accuracy vs exact countDistinct is
-    asserted in pytest."""
+    distinct-count rollups viable at 100 TB. Sketch binaries and raw
+    estimates are engine-specific, so the driver-checkable surface is
+    (year, month count, exact distinct, estimate-within-5% flag): the
+    oracle pins the exact columns, and the flag fails if the merged
+    estimate ever drifts beyond HLL(lgK=12)'s error envelope."""
     o = load_table(spark, sf_dir, "orders")
     monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
         F.hll_sketch_agg("o_custkey", 12).alias("sk")
     )
-    return monthly.groupBy(F.year("month").alias("year")).agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_customers"),
+    yearly = monthly.groupBy(F.year("month").alias("year")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
         F.count("*").alias("n_months"),
+    )
+    exact = o.groupBy(F.year("o_orderdate").alias("year")).agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return yearly.join(exact, "year").select(
+        "year",
+        "n_months",
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact")) <= F.col("n_exact") * 0.05
+        ).alias("est_within_5pct"),
     )
 
 

@@ -107,12 +107,41 @@ def langid_scores(text: Column) -> list[tuple[str, Column]]:
     ]
 
 
-@query("text_langid", oracle=None)
+def _langid_oracle() -> str:
+    """Oracle generated from STOPWORDS so the SQL replicates the exact
+    heuristic (including the dict-order tie-break) and cannot drift."""
+    score_exprs = ",\n             ".join(
+        f"len(list_intersect(toks, [{', '.join(repr(w) for w in words)}])) AS s_{lang}"
+        for lang, words in STOPWORDS.items()
+    )
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in STOPWORDS) + ")"
+    case = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in STOPWORDS)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             {score_exprs}
+      FROM t
+    ), b AS (
+      SELECT *, {best} AS best FROM s
+    )
+    SELECT doc_id, lang,
+           CASE WHEN best > 0 THEN (CASE {case} END) ELSE 'und' END AS predicted_lang
+    FROM b
+    """
+
+
+@query("text_langid", oracle=_langid_oracle())
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID: argmax of per-language stopword hits
-    ('und' = undetermined when nothing matches). Rows-only check —
-    accuracy on real sentences is asserted in pytest; the synthetic
-    corpus shares one vocabulary across langs."""
+    """Heuristic language ID: argmax of per-language stopword hits over
+    the doc's distinct tokens ('und' = undetermined when nothing
+    matches; ties break in STOPWORDS dict order). The oracle is
+    generated from the same STOPWORDS table. Accuracy on real sentences
+    is asserted in pytest; the synthetic corpus shares one vocabulary
+    across langs."""
     docs = load_table(spark, sf_dir, "documents")
     scores = langid_scores(F.col("text"))
     best = F.greatest(*[s for _, s in scores])
@@ -589,22 +618,45 @@ def q_text_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_freq_items_sketch", oracle=None)
+@query(
+    "text_freq_items_sketch",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ), tot AS (
+      SELECT COUNT(*) AS t FROM toks
+    )
+    SELECT tok AS candidate_token, COUNT(*) AS n_occurrences
+    FROM toks GROUP BY tok
+    HAVING COUNT(*) > (SELECT t FROM tot) * 0.01
+    """,
+)
 def q_text_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy-hitter sketch over corpus tokens: ``DataFrame.stat.freqItems``
-    (Karp et al. single-pass counting) with support 0.01. The guarantee
-    is one-sided — every token with true frequency > support is in the
-    result, possibly with false positives — which is exactly the cheap
-    pre-filter a pipeline wants before an exact count of candidates
-    (contrast ``text_vocabulary_topk``, the exact two-shuffle path).
-    Rows-only: the sketch's false-positive set isn't SQL-expressible;
-    the containment guarantee is asserted in pytest."""
+    """Heavy-hitter sketch → exact confirmation, the production shape:
+    ``DataFrame.stat.freqItems`` (Karp et al. single-pass counting, here
+    at support 0.008) yields a SMALL candidate superset — its one-sided
+    guarantee is that every token with true frequency > support is
+    present, possibly with false positives. The exact pass then counts
+    ONLY the broadcast candidates and keeps those above the 1% floor,
+    so the result is fully deterministic (and driver-oracled) while the
+    expensive exact count never touches the full vocabulary — the whole
+    point of the sketch pre-filter at 100 TB. If the sketch dropped a
+    guaranteed heavy hitter, rows would be missing and the oracle would
+    catch it (contrast ``text_vocabulary_topk``, exact two-shuffle)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
-    hot = toks.stat.freqItems(["tok"], support=0.01)
-    return hot.select(
-        F.explode("tok_freqItems").alias("candidate_token")
-    ).orderBy("candidate_token")
+    hot = toks.stat.freqItems(["tok"], support=0.008)
+    cands = hot.select(F.explode("tok_freqItems").alias("tok"))
+    total = toks.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        toks.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") > F.col("t") * 0.01)
+        .select(F.col("tok").alias("candidate_token"), "n_occurrences")
+    )
 
 
 @query(

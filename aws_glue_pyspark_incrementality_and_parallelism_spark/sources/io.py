@@ -145,18 +145,25 @@ def write_jdbc(
     preactions: list[str] | None = None,
 ) -> None:
     """JDBC sink — parity with the reference's Redshift writer
-    (glue_rds_to_redshift.py:86-92): ``preactions`` DDL runs over a
-    direct connection before the save, like Glue's ``preactions``
-    option. Untested here (no JDBC database in the test container);
-    the parquet sink is the default path.
+    (glue_rds_to_redshift.py:86-92): ``preactions`` DDL runs ONCE over a
+    direct driver-side connection before the save, exactly like Glue's
+    ``preactions`` option (Spark's own ``sessionInitStatement`` is a
+    read-path option and would re-run per session). Round-tripped in
+    tests against the embedded Derby database that ships with Spark.
     """
+    if preactions:
+        jvm = df.sparkSession._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            stmt = conn.createStatement()
+            for sql in preactions:
+                stmt.execute(sql)
+            stmt.close()
+        finally:
+            conn.close()
     writer = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
     for k, v in (options or {}).items():
         writer = writer.option(k, v)
-    if preactions:
-        # the Glue writer executes preactions over the same connection;
-        # plain Spark JDBC exposes sessionInitStatement per-connection
-        writer = writer.option("sessionInitStatement", "; ".join(preactions))
     writer.save()
 
 

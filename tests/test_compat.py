@@ -109,3 +109,44 @@ def test_compat_bookmarks_skip_seen_rows(spark, tmp_path):
     )
     assert fact2.count() == 0, "bookmarked source must only yield rows past the committed HWM"
     assert first > 0
+
+
+def test_choice_type_resolution(spark, tmp_path):
+    """SURVEY §1.1 choice types: a mixed int-vs-string column becomes a
+    one-hot choice struct, then each Glue resolveChoice action produces
+    its documented shape."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.compat import (
+        DynamicFrameShim,
+        infer_choice,
+    )
+
+    glue_ctx = compat.GlueCompatContext(spark, SF_SMALL, str(tmp_path))
+    raw = spark.createDataFrame(
+        [(1, "42"), (2, "hello"), (3, "-7"), (4, "3.5")], "id int, v string"
+    )
+    choice = infer_choice(raw, "v")
+    dyf = DynamicFrameShim.fromDF(choice, glue_ctx, "choices")
+
+    # cast:long — numeric variants survive, non-numeric null out
+    cast = {r.id: r.v for r in dyf.resolveChoice([("v", "cast:long")]).toDF().collect()}
+    assert cast == {1: 42, 2: None, 3: -7, 4: None}
+
+    # project:string — only the string variant remains
+    proj = {r.id: r.v for r in dyf.resolveChoice([("v", "project:string")]).toDF().collect()}
+    assert proj == {1: None, 2: "hello", 3: None, 4: "3.5"}
+
+    # make_cols — one column per variant
+    cols = dyf.resolveChoice([("v", "make_cols")]).toDF()
+    assert {"v_long", "v_string"} <= set(cols.columns) and "v" not in cols.columns
+    rows = {r.id: (r.v_long, r.v_string) for r in cols.collect()}
+    assert rows[1] == (42, None) and rows[2] == (None, "hello")
+
+    # make_struct — identity on the struct encoding
+    kept = dyf.resolveChoice([("v", "make_struct")]).toDF()
+    assert dict(kept.dtypes)["v"].startswith("struct")
+
+    # non-choice columns are rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a choice struct"):
+        dyf.resolveChoice([("id", "cast:long")])

@@ -123,10 +123,12 @@ def test_multimodal_stub_and_batching(spark):
     assert feats[1].header_checksum == (97 + 98 + 99 + 100) % 65536
 
 
-def test_multimodal_real_decode_raises(spark):
+def test_multimodal_real_decode_rejects_unknown_format(spark):
+    # Raster formats (PPM/BMP) now decode for real (test_multimodal_decode);
+    # an unrecognized payload must still fail loudly, not silently stub.
     docs = spark.createDataFrame([(1, "abcd", "s")], "doc_id long, text string, source string")
     media = multimodal.as_media_frame(docs)
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+    with pytest.raises(Exception, match="unrecognized payload magic"):
         multimodal.extract_features(media, decode_stub=False).collect()
 
 
@@ -225,10 +227,7 @@ def test_hll_rollup_estimate_within_5pct(spark):
     )
     from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import load_table
 
-    est = {
-        r["year"]: r["est_customers"]
-        for r in q_agg_hll_rollup_merge(spark, SF_SMALL).collect()
-    }
+    got = {r["year"]: r for r in q_agg_hll_rollup_merge(spark, SF_SMALL).collect()}
     o = load_table(spark, SF_SMALL, "orders")
     exact = {
         r["year"]: r["n"]
@@ -236,9 +235,10 @@ def test_hll_rollup_estimate_within_5pct(spark):
         .agg(F.countDistinct("o_custkey").alias("n"))
         .collect()
     }
-    assert set(est) == set(exact)
+    assert set(got) == set(exact)
     for year, n in exact.items():
-        assert abs(est[year] - n) / n < 0.05, (year, est[year], n)
+        assert got[year]["n_exact"] == n
+        assert got[year]["est_within_5pct"], (year, n)
 
 
 def test_ewma_matches_pandas_reference(spark):
@@ -296,4 +296,6 @@ def test_freq_items_contains_all_true_heavy_hitters(spark):
         for r in toks.groupBy("tok").count().filter(F.col("count") > 0.01 * n).collect()
     }
     assert true_heavy, "fixture should have at least one heavy token"
-    assert true_heavy <= cands
+    # The query confirms sketch candidates with exact counts and filters
+    # at the same >1% floor, so the result is exactly the heavy set.
+    assert true_heavy == cands

@@ -41,10 +41,9 @@ def test_registry_query_runs(spark):
 
     out = REGISTRY["graph_pagerank_parts"].fn(spark, SF_SMALL)
     rows = out.collect()
-    assert 0 < len(rows) <= 20
+    assert len(rows) > 0
     assert set(out.columns) == {"node", "rank"}
-    # Suppliers (negative ids) absorb fact-side mass: top nodes are suppliers.
-    assert rows[0]["node"] < 0
-    # Descending rank order.
-    ranks = [r["rank"] for r in rows]
-    assert ranks == sorted(ranks, reverse=True)
+    # The high-rank tier is exactly the suppliers (negative ids): they
+    # absorb the fact-side mass, parts sit near the teleport floor.
+    assert all(r["node"] < 0 for r in rows)
+    assert all(r["rank"] >= 1.0 for r in rows)
