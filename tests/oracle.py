@@ -85,6 +85,9 @@ def assert_type_compat(spark, name: str, sf_dir: str) -> None:
     s_types = {f.name: _spark_class(f.dataType) for f in spec.fn(spark, sf_dir).schema.fields}
     o_types = {c: _duck_class(t) for c, t in duckdb_result_types(spec.oracle, sf_dir).items()}
     bad = []
+    extra = sorted(set(o_types) - set(s_types))
+    if extra:
+        bad.append(f"oracle-only columns {extra} (spark cols: {sorted(s_types)})")
     for col, sc in s_types.items():
         oc = o_types.get(col)
         if oc is None:
