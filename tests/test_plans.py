@@ -239,6 +239,24 @@ def test_pagerank_broadcasts_rank_vector_below_threshold(spark):
     assert "SortMergeJoin" in fallback or "ShuffledHashJoin" in fallback
 
 
+def test_minhash_candidates_bucketed_equijoin(spark):
+    """MinHash LSH candidate pairs must come from the (band_idx,
+    band_hash) equi self-join — never a cartesian or single-partition
+    funnel — and the document scan must prune to (doc_id, text)."""
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_langid_single_scan_no_shuffle_funnel(spark):
+    """Stopword-argmax language ID is a pure projection: one scan,
+    no exchange at all."""
+    plan = _plan(spark, "text_langid")
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in plan
+
+
 def test_join_hints_control_physical_strategy(spark):
     """Join-strategy hints must reach the physical plan: merge →
     SortMergeJoin, shuffle_hash → ShuffledHashJoin — the manual override

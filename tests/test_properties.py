@@ -51,3 +51,30 @@ def test_salted_sum_equals_direct_sum(spark, rows):
     assert {k: Decimal(v) for k, v in direct.items()} == {
         k: Decimal(v) for k, v in salted.items()
     }
+
+
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.binary(min_size=0, max_size=400),
+)
+@settings(max_examples=40, deadline=None)
+def test_decode_rgb_ppm_bmp_roundtrip(w, h, noise):
+    """decode_rgb inverts both writers for arbitrary geometry/pixels, and
+    truncated PPM payloads zero-pad rather than crash."""
+    import numpy as np
+
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.multimodal import (
+        decode_rgb,
+    )
+    from .test_multimodal_decode import _make_bmp, _make_ppm
+
+    need = w * h * 3
+    noise = noise or b"\x00"
+    pixels = np.frombuffer((noise * (need // len(noise) + 1))[:need], np.uint8)
+    img = pixels.reshape(h, w, 3)
+    np.testing.assert_array_equal(decode_rgb(_make_ppm(img)), img)
+    np.testing.assert_array_equal(decode_rgb(_make_bmp(img)), img)
+    cut = _make_ppm(img)[: len(_make_ppm(img)) - min(need, 5)]
+    out = decode_rgb(cut)
+    assert out.shape == (h, w, 3)
