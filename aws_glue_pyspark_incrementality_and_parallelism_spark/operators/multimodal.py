@@ -40,20 +40,11 @@ from pyspark.sql.types import (
 from ..plans.registry import query
 from ..sources.io import load_table
 
-# Ship this module's functions BY VALUE into Python workers. The harness
-# that drives the engine may put the repo on sys.path only in the driver
-# process; by-reference pickling of module-level helpers (decode_rgb inside
-# the mapInPandas closures) would then make every executor-side worker try
-# to import the package and die with ModuleNotFoundError. By-value pickling
-# keeps the closures self-contained, like a lambda would be.
-try:
-    import sys as _sys
+from ..session import pickle_module_by_value
 
-    from pyspark import cloudpickle as _cloudpickle
-
-    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
-except Exception:  # pragma: no cover - best-effort; in-path runs don't need it
-    pass
+# Worker closures here reference module-level helpers (decode_rgb): ship
+# them by value so executors never need the package on their sys.path.
+pickle_module_by_value(__name__)
 
 FEATURE_SCHEMA = StructType(
     [

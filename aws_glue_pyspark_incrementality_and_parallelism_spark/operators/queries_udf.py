@@ -256,3 +256,10 @@ def q_udf_grouped_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grp")
         .agg(F.round(gini(F.col("o_totalprice")), 4).alias("gini"))
     )
+
+
+from ..session import pickle_module_by_value  # noqa: E402
+
+# This module defines worker-side (Arrow/Pandas UDF) functions: ship them
+# by value so executors never need the package on their own sys.path.
+pickle_module_by_value(__name__)

@@ -576,3 +576,10 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("e"), 4).alias("min_val"),
         F.round(F.max("e"), 4).alias("max_val"),
     )
+
+
+from ..session import pickle_module_by_value  # noqa: E402
+
+# This module defines worker-side (Arrow/Pandas UDF) functions: ship them
+# by value so executors never need the package on their own sys.path.
+pickle_module_by_value(__name__)

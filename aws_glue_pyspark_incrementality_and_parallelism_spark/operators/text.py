@@ -736,3 +736,10 @@ def q_fn_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(split.alias("split"), "lang").groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+from ..session import pickle_module_by_value  # noqa: E402
+
+# This module defines worker-side (Arrow/Pandas UDF) functions: ship them
+# by value so executors never need the package on their own sys.path.
+pickle_module_by_value(__name__)

@@ -28,6 +28,27 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def pickle_module_by_value(module_name: str) -> None:
+    """Ship a module's functions BY VALUE into Python workers.
+
+    Harnesses that drive this engine may put the repo on ``sys.path``
+    only in the DRIVER process; a mapInPandas/applyInPandas closure
+    referencing a module-level helper is then pickled by reference and
+    every executor-side worker dies with ModuleNotFoundError trying to
+    import the package. Registering the module with cloudpickle keeps
+    those closures self-contained, like a lambda would be. Call at the
+    bottom of any module that defines worker-side functions.
+    """
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[module_name])
+    except Exception:  # pragma: no cover - best-effort; in-path runs don't need it
+        pass
+
+
 def build_spark(
     app_name: str = "aws-glue-pyspark-incrementality-and-parallelism-spark",
     master: str | None = None,
