@@ -523,3 +523,82 @@ def q_dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, nodes).select(
         F.col("doc_id").alias("vec_id"), F.col("comp").alias("component")
     )
+
+
+#: Non-overlapping token-window size for exact chunk dedup (the practical
+#: Spark formulation of exact-substring training-data dedup, cf. Lee et
+#: al. 2022 "Deduplicating Training Data Makes Language Models Better":
+#: suffix-array substring matches become fixed-window exact matches).
+CHUNK_TOKENS = 16
+
+
+@query(
+    "dedup_chunk_dupe_ratio",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(t, i * {CHUNK_TOKENS} + 1,
+                                            (i + 1) * {CHUNK_TOKENS}), ' ')) AS h
+      FROM toks, unnest(range(len(t) // {CHUNK_TOKENS})) AS g(i)
+    ), freq AS (
+      SELECT h, COUNT(*) AS c FROM chunks GROUP BY h
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             AS dup_ratio
+    FROM chunks c JOIN freq f USING (h)
+    GROUP BY c.doc_id
+    """,
+)
+def q_dedup_chunk_dupe_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact chunk-level duplication scoring: split every document into
+    non-overlapping {CHUNK_TOKENS}-token windows, hash each window, and
+    score each doc by the fraction of its windows whose exact content
+    recurs anywhere in the corpus — the filterable signal behind
+    exact-substring dedup (docs above a threshold get trimmed/dropped
+    before training).
+
+    Shape: shuffle-free chunking (explode(sequence) + slice, same
+    codegen pattern as the shingle builders above), one hash-aggregate
+    over chunk hashes (map-side combined), one shuffle join back on the
+    hash, one per-doc aggregate. No driver-side state; at 100 TB the
+    chunk-frequency relation is the only wide intermediate and it is
+    ~1/{CHUNK_TOKENS} the corpus token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_full = F.floor(F.size(toks) / CHUNK_TOKENS).cast("int")
+    chunks = docs.filter(n_full >= 1).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_full - 1)).alias("i"),
+        toks.alias("t"),
+    ).select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("t"), F.col("i") * CHUNK_TOKENS + 1, CHUNK_TOKENS),
+                " ",
+            )
+        ).alias("h"),
+    )
+    freq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4).alias("dup_ratio"),
+        )
+    )
