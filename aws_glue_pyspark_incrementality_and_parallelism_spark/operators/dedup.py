@@ -390,6 +390,8 @@ def connected_components(
     ).localCheckpoint(eager=True)
     active = sym.select(F.col("doc_a").alias("doc_id")).distinct()
     labels = active.withColumn("comp", F.col("doc_id")).localCheckpoint(eager=True)
+    from pyspark.sql import Observation
+
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym.doc_b == labels.doc_id)
@@ -400,6 +402,7 @@ def connected_components(
             labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
             .select(
                 "doc_id",
+                F.col("comp").alias("prev"),
                 F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
             )
         )
@@ -409,22 +412,23 @@ def connected_components(
         lut = stepped.select(
             F.col("doc_id").alias("c_id"), F.col("comp").alias("c_comp")
         )
-        new_labels = (
+        jumped = (
             stepped.join(lut, stepped.comp == lut.c_id, "left")
             .select(
                 "doc_id",
+                "prev",
                 F.least(F.col("comp"), F.coalesce("c_comp", "comp")).alias("comp"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
+        # The convergence count rides the SAME action as the checkpoint
+        # (Observation metrics fire on the eager materialization), so
+        # each iteration is ONE Spark job — no separate count-join pass.
+        obs = Observation()
+        observed = jumped.observe(
+            obs, F.sum((F.col("comp") != F.col("prev")).cast("long")).alias("changed")
         )
-        labels = new_labels
-        if changed == 0:
+        labels = observed.select("doc_id", "comp").localCheckpoint(eager=True)
+        if obs.get["changed"] == 0:
             break
     isolated = nodes.select("doc_id").join(active, "doc_id", "left_anti")
     return labels.unionByName(isolated.withColumn("comp", F.col("doc_id")))
