@@ -446,17 +446,20 @@ def kmeans_refine(
     the pass twice — at corpus scale this becomes persist(DISK).
     Returns (refined centroids, per-iteration inertia) — inertia is
     monotonically non-increasing, asserted in pytest."""
+    from pyspark.sql import Observation
+
     inertias: list[float] = []
     for _ in range(iterations):
+        # The inertia total rides the assignment's checkpoint action as
+        # an Observation metric — one job instead of checkpoint + agg.
+        obs = Observation()
         assigned = (
             assign_nearest_cells(emb, centroids, k=1)
             .select("vec_id", "embedding", "cell", "cell_cos")
+            .observe(obs, F.sum(F.lit(1.0) - F.col("cell_cos")).alias("inertia"))
             .localCheckpoint(eager=True)
         )
-        stats = assigned.agg(
-            F.sum(F.lit(1.0) - F.col("cell_cos")).alias("inertia")
-        ).collect()[0]
-        inertias.append(float(stats.inertia))
+        inertias.append(float(obs.get["inertia"]))
         centroids = (
             assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
             .groupBy("cell", "pos")
