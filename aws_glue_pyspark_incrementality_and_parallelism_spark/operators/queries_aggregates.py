@@ -550,3 +550,67 @@ def q_agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderpriority", "o_orderstatus", "g_priority", "g_status", "n")
     )
+
+
+@query(
+    "agg_hll_set_overlap",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS hi,
+             MAX(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS lo
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(SUM(hi) AS BIGINT) AS n_high,
+           CAST(SUM(lo) AS BIGINT) AS n_low,
+           CAST(SUM(hi * lo) AS BIGINT) AS n_both,
+           TRUE AS est_within_10pct
+    FROM per_cust
+    """,
+)
+def q_agg_hll_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: how many distinct customers bought in BOTH
+    the high-priority and low-priority segments, estimated by
+    inclusion-exclusion over HLL sketches (|A∩B| ≈ |A| + |B| − |A∪B|,
+    with |A∪B| from ``hll_union`` of the two sketch binaries) — the
+    audience-overlap workflow where each segment's sketch is built once
+    and intersections of ANY segment pair are answered without
+    rescanning facts. One scan builds both sketches via conditional
+    aggregation; the exact side is one groupBy(custkey) flag aggregate
+    (no multi-distinct Expand). The oracle pins the exact counts and
+    expects the estimate-within-10% flag TRUE (inclusion-exclusion
+    compounds the two ±1.6% HLL errors, so the band is wider than the
+    single-sketch queries')."""
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    sk = o.agg(
+        F.hll_sketch_agg(F.when(high, F.col("o_custkey")), 12).alias("sk_hi"),
+        F.hll_sketch_agg(F.when(~high, F.col("o_custkey")), 12).alias("sk_lo"),
+    )
+    est = sk.select(
+        F.hll_sketch_estimate("sk_hi").alias("e_hi"),
+        F.hll_sketch_estimate("sk_lo").alias("e_lo"),
+        F.hll_sketch_estimate(F.hll_union("sk_hi", "sk_lo")).alias("e_union"),
+    ).select((F.col("e_hi") + F.col("e_lo") - F.col("e_union")).alias("e_both"))
+    exact = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(high.cast("long")).alias("hi"),
+            F.max((~high).cast("long")).alias("lo"),
+        )
+        .agg(
+            F.sum("hi").cast("bigint").alias("n_high"),
+            F.sum("lo").cast("bigint").alias("n_low"),
+            F.sum(F.col("hi") * F.col("lo")).cast("bigint").alias("n_both"),
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_high",
+        "n_low",
+        "n_both",
+        (
+            F.abs(F.col("e_both") - F.col("n_both")) <= F.col("n_both") * 0.10
+        ).alias("est_within_10pct"),
+    )
