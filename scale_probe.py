@@ -1,0 +1,98 @@
+"""Scale-slope probe: run representative operators at sf0.1 and at a
+10x-row synthetic blow-up, and report the time slope.
+
+Naive row duplication would distort JOIN multiplicities (duplicated
+dimension keys fan out fact joins quadratically), so the blow-up remaps
+each table's OWN keys into disjoint id spaces per copy — single-table
+semantics (scan, aggregate, window-per-key, text/dedup/multimodal over
+documents, per-user event ops) scale honestly: 10x rows, 10x groups,
+same per-group history. Cross-table joins are deliberately out of scope
+here (they are exercised by the TPC-H suite at matched keys).
+
+A slope <= 10x for 10x data means the operator is at-worst linear at
+this size; slopes near 1x mean fixed (scheduling/codegen) costs still
+dominate. Superlinear slopes (>10x) would flag an accidental quadratic
+— none exist (see SCALE_PROBE.md for a recorded run).
+
+Usage:  python scale_probe.py   (writes /tmp/scale10, prints a table)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BIG = "/tmp/scale10"
+COPIES = 10
+
+QUERIES = [
+    "agg_pricing_summary", "window_gaps_islands", "events_time_bucket_15min",
+    "events_sliding_window_rollup", "agg_value_histogram",
+    "text_stats", "text_langid", "text_tfidf_top3", "text_sequence_pack",
+    "text_freq_items_sketch", "pipeline_corpus_clean",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_winnow_fingerprints", "dedup_chunk_dupe_ratio",
+    "multimodal_features", "multimodal_resize",
+    "sim_lsh_topk", "udf_ewma_per_user",
+]
+
+
+def build_big() -> None:
+    import duckdb
+
+    os.makedirs(BIG, exist_ok=True)
+    con = duckdb.connect()
+    remaps = {
+        "documents": "doc_id + i * 1000000 AS doc_id, text, lang, source, n_chars",
+        "events": (
+            "event_id + i * 100000000 AS event_id, user_id + i * 1000000 AS user_id, "
+            "ts, event_type, value, props"
+        ),
+        "lineitem": (
+            "l_orderkey + i * 100000000 AS l_orderkey, l_partkey, l_suppkey, "
+            "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
+            "l_returnflag, l_linestatus, l_shipdate"
+        ),
+        "embeddings": "vec_id + i * 1000000 AS vec_id, label, embedding",
+    }
+    for table, cols in remaps.items():
+        con.execute(
+            f"COPY (SELECT {cols} FROM '{BASE}/{table}.parquet', "
+            f"unnest(range({COPIES})) AS g(i)) "
+            f"TO '{BIG}/{table}.parquet' (FORMAT parquet)"
+        )
+
+
+def main() -> None:
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import REGISTRY
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.session import build_spark
+
+    build_big()
+    spark = build_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str, sfd: str) -> float:
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sfd).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    worst = 0.0
+    for name in QUERIES:
+        run(name, BASE)  # warm codegen + Python worker pool
+        base, big = run(name, BASE), run(name, BIG)
+        slope = big / base
+        worst = max(worst, slope)
+        print(f"{name:32s} sf0.1={base:6.2f}s  10x={big:6.2f}s  slope={slope:5.1f}x")
+    print(f"worst slope: {worst:.1f}x for {COPIES}x data "
+          f"({'OK - subquadratic' if worst <= COPIES * 1.5 else 'SUPERLINEAR - investigate'})")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
