@@ -33,6 +33,7 @@ from ..operators import (  # noqa: F401
     dedup,
     layout,
     multimodal,
+    queries_scrub,
 )
 
 from .registry import REGISTRY, QuerySpec  # noqa: F401
