@@ -10,7 +10,8 @@ Each query is forced with the no-op sink (computes every output column,
 writes nothing) so timings reflect full plan execution, not just a count.
 
 Queries run CONCURRENTLY through the engine's own FAIR-pool runner
-($SPARK_GRAFT_BENCH_THREADS worker threads, default 6) — the suite is
+($SPARK_GRAFT_BENCH_THREADS worker threads, default 12, submitted
+longest-previous-runtime-first) — the suite is
 many independent output jobs on one SparkContext, which is exactly the
 workload the reference's "Parallelism" half exists for: sequential
 execution leaves most of local[32] idle between stages, while FAIR
@@ -42,7 +43,7 @@ def _force(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
-    threads = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "6"))
+    threads = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "12"))
     spark = build_spark(app_name="engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -63,15 +64,28 @@ def main() -> None:
 
         return run
 
+    # LPT scheduling: submit the longest-running queries first (using the
+    # previous run's per-query timings when available) so a straggler
+    # never starts last and solely extends the wall-clock tail.
+    prev: dict[str, float] = {}
+    try:
+        with open(os.path.join(_REPO_ROOT, "BENCH_DETAIL.json")) as f:
+            prev = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        pass
+    ordered = sorted(catalog.REGISTRY, key=lambda n: (-prev.get(n, 0.0), n))
     jobs = [
         ReportJob(name=name, fn=_timed(name), pool=str(1 + i % 2))
-        for i, name in enumerate(sorted(catalog.REGISTRY))
+        for i, name in enumerate(ordered)
     ]
     run_concurrent(spark, jobs, max_workers=threads)
 
     # The reference's whole-job scenario: incremental scan -> 3-way join
     # -> cache -> two concurrent FAIR-pool reports -> parquet sinks ->
     # bookmark commit (this is what BASELINE.md's ~90 s anchor measured).
+    # Deliberately run AFTER the suite on an idle scheduler: this is the
+    # like-for-like number against the baseline anchor, so it must not be
+    # polluted by suite contention.
     import tempfile
 
     from aws_glue_pyspark_incrementality_and_parallelism_spark import pipeline
