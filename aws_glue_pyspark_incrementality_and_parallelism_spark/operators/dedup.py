@@ -169,7 +169,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+#: Band buckets larger than this are star-linearized instead of
+#: all-paired (see the hot-band guard below). Never reached by the test
+#: corpora — sized for the boilerplate mega-clusters of a web crawl.
+LSH_BUCKET_CAP = 1000
+
+
+def minhash_candidate_pairs(docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one (band, band-hash)
     bucket. The only shuffles are the doc-id hash-aggregate and the
     band-hash join — this is the 100 TB near-dup path.
@@ -220,9 +226,25 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
         ]
     )
     banded = agg.select("doc_id", F.posexplode(bands_col).alias("band_idx", "band_hash"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cands = (
+    # Hot-band (mega-bucket) guard: a bucket of m co-hashed docs emits
+    # m²/2 pairs from the self-join, all on ONE shuffle task — at web
+    # scale a boilerplate cluster (m in the millions) is both a skew
+    # straggler and a quadratic blowup. Buckets above ``bucket_cap`` are
+    # STAR-LINEARIZED instead: every member pairs only with the bucket's
+    # min doc_id (m-1 pairs, not m²/2). Near-identical members still
+    # verify against the representative, and the downstream duplicate-
+    # cluster resolution (dedup_components_keeper) closes the transitive
+    # chain, so cluster recall is preserved while any one bucket's output
+    # is bounded linearly. The size aggregate reuses the join's own
+    # (band_idx, band_hash) hash partitioning — no extra shuffle shape.
+    sizes = banded.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("bucket_n"), F.min("doc_id").alias("bucket_rep")
+    )
+    sized = banded.join(sizes, ["band_idx", "band_hash"])
+    small = sized.filter(F.col("bucket_n") <= bucket_cap)
+    a = small.alias("a")
+    b = small.alias("b")
+    pairs_all = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -230,8 +252,12 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
     )
+    pairs_star = (
+        sized.filter((F.col("bucket_n") > bucket_cap) & (F.col("doc_id") != F.col("bucket_rep")))
+        .select(F.col("bucket_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    cands = pairs_all.unionByName(pairs_star).dropDuplicates(["doc_a", "doc_b"])
     # Shingle SETS only for docs that appear in a candidate pair: the
     # semi-join prunes DOCS (before tokenize/explode/window, not after),
     # so the second shingling pass runs over the few surviving

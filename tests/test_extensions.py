@@ -39,6 +39,38 @@ def test_minhash_finds_planted_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs, "false positive survived verification"
 
 
+def test_minhash_mega_bucket_star_linearization(spark):
+    """A band bucket above the cap must emit O(m) star pairs anchored at
+    the bucket's min doc_id, not O(m²) all-pairs — and the stars must
+    still chain every member into one duplicate cluster downstream."""
+    body = " ".join(f"tok{i}" for i in range(40))
+    m = 60
+    docs = _docs_df(spark, [(i, body) for i in range(m)])  # identical corpus
+
+    cands = dedup.minhash_candidate_pairs(docs, bucket_cap=16)
+    pairs = {(r.doc_a, r.doc_b) for r in cands.select("doc_a", "doc_b").collect()}
+    # identical docs -> every band's bucket holds all 60 -> star only
+    assert pairs == {(0, i) for i in range(1, m)}, (
+        f"expected {m - 1} star pairs around doc 0, got {len(pairs)}"
+    )
+    # transitive resolution still merges the whole cluster
+    comp = dedup.connected_components(
+        cands.select("doc_a", "doc_b"), docs.select("doc_id")
+    )
+    labels = {r["comp"] for r in comp.collect()}
+    assert len(labels) == 1, f"star pairs must close into one cluster, got {labels}"
+
+    # below the cap the same corpus produces all-pairs (sanity contrast)
+    small = _docs_df(spark, [(i, body) for i in range(5)])
+    all_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_candidate_pairs(small, bucket_cap=16)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    assert all_pairs == {(i, j) for i in range(5) for j in range(i + 1, 5)}
+
+
 def test_simhash_locality(spark):
     base = " ".join(f"word{i}" for i in range(100))
     near = " ".join(f"word{i}" for i in range(99)) + " changed"
