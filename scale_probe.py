@@ -28,8 +28,8 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-BIG = "/tmp/scale10"
-COPIES = 10
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+BIG = f"/tmp/scale{COPIES}"
 
 QUERIES = [
     "agg_pricing_summary", "window_gaps_islands", "events_time_bucket_15min",
@@ -107,7 +107,7 @@ def main() -> None:
         drain()
         slope = big / base
         worst = max(worst, slope)
-        print(f"{name:32s} sf0.1={base:6.2f}s  10x={big:6.2f}s  slope={slope:5.1f}x")
+        print(f"{name:32s} sf0.1={base:6.2f}s  {COPIES}x={big:6.2f}s  slope={slope:5.1f}x")
     print(f"worst slope: {worst:.1f}x for {COPIES}x data "
           f"({'OK - subquadratic' if worst <= COPIES * 1.5 else 'SUPERLINEAR - investigate'})")
     spark.stop()
