@@ -270,3 +270,20 @@ def test_join_hints_control_physical_strategy(spark):
 
     hashed = l.join(o.hint("shuffle_hash"), l.l_orderkey == o.o_orderkey)
     assert "ShuffledHashJoin" in hashed._jdf.queryExecution().explainString(mode)
+
+
+def test_pii_scrub_scan_bound_shapes(spark):
+    """The scrub pass must stay scan-bound: pruned two-column scans,
+    map-side partial aggregation, and no join/window anywhere. The
+    events variant gets exactly two exchanges (the countDistinct
+    two-phase rewrite); the docs variant exactly one."""
+    plan = _plan(spark, "events_pii_scrub")
+    assert "ReadSchema: struct<event_type:string,props:string>" in plan
+    assert plan.count("hashpartitioning") == 2, plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert "Join" not in plan and "Window" not in plan
+
+    plan = _plan(spark, "docs_pii_clean_ratio")
+    assert "ReadSchema: struct<text:string,source:string>" in plan
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "Join" not in plan and "Window" not in plan
