@@ -80,3 +80,57 @@ def q_incremental_scan_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_orderkey") > F.lit(_BOOKMARK_HWM))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     )
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance — the engine's
+    incrementality thesis as a value-checked operator. The already-
+    processed half (l_orderkey <= HWM, what a bookmark-committed run
+    left behind as stored per-key partials) and the new increment
+    (l_orderkey > HWM) are each partially aggregated, then MERGED by
+    re-aggregating the partial states — never by rescanning history.
+    The oracle is the full-table aggregate: merged-partials must equal
+    recompute-from-scratch exactly.
+
+    Sums are carried as DECIMAL(18,4): decimal addition is associative,
+    so the split-merge result is bit-identical to the one-pass result
+    regardless of grouping order (a double sum would straddle rounding
+    boundaries between the two plans). At 100 TB this is the pattern
+    that turns a daily full-scan report into an increment-sized job:
+    the stored state is one row per key, the merge is a hash agg over
+    state ∪ increment-partials. (Reference anchor: this is what
+    glue_rds_to_redshift.py:44-74's re-run SHOULD have computed; the
+    keyed-merge convergence on the reference's own star schema is
+    replayed in tests/test_reference_scenario.py.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec_price = F.col("l_extendedprice").cast("decimal(18,4)")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_suppkey").agg(
+            F.count("*").alias("n_items"),
+            F.sum(dec_price).alias("total_dec"),
+        )
+
+    processed = partials(li.filter(F.col("l_orderkey") <= _BOOKMARK_HWM))
+    increment = partials(li.filter(F.col("l_orderkey") > _BOOKMARK_HWM))
+    merged = (
+        processed.unionByName(increment)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum("n_items").alias("n_items"),
+            F.sum("total_dec").alias("total_dec"),
+        )
+    )
+    return merged.select(
+        "l_suppkey", "n_items", F.col("total_dec").cast("double").alias("total")
+    )
