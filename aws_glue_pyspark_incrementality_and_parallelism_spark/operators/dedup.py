@@ -555,6 +555,72 @@ def q_dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_semdedup_purge",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+    ), sym AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.src, s.doc_b FROM reach r JOIN sym s ON r.dst = s.doc_a
+    ), comp AS (
+      SELECT src AS vec_id, MIN(dst) AS keeper FROM reach GROUP BY src
+    )
+    SELECT e.label, c.vec_id, c.keeper
+    FROM comp c JOIN embeddings e ON c.vec_id = e.vec_id
+    WHERE c.vec_id <> c.keeper
+    """,
+)
+def q_dedup_semdedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic purge (Abbas et al. 2023):
+    compare embeddings only WITHIN their cluster (here the precomputed
+    ``label`` column stands in for the k-means cell id), collapse
+    cosine ≥ 0.35 groups transitively, and emit the PURGE MANIFEST —
+    every vector to drop with its kept representative (the group's min
+    vec_id). This is the deliberately-approximate production shape:
+    cross-cluster duplicates are out of scope by design, which turns the
+    global O(n²) comparison into Σ O(m_cell²) with m bounded by the
+    clustering — at 100 TB the cells come from the IVF coarse quantizer
+    (``sim_label_centroids``) and each cell's pair kernel runs the
+    blocked-GEMM path; the HOF cosine here is the exact small-cell
+    kernel. Contrast ``dedup_embedding_components``, the global-recall
+    variant over the same corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))  # noqa: E731
+    sized = emb.select("label", "vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    a = sized.select(
+        "label",
+        F.col("vec_id").alias("doc_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = sized.select(
+        "label",
+        F.col("vec_id").alias("doc_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    edges = (
+        a.join(b, "label")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(dot / (F.col("na") * F.col("nb")) >= 0.35)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(edges, emb.select(F.col("vec_id").alias("doc_id")))
+    purged = comp.filter(F.col("doc_id") != F.col("comp"))
+    return purged.join(emb.select("vec_id", "label"), purged.doc_id == F.col("vec_id")).select(
+        "label", "vec_id", F.col("comp").alias("keeper")
+    )
+
+
 #: Non-overlapping token-window size for exact chunk dedup (the practical
 #: Spark formulation of exact-substring training-data dedup, cf. Lee et
 #: al. 2022 "Deduplicating Training Data Makes Language Models Better":
