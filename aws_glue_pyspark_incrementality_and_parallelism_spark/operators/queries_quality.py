@@ -282,3 +282,56 @@ def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(rz), 4).alias("max_robust_z"),
         )
     )
+
+
+#: Fraction of rows trimmed from EACH tail before the robust mean.
+TRIM_FRAC = 0.05
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), kept AS (
+      SELECT event_type, value, n FROM ranked
+      WHERE rn > FLOOR({TRIM_FRAC} * n)
+        AND rn <= n - FLOOR({TRIM_FRAC} * n)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) / COUNT(*) AS DOUBLE)
+             AS trimmed_mean
+    FROM kept
+    GROUP BY event_type
+    """,
+)
+def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (two-sided trimmed) mean of event value per type: drop the
+    lowest and highest {TRIM_FRAC:.0%} of ROWS per group, then average
+    the rest. Trimming by rank — not by interpolated percentile bounds —
+    keeps the cut exact integer logic (ties broken by event_id), so both
+    engines drop identical row sets; the mean is carried as DECIMAL so
+    summation order cannot move the result. The window is PARTITIONED by
+    event_type: each group ranks independently, no global sort — the
+    same shape at 100 TB, with AQE splitting any skewed group's sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    cut = F.floor(F.lit(TRIM_FRAC) * F.col("n"))
+    kept = ranked.filter((F.col("rn") > cut) & (F.col("rn") <= F.col("n") - cut))
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        (F.sum(F.col("value").cast("decimal(18,4)")) / F.count(F.lit(1)))
+        .cast("double")
+        .alias("trimmed_mean"),
+    )

@@ -738,6 +738,51 @@ def q_fn_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-source token budget for mixture sampling (tokens, not docs —
+#: mixing recipes are specified in tokens).
+MIX_TOKEN_BUDGET = 400
+
+
+@query(
+    "text_token_budget_sample",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), summed AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM sized
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM summed WHERE cum_tokens <= {MIX_TOKEN_BUDGET}
+    """,
+)
+def q_text_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling under per-source token budgets (the Pile/Dolma
+    recipe shape): within each source, take documents in deterministic
+    doc_id order until the source's token budget is exhausted. The
+    running total is a window cumsum PARTITIONED BY source — every
+    partition sorts independently, so unlike a global-order sample this
+    parallelizes across sources and shards; the budget cut is a plain
+    filter on the cumulative column. Deterministic: no RNG, no global
+    sort, re-derivable by any engine (the oracle is the same SQL)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    summed = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return summed.filter(F.col("cum_tokens") <= MIX_TOKEN_BUDGET).select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
+    )
+
+
 from ..session import pickle_module_by_value  # noqa: E402
 
 # This module defines worker-side (Arrow/Pandas UDF) functions: ship them
