@@ -19,6 +19,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..plans.registry import query
 from ..sources.io import load_table
@@ -697,4 +698,74 @@ def q_dedup_chunk_dupe_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dup_chunks",
             F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4).alias("dup_ratio"),
         )
+    )
+
+
+@query(
+    "dedup_components_keep_best",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
+      FROM documents WHERE doc_id < 100
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) * 1.0 AS n_common
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT i.doc_a, i.doc_b FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.5
+    ), sym AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 100)
+      UNION
+      SELECT r.src, s.doc_b FROM reach r JOIN sym s ON r.dst = s.doc_a
+    ), comp AS (
+      SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+    ), scored AS (
+      SELECT c.component, c.doc_id,
+             CAST(len(list_distinct(string_split_regex(lower(trim(d.text)), '\\s+'))) AS BIGINT)
+               AS n_unique,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+               ORDER BY len(list_distinct(string_split_regex(lower(trim(d.text)), '\\s+'))) DESC,
+                        c.doc_id) AS pick
+      FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT component, doc_id AS keeper_doc, n_unique AS keeper_unique_tokens,
+           CAST((SELECT COUNT(*) FROM scored s2 WHERE s2.component = scored.component) AS BIGINT)
+             AS cluster_size
+    FROM scored WHERE pick = 1
+    """,
+)
+def q_dedup_components_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-based duplicate-cluster resolution: instead of the min-id
+    keeper (``dedup_components_keeper``), KEEP THE BEST member of each
+    near-dup cluster — here the most lexically diverse (highest distinct
+    token count; an exact integer, so both engines pick identical
+    winners — a float quality score could flip on last-ulp ordering),
+    ties broken by min doc_id. This is the production dedup policy:
+    boilerplate variants collapse to the richest copy, not an arbitrary
+    one. Shape: near-dup pairs → components → one per-component window
+    argmax over O(cluster) rows (bounded to doc_id<100 to match the
+    exact-oracle pair query)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, docs.select("doc_id").distinct())
+    n_unique = F.size(
+        F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    ).cast("long")
+    scored = comp.join(docs.select("doc_id", n_unique.alias("n_unique")), "doc_id")
+    w = Window.partitionBy("comp").orderBy(F.desc("n_unique"), F.asc("doc_id"))
+    sizes = scored.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    best = scored.withColumn("pick", F.row_number().over(w)).filter(F.col("pick") == 1)
+    return best.join(sizes, "comp").select(
+        F.col("comp").alias("component"),
+        F.col("doc_id").alias("keeper_doc"),
+        F.col("n_unique").alias("keeper_unique_tokens"),
+        "cluster_size",
     )

@@ -454,3 +454,56 @@ def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size(F.collect_set("event_type").over(w)).alias("distinct_types_so_far"),
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_view_then_click,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_full_funnel
+    """,
+)
+def q_events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase, strict
+    temporal order): stage N counts only users whose earliest stage-N
+    event happens AFTER their earliest qualifying stage-(N−1) event —
+    the product-analytics query every event warehouse ships.
+
+    Shape: one hash aggregate per stage plus a user_id equi-join back to
+    events — every shuffle is on the same key, so the exchanges reuse
+    one partitioning; no window over the full event stream, no per-user
+    Python. At 100 TB each stage's scan prunes on the event_type
+    predicate before shuffling (only that stage's events move)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(prev: DataFrame | None, etype: str, tcol: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            pcol = prev.columns[1]
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(pcol))
+        return e.groupBy("user_id").agg(F.min("ts").alias(tcol))
+
+    s1 = stage(None, "view", "t1")
+    s2 = stage(s1, "click", "t2")
+    s3 = stage(s2, "purchase", "t3")
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(name))
+        for df, name in ((s1, "n_view"), (s2, "n_view_then_click"), (s3, "n_full_funnel"))
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out
