@@ -197,3 +197,58 @@ def q_graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.filter(F.col("rank") >= PAGERANK_RANK_THRESHOLD).select(
         "node", F.round("rank", 4).alias("rank")
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
+      FROM documents WHERE doc_id < 100
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) * 1.0 AS n_common
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), e AS (
+      SELECT i.doc_a AS u, i.doc_b AS v FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.5
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM e e1
+                 JOIN e e2 ON e1.v = e2.u
+                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT) AS n_triangles
+    """,
+)
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the near-dup similarity graph — the
+    clustering-density metric (how clique-like are duplicate groups).
+    Edges are the id-oriented Jaccard ≥ 0.5 pairs (u < v), so each
+    triangle is counted exactly once via the standard two-join wedge
+    closure: e1(u,v) ⋈ e2(v,w) gives wedges, e3(u,w) closes them.
+
+    Scale stance: id orientation bounds each join key's fan-out by the
+    node's higher-id degree; on power-law graphs the production
+    refinement is DEGREE orientation (direct each edge toward the
+    higher-degree endpoint, ties by id), which caps wedge generation at
+    O(m^1.5) total — same plan shape, different ordering key. The edge
+    relation here is the bounded oracle-scale pair set; at corpus scale
+    edges come from the LSH candidate path."""
+    from .dedup import q_dedup_ngram_jaccard
+
+    e = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).localCheckpoint(eager=True)
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+    tris = wedges.join(
+        e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v"))
+    )
+    n_e = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_t = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return n_e.crossJoin(n_t)
