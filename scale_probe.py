@@ -41,6 +41,8 @@ QUERIES = [
     "multimodal_features", "multimodal_resize",
     "sim_lsh_topk", "udf_ewma_per_user",
     "events_pii_scrub", "docs_pii_clean_ratio",
+    "events_funnel_conversion", "agg_trimmed_mean", "text_token_budget_sample",
+    "dedup_semdedup_purge",
 ]
 
 
@@ -60,7 +62,14 @@ def build_big() -> None:
             "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
             "l_returnflag, l_linestatus, l_shipdate"
         ),
-        "embeddings": "vec_id + i * 1000000 AS vec_id, label, embedding",
+        # label is remapped too: cluster-scoped operators (SemDeDup) key
+        # on it, and a real clustering grows cell COUNT with the corpus
+        # (k ∝ n, bounded cell size) — leaving label fixed would grow
+        # cells 10× instead and fake a quadratic out of per-cell work.
+        "embeddings": (
+            "vec_id + i * 1000000 AS vec_id, "
+            "CAST(label + i * 10 AS INTEGER) AS label, embedding"
+        ),
     }
     for table, cols in remaps.items():
         con.execute(
