@@ -74,9 +74,40 @@ def main() -> None:
     except (OSError, ValueError):
         pass
     ordered = sorted(catalog.REGISTRY, key=lambda n: (-prev.get(n, 0.0), n))
+
+    # Iterative / checkpoint-heavy queries execute as DOZENS of small
+    # sequential Spark jobs (per-iteration actions + eager
+    # localCheckpoints). Running many of them concurrently multiplies
+    # each one's latency — every tiny stage queues behind the siblings'
+    # stages — observed 7s -> 50s+ per query once 8 of them led the LPT
+    # order. Confine the family to a few serial LANES (each lane runs
+    # its queries back-to-back on one worker) while the scan/agg-bound
+    # rest of the suite fills the remaining threads.
+    ITERATIVE_LANES = 3
+    ITERATIVE = [
+        "dedup_embedding_components", "graph_pagerank_parts",
+        "dedup_semdedup_purge", "dedup_components_keep_best",
+        "dedup_components_keeper", "sim_kmeans_refine",
+        "dedup_minhash_lsh", "dedup_fuzzy_pairs_blocked",
+    ]
+    iter_names = [n for n in ordered if n in ITERATIVE]
+    rest = [n for n in ordered if n not in ITERATIVE]
+
+    def _lane(names):
+        def run():
+            for n in names:
+                _timed(n)()
+
+        return run
+
+    lanes = [iter_names[i::ITERATIVE_LANES] for i in range(ITERATIVE_LANES)]
     jobs = [
+        ReportJob(name=f"iterative_lane_{i}", fn=_lane(lane), pool=str(1 + i % 2))
+        for i, lane in enumerate(lanes)
+        if lane
+    ] + [
         ReportJob(name=name, fn=_timed(name), pool=str(1 + i % 2))
-        for i, name in enumerate(ordered)
+        for i, name in enumerate(rest)
     ]
     run_concurrent(spark, jobs, max_workers=threads)
 
