@@ -769,3 +769,141 @@ def q_dedup_components_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_unique").alias("keeper_unique_tokens"),
         "cluster_size",
     )
+
+
+#: Portable-MinHash parameters: 16 slots = 4 bands × 4 rows, candidate
+#: threshold ≈ (1/4)^(1/4) ≈ 0.71. Bounded to doc_id < PORTABLE_DOC_CAP
+#: because md5-per-slot is the oracle-portable (slower) hash — the scale
+#: path is the xxhash64 variant above.
+PORTABLE_K = 16
+PORTABLE_BANDS = 4
+PORTABLE_ROWS = 4
+PORTABLE_DOC_CAP = 200
+
+
+def _minhash_portable_oracle() -> str:
+    mins = ",\n             ".join(
+        f"MIN(CAST(CONCAT('0x', substring(md5(CONCAT('{i}:', s)), 1, 15)) AS BIGINT)) AS m{i}"
+        for i in range(PORTABLE_K)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {b} AS band_idx,\n"
+        "             md5(CONCAT_WS(',', {cols})) AS band_hash FROM slot".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(m{b * PORTABLE_ROWS + j} AS VARCHAR)" for j in range(PORTABLE_ROWS)
+            ),
+        )
+        for b in range(PORTABLE_BANDS)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE doc_id < {PORTABLE_DOC_CAP}
+    ), eligible AS (
+      SELECT * FROM base WHERE len(toks) >= 3
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             list_aggregate(toks[i:i+2], 'string_agg', ' ') AS s
+      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-2)) AS i
+            FROM eligible)
+    ), slot AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY doc_id
+    ), banded AS (
+{band_selects}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) * 1.0 AS n_common
+      FROM pairs p
+      JOIN sh x ON x.doc_id = p.doc_a
+      JOIN sh y ON y.doc_id = p.doc_b AND y.s = x.s
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(i.n_common / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.5
+    """
+
+
+@query("dedup_minhash_portable", oracle=_minhash_portable_oracle())
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding with a PORTABLE hash, oracled end-to-end:
+    slot hashes are md5-derived (first 60 bits as a BIGINT) so DuckDB
+    reproduces the exact signature/band/candidate algebra that the
+    xxhash64 scale path (``dedup_minhash_lsh``) can only rows-check.
+    Same pipeline shape: distinct 3-word shingles → 16 min() slots in
+    one hash-aggregate → 4×4 band hashes → band equi self-join →
+    exact-Jaccard verification ≥ 0.5. Bounded to doc_id <
+    {PORTABLE_DOC_CAP} because md5-per-slot is deliberately the slow
+    portable hash; the banding math proven here is hash-agnostic."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < PORTABLE_DOC_CAP)
+        .filter(F.size(_tokens(F.col("text"))) >= 3)
+    )
+    sh = shingle_rows(docs).distinct()
+    slot_cols = [
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 15), 16, 10
+            ).cast("bigint")
+        ).alias(f"m{i}")
+        for i in range(PORTABLE_K)
+    ]
+    slot = sh.groupBy("doc_id").agg(*slot_cols)
+    bands_col = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{b * PORTABLE_ROWS + j}").cast("string")
+                        for j in range(PORTABLE_ROWS)
+                    ],
+                )
+            )
+            for b in range(PORTABLE_BANDS)
+        ]
+    )
+    banded = slot.select("doc_id", F.posexplode(bands_col).alias("band_idx", "band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    inter = (
+        pairs.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.s") == F.col("x.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg((F.count("*") * F.lit(1.0)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
