@@ -907,3 +907,89 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+#: Portable-SimHash parameters: 60 usable bits (md5-hex prefix → BIGINT),
+#: pair threshold = Hamming ≤ 8, bounded corpus (md5 is the slow portable
+#: hash; the xxhash64 variant above is the scale path).
+SIMHASH_PORTABLE_BITS = 60
+SIMHASH_PORTABLE_HAMMING = 8
+
+
+def _simhash_portable_oracle() -> str:
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_PORTABLE_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_PORTABLE_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
+      FROM documents WHERE doc_id < 100
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(CONCAT('0x', substring(md5(w), 1, 15)) AS BIGINT) AS h
+      FROM tok
+    ), sums AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM hashed GROUP BY doc_id
+    ), fp AS (
+      SELECT doc_id, {fp} AS fingerprint FROM sums
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {SIMHASH_PORTABLE_HAMMING}
+    """
+
+
+@query("dedup_simhash_portable", oracle=_simhash_portable_oracle())
+def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection with a PORTABLE hash, oracled
+    end-to-end: md5-derived 60-bit token hashes, per-bit ±1 vote sums,
+    sign → fingerprint bit, pairs at Hamming ≤ {SIMHASH_PORTABLE_HAMMING}
+    — DuckDB reproduces every bit, so the vote/sign/Hamming algebra the
+    xxhash64 scale variant (``dedup_simhash``) can only rows-check is
+    value-checked here. The 60 bit-sums are plain SUM columns of ONE
+    hash-aggregate (codegen, map-side combine) — the same shape as the
+    MinHash slot aggregate. Bounded corpus: md5 is deliberately the slow
+    portable hash, and the all-pairs Hamming join exists only at oracle
+    scale (the scale path blocks by fingerprint bands, cf.
+    ``dedup_simhash``)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("w")
+    )
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("bigint")
+    hashed = tok.select("doc_id", h.alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_PORTABLE_BITS)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*bit_sums)
+    fp_col = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint")),
+        range(1, SIMHASH_PORTABLE_BITS),
+        F.when(F.col("s0") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint")),
+    )
+    fp = sums.select("doc_id", fp_col.alias("fingerprint"))
+    a = fp.alias("a")
+    b_ = fp.alias("b")
+    ham = F.bit_count(F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint")))
+    return (
+        a.join(b_, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(ham <= SIMHASH_PORTABLE_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("bigint").alias("hamming"),
+        )
+    )
