@@ -993,3 +993,60 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.cast("bigint").alias("hamming"),
         )
     )
+
+
+@query(
+    "dedup_winnow_portable",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), eligible AS (
+      SELECT * FROM base WHERE len(toks) >= 4
+    ), grams AS (
+      SELECT doc_id, i AS pos,
+             CAST(CONCAT('0x', substring(md5(
+               list_aggregate(toks[i:i+3], 'string_agg', ' ')), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-3)) AS i
+            FROM eligible)
+    ), mins AS (
+      SELECT DISTINCT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+      FROM grams
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints
+    FROM mins GROUP BY doc_id
+    """,
+)
+def q_dedup_winnow_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection with a PORTABLE hash,
+    oracled end-to-end: md5-derived 60-bit 4-gram hashes, rolling
+    window-of-5 minimum, distinct fingerprints per doc — DuckDB runs
+    the identical window algebra, so the selection rule the xxhash64
+    variant (``dedup_winnow_fingerprints``) can only rows-check is
+    value-checked here, over the FULL corpus (one md5 per shingle is
+    cheap enough; the rolling-min sort-by-doc is winnowing's inherent
+    single shuffle)."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 4)
+    starts = F.sequence(F.lit(0), F.size("toks") - 4)
+    grams = base.select("doc_id", "toks", F.explode(starts).alias("pos")).select(
+        "doc_id",
+        "pos",
+        F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice("toks", F.col("pos") + 1, 4), " ")), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    frame = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 4)
+    mins = grams.select("doc_id", F.min("h").over(frame).alias("fp")).distinct()
+    return mins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fingerprints"))
