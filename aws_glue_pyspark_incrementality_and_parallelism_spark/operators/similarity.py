@@ -581,6 +581,111 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Portable hyperplane-LSH parameters: 8 Rademacher (±1) hyperplanes →
+#: 256 buckets, bounded corpus (the float-random-hyperplane variant
+#: ``sim_lsh_topk`` is the scale path; this one exists so the bucketing
+#: algebra is oracle-checkable with EXACT arithmetic).
+LSH_PORTABLE_PLANES = 8
+LSH_PORTABLE_VEC_CAP = 300
+
+
+@query(
+    "sim_lsh_portable_buckets",
+    oracle=f"""
+    WITH planes AS (
+      SELECT i, j,
+             CASE WHEN (CAST(CONCAT('0x', substring(md5(
+                    CONCAT(CAST(i AS VARCHAR), '_', CAST(j AS VARCHAR))), 1, 15))
+                  AS BIGINT) & 1) = 1 THEN 1 ELSE -1 END AS sgn
+      FROM range({LSH_PORTABLE_PLANES}) t(i), range(1, 65) u(j)
+    ), comps AS (
+      SELECT d.vec_id, p.i,
+             SUM(p.sgn * CAST(d.x AS DECIMAL(12,6))) AS proj
+      FROM (SELECT vec_id, j, embedding[j] AS x
+            FROM embeddings, unnest(generate_series(1, len(embedding))) t(j)
+            WHERE vec_id < {LSH_PORTABLE_VEC_CAP}) d
+      JOIN planes p ON p.j = d.j
+      GROUP BY d.vec_id, p.i
+    ), sig AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN proj > 0 THEN CAST(POWER(2, i) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM comps GROUP BY vec_id
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    """,
+)
+def q_sim_lsh_portable_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH candidate generation with EXACT portable
+    arithmetic, oracled end-to-end: Rademacher (±1) hyperplanes derived
+    from md5 parity — both engines derive the identical matrix from the
+    same formula — and projections carried as DECIMAL, so the sign of
+    every dot product (and therefore every bucket bit and every
+    candidate pair) is bit-for-bit reproducible; float summation-order
+    drift cannot flip a bucket. Shape is the real LSH path's: per-plane
+    projection as one hash-aggregate over (vec, plane) rows, signature
+    packing, bucket equi self-join. The float-hyperplane scale variant
+    (``sim_lsh_topk``) keeps its pytest recall check; this query proves
+    the bucketing ALGEBRA. Bounded corpus: the all-dims explode is the
+    oracle-portable formulation, not the vectorized scale kernel."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < LSH_PORTABLE_VEC_CAP
+    )
+    planes = (
+        spark.range(LSH_PORTABLE_PLANES)
+        .withColumnRenamed("id", "i")
+        .crossJoin(spark.range(1, 65).withColumnRenamed("id", "j"))
+        .select(
+            "i",
+            "j",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("i").cast("string"), F.lit("_"), F.col("j").cast("string")
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("bigint")
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            )
+            .otherwise(-1)
+            .alias("sgn"),
+        )
+    )
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select("vec_id", (F.col("pos") + 1).alias("j"), F.col("x").cast("decimal(12,6)").alias("x"))
+    comps = (
+        dims.join(F.broadcast(planes), "j")
+        .groupBy("vec_id", "i")
+        .agg(F.sum(F.col("sgn") * F.col("x")).alias("proj"))
+    )
+    sig = comps.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("proj") > 0, F.pow(F.lit(2.0), F.col("i")).cast("bigint")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bucket")
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), F.col("a.bucket").alias("bucket")
+    )
+
+
 from ..session import pickle_module_by_value  # noqa: E402
 
 # This module defines worker-side (Arrow/Pandas UDF) functions: ship them
