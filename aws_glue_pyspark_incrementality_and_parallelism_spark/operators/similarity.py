@@ -686,6 +686,122 @@ def q_sim_lsh_portable_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Portable IVF parameters: nprobe 2, top-3 rerank, query ids < 50.
+IVF_PORTABLE_NPROBE = 2
+IVF_PORTABLE_TOPK = 3
+IVF_PORTABLE_NQUERIES = 50
+
+
+@query(
+    "sim_ivf_portable_topk",
+    oracle=f"""
+    WITH dims AS (
+      SELECT vec_id, label, j, CAST(embedding[j] AS DECIMAL(12,6)) AS x
+      FROM embeddings, unnest(generate_series(1, len(embedding))) t(j)
+    ), cent AS (
+      SELECT label AS cell, j,
+             CAST(ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(12,6)) AS c
+      FROM dims GROUP BY label, j
+    ), dist_vc AS (
+      SELECT d.vec_id, ct.cell, SUM((d.x - ct.c) * (d.x - ct.c)) AS dist
+      FROM dims d JOIN cent ct ON ct.j = d.j
+      GROUP BY d.vec_id, ct.cell
+    ), assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM dist_vc) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM dist_vc WHERE vec_id < {IVF_PORTABLE_NQUERIES})
+      WHERE rn <= {IVF_PORTABLE_NPROBE}
+    ), cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN assign a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    ), rerank AS (
+      SELECT c.query_id, c.vec_id,
+             SUM((q.x - v.x) * (q.x - v.x)) AS dist
+      FROM cand c
+      JOIN dims q ON q.vec_id = c.query_id
+      JOIN dims v ON v.vec_id = c.vec_id AND v.j = q.j
+      GROUP BY c.query_id, c.vec_id
+    )
+    SELECT query_id, vec_id, CAST(rn AS BIGINT) AS rnk
+    FROM (SELECT query_id, vec_id, dist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY dist, vec_id) AS rn
+          FROM rerank)
+    WHERE rn <= {IVF_PORTABLE_TOPK}
+    """,
+)
+def q_sim_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search with EXACT portable arithmetic, oracled
+    end-to-end: coarse centroids are per-label means pinned to 6
+    decimals, and every distance — corpus→cell assignment, query probe
+    selection, candidate rerank — is a DECIMAL sum of squared decimal
+    diffs, so cell choices, candidate sets, and the final top-k ranking
+    (output as integer ranks — no float column to straddle a rounding
+    midpoint) are bit-for-bit reproducible in DuckDB (ties broken by cell/vec id).
+    This value-checks the IVF ALGEBRA (assign → nprobe probe → exact
+    rerank) that the float GEMM scale path (``sim_ivf_topk``) can only
+    rows-check; that variant keeps its pytest recall guarantee and its
+    broadcast/partition-pruning topology for 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "xr")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("j"),
+        F.col("xr").cast("decimal(12,6)").alias("x"),
+    )
+    cent = (
+        dims.groupBy("label", "j")
+        .agg(
+            F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 6)
+            .cast("decimal(12,6)")
+            .alias("c")
+        )
+        .select(F.col("label").alias("cell"), "j", "c")
+    )
+    diff = F.col("x") - F.col("c")
+    dist_vc = (
+        dims.join(F.broadcast(cent), "j")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    ranked = dist_vc.withColumn("rn", F.row_number().over(w_cell))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cell")
+    probes = (
+        ranked.filter(
+            (F.col("vec_id") < IVF_PORTABLE_NQUERIES) & (F.col("rn") <= IVF_PORTABLE_NPROBE)
+        )
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    cand = probes.join(assign, "cell").filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id"
+    )
+    q = dims.select(F.col("vec_id").alias("query_id"), "j", F.col("x").alias("qx"))
+    v = dims.select("vec_id", "j", F.col("x").alias("vx"))
+    d2 = F.col("qx") - F.col("vx")
+    rerank = (
+        cand.join(q, "query_id")
+        .join(v, ["vec_id", "j"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(d2 * d2).alias("dist"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (
+        rerank.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= IVF_PORTABLE_TOPK)
+        .select("query_id", "vec_id", F.col("rn").cast("bigint").alias("rnk"))
+    )
+
+
 from ..session import pickle_module_by_value  # noqa: E402
 
 # This module defines worker-side (Arrow/Pandas UDF) functions: ship them
