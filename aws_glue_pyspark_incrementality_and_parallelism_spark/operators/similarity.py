@@ -802,6 +802,95 @@ def q_sim_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Portable k-means parameters: K=4 seeded from vec_ids 0..3, 2 Lloyd
+#: iterations, corpus bounded to vec_id < 200.
+KMEANS_PORTABLE_K = 4
+KMEANS_PORTABLE_CAP = 200
+
+
+@query(
+    "sim_kmeans_portable",
+    oracle=f"""
+    WITH dims AS (
+      SELECT vec_id, j, CAST(embedding[j] AS DECIMAL(12,6)) AS x
+      FROM embeddings, unnest(generate_series(1, len(embedding))) t(j)
+      WHERE vec_id < {KMEANS_PORTABLE_CAP}
+    ), c0 AS (
+      SELECT vec_id AS cid, j, x AS c FROM dims WHERE vec_id < {KMEANS_PORTABLE_K}
+    ), d1 AS (
+      SELECT d.vec_id, c.cid, SUM((d.x - c.c) * (d.x - c.c)) AS dist
+      FROM dims d JOIN c0 c ON c.j = d.j GROUP BY d.vec_id, c.cid
+    ), a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1
+    ), c1 AS (
+      SELECT a.cid, d.j,
+             CAST(ROUND(CAST(SUM(d.x) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(12,6)) AS c
+      FROM a1 a JOIN dims d ON d.vec_id = a.vec_id GROUP BY a.cid, d.j
+    ), d2 AS (
+      SELECT d.vec_id, c.cid, SUM((d.x - c.c) * (d.x - c.c)) AS dist
+      FROM dims d JOIN c1 c ON c.j = d.j GROUP BY d.vec_id, c.cid
+    ), a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1
+    )
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(vec_id) AS BIGINT) AS member_id_sum
+    FROM a2 GROUP BY cid
+    """,
+)
+def q_sim_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations with EXACT portable arithmetic, oracled
+    end-to-end: centroids pinned to 6 decimals after each mean update,
+    every vector→centroid distance a DECIMAL sum of squared decimal
+    diffs (ties → min centroid id), so both engines reproduce the
+    identical assignment trajectory. Output is integer-only (cluster
+    size + member-id checksum) — the strongest value-check a float
+    iterative algorithm admits. The production variant
+    (``sim_kmeans_refine``) keeps its driver-collects-only-centroids
+    topology and pytest inertia-monotonicity check; this query proves
+    the assign/update ALGEBRA the float path can only rows-check."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < KMEANS_PORTABLE_CAP
+    )
+    dims = emb.select("vec_id", F.posexplode("embedding").alias("pos", "xr")).select(
+        "vec_id", (F.col("pos") + 1).alias("j"), F.col("xr").cast("decimal(12,6)").alias("x")
+    )
+    cent = dims.filter(F.col("vec_id") < KMEANS_PORTABLE_K).select(
+        F.col("vec_id").alias("cid"), "j", F.col("x").alias("c")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    for _ in range(2):
+        diff = F.col("x") - F.col("c")
+        d = (
+            dims.join(F.broadcast(cent), "j")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(diff * diff).alias("dist"))
+        )
+        assign = (
+            d.withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+        cent = (
+            assign.join(dims, "vec_id")
+            .groupBy("cid", "j")
+            .agg(
+                F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 6)
+                .cast("decimal(12,6)")
+                .alias("c")
+            )
+        )
+    return assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("vec_id").alias("member_id_sum"),
+    )
+
+
 from ..session import pickle_module_by_value  # noqa: E402
 
 # This module defines worker-side (Arrow/Pandas UDF) functions: ship them
