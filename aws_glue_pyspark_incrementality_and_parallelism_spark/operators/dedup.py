@@ -287,7 +287,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 scale path: MinHash(32) + 8×4 banding → candidate pairs →
     exact shingle-Jaccard verification ≥ 0.5. Rows-only check here
     (hash internals aren't SQL-portable); recall against brute force is
-    asserted in pytest on synthetic near-dups."""
+    asserted in pytest on synthetic near-dups. The same algorithm's algebra is
+    value-checked end-to-end in the portable twin ``dedup_minhash_portable``."""
     docs = load_table(spark, sf_dir, "documents")
     cands = minhash_candidate_pairs(docs)
     inter = F.size(F.array_intersect("shingles_a", "shingles_b"))
@@ -334,7 +335,8 @@ def winnow_fingerprints(
 def q_dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2/E4 rolling-hash fingerprinting: winnowed fingerprint count per
     doc (rows-only — xxhash64 isn't SQL-portable; the containment
-    guarantee is asserted in pytest on planted overlaps)."""
+    guarantee is asserted in pytest on planted overlaps). The same algorithm's algebra is
+    value-checked end-to-end in the portable twin ``dedup_winnow_portable``."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         winnow_fingerprints(docs)
@@ -380,7 +382,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the pair search a hash join at scale. Rows-only: the
     fingerprint is built from Spark's xxhash64, which DuckDB lacks, so
     no SQL oracle can reproduce the bits; fingerprint properties
-    (similar docs ⇒ small Hamming distance) are asserted in pytest."""
+    (similar docs ⇒ small Hamming distance) are asserted in pytest. The same algorithm's algebra is
+    value-checked end-to-end in the portable twin ``dedup_simhash_portable``."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_frame(docs)
 

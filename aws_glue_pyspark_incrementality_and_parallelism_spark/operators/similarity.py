@@ -344,7 +344,8 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched argmax pass (no shuffle), and the probe is an equi
     join on the cell id — at 100 TB the corpus would be WRITTEN
     partitioned by cell so the probe join prunes partitions instead of
-    scanning. Rows-only check; recall vs brute force is in pytest."""
+    scanning. Rows-only check; recall vs brute force is in pytest. The same algorithm's algebra is
+    value-checked end-to-end in the portable twin ``sim_ivf_portable_topk``."""
     emb = load_table(spark, sf_dir, "embeddings")
     cent = label_centroid_arrays(emb)
     cos_udf = _cosine_pandas_udf()
@@ -388,7 +389,8 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine rerank on candidates only. Rows-only check (bucket
     internals aren't SQL-portable); recall vs brute force is asserted in
     pytest. At scale: signatures are one narrow column per table, the
-    candidate join shuffles on (table, bucket), rerank is per-candidate."""
+    candidate join shuffles on (table, bucket), rerank is per-candidate. The same algorithm's algebra is
+    value-checked end-to-end in the portable twin ``sim_lsh_portable_buckets``."""
     emb = load_table(spark, sf_dir, "embeddings")
     planes = _hyperplanes(n_tables=LSH_TABLES, n_bits=LSH_BITS, dim=64)
     from pyspark.sql.functions import pandas_udf
@@ -481,7 +483,8 @@ def kmeans_refine(
 def q_sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means refinement of the label-seeded coarse quantizer (3 Lloyd
     iterations). Rows-only check (iterative float means aren't
-    SQL-portable); inertia monotonicity is asserted in pytest."""
+    SQL-portable); inertia monotonicity is asserted in pytest. The same algorithm's algebra is
+    value-checked end-to-end in the portable twin ``sim_kmeans_portable``."""
     emb = load_table(spark, sf_dir, "embeddings")
     cent, _ = kmeans_refine(emb, label_centroid_arrays(emb), iterations=3)
     return cent.select("cell", F.size("centroid").alias("dim"))
