@@ -93,7 +93,7 @@ def test_simhash_deterministic(spark):
 
 def test_lsh_topk_recall_vs_brute_force(spark):
     brute = similarity.q_sim_brute_force_topk(spark, SF_SMALL)
-    lsh = similarity.q_sim_lsh_topk(spark, SF_SMALL)
+    lsh = similarity.lsh_topk_pairs(spark, SF_SMALL)
     brute_pairs = {(r.query_id, r.vec_id) for r in brute.collect()}
     lsh_pairs = {(r.query_id, r.vec_id) for r in lsh.collect()}
     recall = len(brute_pairs & lsh_pairs) / len(brute_pairs)
@@ -166,7 +166,7 @@ def test_multimodal_real_decode_rejects_unknown_format(spark):
 
 def test_ivf_topk_recall_vs_brute_force(spark):
     brute = similarity.q_sim_brute_force_topk(spark, SF_SMALL)
-    ivf = similarity.q_sim_ivf_topk(spark, SF_SMALL)
+    ivf = similarity.ivf_topk_pairs(spark, SF_SMALL)
     brute_rows = brute.collect()
     ivf_rows = ivf.collect()
     brute_pairs = {(r.query_id, r.vec_id) for r in brute_rows}
