@@ -231,15 +231,22 @@ def minhash_candidate_pairs(docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -
     # m²/2 pairs from the self-join, all on ONE shuffle task — at web
     # scale a boilerplate cluster (m in the millions) is both a skew
     # straggler and a quadratic blowup. Buckets above ``bucket_cap`` are
-    # STAR-LINEARIZED instead: every member pairs only with the bucket's
-    # min doc_id (m-1 pairs, not m²/2). Near-identical members still
-    # verify against the representative, and the downstream duplicate-
-    # cluster resolution (dedup_components_keeper) closes the transitive
-    # chain, so cluster recall is preserved while any one bucket's output
-    # is bounded linearly. The size aggregate reuses the join's own
-    # (band_idx, band_hash) hash partitioning — no extra shuffle shape.
+    # CHAIN-LINEARIZED instead: members sorted by doc_id each pair with
+    # their predecessor (m-1 pairs, not m²/2; the per-bucket sort is
+    # O(m log m) on the task that already owns the bucket's rows).
+    # This is a documented APPROXIMATION, not a lossless rewrite: the
+    # downstream transitive closure (dedup_components_keeper) runs over
+    # VERIFIED pairs, so a hot-bucket member whose Jaccard with BOTH
+    # chain neighbors is < 0.5 disconnects from that bucket's cluster
+    # even if it would verify against some other member. A chain keeps
+    # every member one hop from two candidates (vs one fixed
+    # representative under star pairing), and the other LSH_BANDS-1
+    # bands still offer independent routes, but pathological mixed
+    # mega-buckets can lose recall — bounded output is the explicit
+    # trade. The size aggregate reuses the join's own (band_idx,
+    # band_hash) hash partitioning — no extra shuffle shape.
     sizes = banded.groupBy("band_idx", "band_hash").agg(
-        F.count("*").alias("bucket_n"), F.min("doc_id").alias("bucket_rep")
+        F.count("*").alias("bucket_n")
     )
     sized = banded.join(sizes, ["band_idx", "band_hash"])
     small = sized.filter(F.col("bucket_n") <= bucket_cap)
@@ -254,11 +261,15 @@ def minhash_candidate_pairs(docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
-    pairs_star = (
-        sized.filter((F.col("bucket_n") > bucket_cap) & (F.col("doc_id") != F.col("bucket_rep")))
-        .select(F.col("bucket_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    w_chain = Window.partitionBy("band_idx", "band_hash").orderBy("doc_id")
+    pairs_chain = (
+        sized.filter(F.col("bucket_n") > bucket_cap)
+        .select("band_idx", "band_hash", "doc_id")
+        .withColumn("prev_id", F.lag("doc_id").over(w_chain))
+        .filter(F.col("prev_id").isNotNull())
+        .select(F.col("prev_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
-    cands = pairs_all.unionByName(pairs_star).dropDuplicates(["doc_a", "doc_b"])
+    cands = pairs_all.unionByName(pairs_chain).dropDuplicates(["doc_a", "doc_b"])
     # Shingle SETS only for docs that appear in a candidate pair: the
     # semi-join prunes DOCS (before tokenize/explode/window, not after),
     # so the second shingling pass runs over the few surviving
@@ -701,7 +712,10 @@ def q_dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the IVF/LSH candidate path when approximate recall is acceptable —
     and components from min-label propagation; nothing materializes a
     quadratic row set. Oracle: DuckDB list_cosine_similarity pairs +
-    recursive-CTE transitive closure."""
+    recursive-CTE transitive closure (threshold slack vs the corpus
+    cosine distribution keeps the float edge set stable — contrast
+    ``dedup_semdedup_purge``, which compares in exact integer
+    arithmetic on both engines)."""
     from .similarity import q_sim_cosine_pairs_blocked
 
     edges = q_sim_cosine_pairs_blocked(spark, sf_dir).select(
@@ -720,11 +734,24 @@ def q_dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_semdedup_purge",
     oracle="""
-    WITH RECURSIVE pairs AS (
-      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-      FROM embeddings a JOIN embeddings b
+    WITH RECURSIVE sized AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> CAST(CAST(x AS DECIMAL(12,6)) * 1000000 AS BIGINT)) AS q,
+             list_sum(list_transform(embedding,
+                      x -> CAST(CAST(x AS DECIMAL(12,6)) * 1000000 AS BIGINT)
+                         * CAST(CAST(x AS DECIMAL(12,6)) * 1000000 AS BIGINT))) AS ss
+      FROM embeddings
+    ), dots AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS dot,
+             a.ss AS ssa, b.ss AS ssb
+      FROM sized a JOIN sized b
         ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM dots
+      WHERE ssa > 0 AND ssb > 0 AND dot >= 0
+        AND 400 * CAST(dot AS HUGEINT) * dot >= 49 * CAST(ssa AS HUGEINT) * ssb
     ), sym AS (
       SELECT doc_a, doc_b FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs
@@ -751,29 +778,61 @@ def q_dedup_semdedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     global O(n²) comparison into Σ O(m_cell²) with m bounded by the
     clustering — at 100 TB the cells come from the IVF coarse quantizer
     (``sim_label_centroids``) and each cell's pair kernel runs the
-    blocked-GEMM path; the HOF cosine here is the exact small-cell
-    kernel. Contrast ``dedup_embedding_components``, the global-recall
-    variant over the same corpus."""
+    blocked-GEMM path; the cosine here is the exact small-cell kernel.
+    Contrast ``dedup_embedding_components``, the global-recall variant
+    over the same corpus.
+
+    The cosine ≥ 0.35 threshold is evaluated in EXACT integer
+    arithmetic on both engines: components quantized to micro-units
+    (decimal(12,6)×10⁶), then cos ≥ 0.35 ⟺ dot ≥ 0 ∧ 400·dot² ≥
+    49·‖a‖²·‖b‖² (0.35² = 49/400 exactly; the square comparison runs in
+    decimal(38,0) here, HUGEINT in DuckDB — both exact). A float pair
+    within an ulp of the threshold therefore cannot become an edge on
+    one engine only, which matters because a single flipped edge
+    changes the transitive closure discretely."""
     emb = load_table(spark, sf_dir, "embeddings")
-    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))  # noqa: E731
-    sized = emb.select("label", "vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    quant = F.transform(
+        F.col("embedding"), lambda x: (x.cast("decimal(12,6)") * 1000000).cast("bigint")
+    )
+    sized = emb.select("label", "vec_id", quant.alias("q")).select(
+        "label",
+        "vec_id",
+        "q",
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("bigint"), lambda s, x: s + x * x
+        ).alias("ss"),
+    )
     a = sized.select(
         "label",
         F.col("vec_id").alias("doc_a"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
+        F.col("q").alias("qa"),
+        F.col("ss").alias("ssa"),
     )
     b = sized.select(
         "label",
         F.col("vec_id").alias("doc_b"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
+        F.col("q").alias("qb"),
+        F.col("ss").alias("ssb"),
     )
-    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda s, x: s + x,
+    )
+    big = lambda c: c.cast("decimal(19,0)")  # noqa: E731
     edges = (
         a.join(b, "label")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(dot / (F.col("na") * F.col("nb")) >= 0.35)
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("ssa") > 0)
+            & (F.col("ssb") > 0)
+            & (F.col("dot") >= 0)
+            & (
+                F.lit(400).cast("decimal(19,0)") * big(F.col("dot")) * big(F.col("dot"))
+                >= F.lit(49).cast("decimal(19,0)") * big(F.col("ssa")) * big(F.col("ssb"))
+            )
+        )
         .select("doc_a", "doc_b")
     )
     comp = connected_components(edges, emb.select(F.col("vec_id").alias("doc_id")))

@@ -783,11 +783,15 @@ IVF_PORTABLE_NQUERIES = 50
     "sim_ivf_portable_topk",
     oracle=f"""
     WITH dims AS (
-      SELECT vec_id, label, j, CAST(embedding[j] AS DECIMAL(12,6)) AS x
+      SELECT vec_id, label, j,
+             CAST(CAST(embedding[j] AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS x
       FROM embeddings, unnest(generate_series(1, len(embedding))) t(j)
     ), cent AS (
       SELECT label AS cell, j,
-             CAST(ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(12,6)) AS c
+             CAST(CASE WHEN SUM(x) >= 0
+                       THEN (2*SUM(x) + COUNT(*)) // (2*COUNT(*))
+                       ELSE -((-2*SUM(x) + COUNT(*)) // (2*COUNT(*)))
+                  END AS BIGINT) AS c
       FROM dims GROUP BY label, j
     ), dist_vc AS (
       SELECT d.vec_id, ct.cell, SUM((d.x - ct.c) * (d.x - ct.c)) AS dist
@@ -826,16 +830,19 @@ IVF_PORTABLE_NQUERIES = 50
 )
 def q_sim_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe search with EXACT portable arithmetic, oracled
-    end-to-end: coarse centroids are per-label means pinned to 6
-    decimals, and every distance — corpus→cell assignment, query probe
-    selection, candidate rerank — is a DECIMAL sum of squared decimal
+    end-to-end: vector components are quantized to integer micro-units
+    (decimal(12,6) × 10⁶ — exact), coarse centroids are integer means
+    rounded half-away-from-zero IN INTEGER ARITHMETIC ((2S+n) div 2n —
+    no double quotient near a rounding midpoint can diverge between
+    engines), and every distance — corpus→cell assignment, query probe
+    selection, candidate rerank — is an integer sum of squared integer
     diffs, so cell choices, candidate sets, and the final top-k ranking
-    (output as integer ranks — no float column to straddle a rounding
-    midpoint) are bit-for-bit reproducible in DuckDB (ties broken by cell/vec id).
-    This value-checks the IVF ALGEBRA (assign → nprobe probe → exact
-    rerank) that the float GEMM scale path (``sim_ivf_topk``) can only
-    rows-check; that variant keeps its pytest recall guarantee and its
-    broadcast/partition-pruning topology for 100 TB."""
+    (output as integer ranks) are bit-for-bit reproducible in DuckDB
+    (ties broken by cell/vec id). This value-checks the IVF ALGEBRA
+    (assign → nprobe probe → exact rerank) that the float GEMM scale
+    path (``sim_ivf_topk``) can only recall-check; that variant keeps
+    its pytest recall guarantee and its broadcast/partition-pruning
+    topology for 100 TB."""
     emb = load_table(spark, sf_dir, "embeddings")
     dims = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "xr")
@@ -843,16 +850,19 @@ def q_sim_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         (F.col("pos") + 1).alias("j"),
-        F.col("xr").cast("decimal(12,6)").alias("x"),
+        (F.col("xr").cast("decimal(12,6)") * 1000000).cast("bigint").alias("x"),
     )
     cent = (
         dims.groupBy("label", "j")
-        .agg(
-            F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 6)
-            .cast("decimal(12,6)")
-            .alias("c")
+        .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("label").alias("cell"),
+            "j",
+            F.expr(
+                "CASE WHEN sx >= 0 THEN (2*sx + n) div (2*n)"
+                " ELSE -((-2*sx + n) div (2*n)) END"
+            ).alias("c"),
         )
-        .select(F.col("label").alias("cell"), "j", "c")
     )
     diff = F.col("x") - F.col("c")
     dist_vc = (
@@ -899,7 +909,8 @@ KMEANS_PORTABLE_CAP = 200
     "sim_kmeans_portable",
     oracle=f"""
     WITH dims AS (
-      SELECT vec_id, j, CAST(embedding[j] AS DECIMAL(12,6)) AS x
+      SELECT vec_id, j,
+             CAST(CAST(embedding[j] AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS x
       FROM embeddings, unnest(generate_series(1, len(embedding))) t(j)
       WHERE vec_id < {KMEANS_PORTABLE_CAP}
     ), c0 AS (
@@ -914,7 +925,10 @@ KMEANS_PORTABLE_CAP = 200
         FROM d1) WHERE rn = 1
     ), c1 AS (
       SELECT a.cid, d.j,
-             CAST(ROUND(CAST(SUM(d.x) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(12,6)) AS c
+             CAST(CASE WHEN SUM(d.x) >= 0
+                       THEN (2*SUM(d.x) + COUNT(*)) // (2*COUNT(*))
+                       ELSE -((-2*SUM(d.x) + COUNT(*)) // (2*COUNT(*)))
+                  END AS BIGINT) AS c
       FROM a1 a JOIN dims d ON d.vec_id = a.vec_id GROUP BY a.cid, d.j
     ), d2 AS (
       SELECT d.vec_id, c.cid, SUM((d.x - c.c) * (d.x - c.c)) AS dist
@@ -932,20 +946,25 @@ KMEANS_PORTABLE_CAP = 200
 )
 def q_sim_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations with EXACT portable arithmetic, oracled
-    end-to-end: centroids pinned to 6 decimals after each mean update,
-    every vector→centroid distance a DECIMAL sum of squared decimal
-    diffs (ties → min centroid id), so both engines reproduce the
-    identical assignment trajectory. Output is integer-only (cluster
-    size + member-id checksum) — the strongest value-check a float
-    iterative algorithm admits. The production variant
-    (``sim_kmeans_refine``) keeps its driver-collects-only-centroids
-    topology and pytest inertia-monotonicity check; this query proves
-    the assign/update ALGEBRA the float path can only rows-check."""
+    end-to-end: components quantized to integer micro-units, centroid
+    means rounded half-away-from-zero in INTEGER arithmetic ((2S+n) div
+    2n — no double quotient near a rounding midpoint can diverge
+    between engines), every vector→centroid distance an integer sum of
+    squared integer diffs (ties → min centroid id), so both engines
+    reproduce the identical assignment trajectory. Output is
+    integer-only (cluster size + member-id checksum) — the strongest
+    value-check a float iterative algorithm admits. The production
+    variant (``sim_kmeans_refine``) keeps its driver-collects-only-
+    centroids topology and pytest inertia-monotonicity check; this
+    query proves the assign/update ALGEBRA the float path can only
+    invariant-check."""
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < KMEANS_PORTABLE_CAP
     )
     dims = emb.select("vec_id", F.posexplode("embedding").alias("pos", "xr")).select(
-        "vec_id", (F.col("pos") + 1).alias("j"), F.col("xr").cast("decimal(12,6)").alias("x")
+        "vec_id",
+        (F.col("pos") + 1).alias("j"),
+        (F.col("xr").cast("decimal(12,6)") * 1000000).cast("bigint").alias("x"),
     )
     cent = dims.filter(F.col("vec_id") < KMEANS_PORTABLE_K).select(
         F.col("vec_id").alias("cid"), "j", F.col("x").alias("c")
@@ -966,10 +985,14 @@ def q_sim_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent = (
             assign.join(dims, "vec_id")
             .groupBy("cid", "j")
-            .agg(
-                F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 6)
-                .cast("decimal(12,6)")
-                .alias("c")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cid",
+                "j",
+                F.expr(
+                    "CASE WHEN sx >= 0 THEN (2*sx + n) div (2*n)"
+                    " ELSE -((-2*sx + n) div (2*n)) END"
+                ).alias("c"),
             )
         )
     return assign.groupBy("cid").agg(

@@ -40,18 +40,19 @@ def test_minhash_finds_planted_near_dups(spark):
 
 
 def test_minhash_mega_bucket_star_linearization(spark):
-    """A band bucket above the cap must emit O(m) star pairs anchored at
-    the bucket's min doc_id, not O(m²) all-pairs — and the stars must
-    still chain every member into one duplicate cluster downstream."""
+    """A band bucket above the cap must emit O(m) sorted-neighbor chain
+    pairs (each member with its doc_id predecessor), not O(m²)
+    all-pairs — and the chain must still merge every member into one
+    duplicate cluster downstream."""
     body = " ".join(f"tok{i}" for i in range(40))
     m = 60
     docs = _docs_df(spark, [(i, body) for i in range(m)])  # identical corpus
 
     cands = dedup.minhash_candidate_pairs(docs, bucket_cap=16)
     pairs = {(r.doc_a, r.doc_b) for r in cands.select("doc_a", "doc_b").collect()}
-    # identical docs -> every band's bucket holds all 60 -> star only
-    assert pairs == {(0, i) for i in range(1, m)}, (
-        f"expected {m - 1} star pairs around doc 0, got {len(pairs)}"
+    # identical docs -> every band's bucket holds all 60 -> chain only
+    assert pairs == {(i, i + 1) for i in range(m - 1)}, (
+        f"expected {m - 1} chain pairs, got {len(pairs)}"
     )
     # transitive resolution still merges the whole cluster
     comp = dedup.connected_components(
