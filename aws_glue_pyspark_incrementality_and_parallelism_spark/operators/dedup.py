@@ -176,7 +176,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_BUCKET_CAP = 1000
 
 
-def minhash_candidate_pairs(docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
+def minhash_candidate_pairs(
+    docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP, materialize: bool = True
+) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one (band, band-hash)
     bucket. The only shuffles are the doc-id hash-aggregate and the
     band-hash join — this is the 100 TB near-dup path.
@@ -279,7 +281,10 @@ def minhash_candidate_pairs(docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -
     # both set joins); without truncation the whole signature+band-join
     # pipeline would re-execute per reference. It is tiny (pairs that
     # share a band), so materialize it once — ~3× faster end-to-end.
-    cands = cands.localCheckpoint(eager=True)
+    # (materialize=False keeps the full lineage visible for plan-shape
+    # tests, which pin the band equi-join skeleton the checkpoint hides.)
+    if materialize:
+        cands = cands.localCheckpoint(eager=True)
     cand_ids = cands.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
     cand_sets = (
         shingle_rows(docs.join(cand_ids, "doc_id", "left_semi"))

@@ -81,6 +81,69 @@ _CODEC_MAGICS: tuple[tuple[bytes, str], ...] = (
     (b"\x00\x00\x00", "mp4/iso-bmff"),
 )
 
+#: Capability registry: every format this module can NAME, and whether
+#: the dependency-free decoder handles it. A 100 TB ingest branches on
+#: this instead of discovering a NotImplementedError mid-job: decodable
+#: frames flow to the decode stage, the rest to a deferred/quarantine
+#: sink with their format label (re-processed once a codec container
+#: image is available).
+_RASTER_MAGICS: tuple[tuple[bytes, str], ...] = (
+    (b"P6", "ppm"),
+    (b"BM", "bmp"),
+)
+
+FORMAT_DECODABLE: dict[str, bool] = {
+    "ppm": True,
+    "bmp": True,
+    "jpeg": False,
+    "png": False,
+    "gif": False,
+    "riff (webp/wav/avi)": False,
+    "mp4/iso-bmff": False,
+    "unknown": False,
+}
+
+
+def supported_formats() -> frozenset[str]:
+    """Formats ``decode_rgb`` actually decodes in this environment."""
+    return frozenset(f for f, ok in FORMAT_DECODABLE.items() if ok)
+
+
+def detect_format_col(payload: Column) -> Column:
+    """JVM-side payload sniffing: CASE over binary magic prefixes —
+    format routing happens at scan speed with zero Python, so the
+    decodable/deferred split below is a metadata-only predicate."""
+    expr = F.lit("unknown")
+    for magic, fmt in reversed(_RASTER_MAGICS + _CODEC_MAGICS):
+        expr = F.when(
+            F.substring(payload, 1, len(magic)) == F.lit(bytearray(magic)), fmt
+        ).otherwise(expr)
+    return expr
+
+
+def route_media(media: DataFrame) -> DataFrame:
+    """Adds ``format`` (sniffed magic) and ``decodable`` (capability
+    registry lookup) columns. Downstream: ``filter(decodable)`` →
+    decode stage; ``filter(~decodable)`` → deferred sink."""
+    fmt = detect_format_col(F.col("payload"))
+    decodable = F.lit(False)
+    for name in supported_formats():
+        decodable = decodable | (fmt == name)
+    return media.withColumn("format", fmt).withColumn("decodable", decodable)
+
+
+def decode_or_defer(media: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The mixed-corpus decode topology: returns ``(decoded, deferred)``.
+    ``decoded`` runs the REAL decoder over rows whose sniffed format is
+    in ``supported_formats()``; ``deferred`` carries (doc_id, format)
+    for everything else — no row can reach ``decode_rgb``'s
+    NotImplementedError gate, because the gate is now a routing
+    predicate evaluated JVM-side."""
+    routed = route_media(media)
+    decoded = decode_media(routed.filter(F.col("decodable")).select("doc_id", "payload"))
+    deferred = routed.filter(~F.col("decodable")).select("doc_id", "format")
+    return decoded, deferred
+
 
 def decode_rgb(payload: bytes) -> "object":
     """Dependency-free raster decode: payload bytes → HxWx3 uint8 array.
@@ -410,6 +473,60 @@ def q_multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 4).alias("mean_g"),
         F.round("mean_b", 4).alias("mean_b"),
     )
+
+
+@query(
+    "multimodal_mixed_routing",
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'ppm' WHEN 1 THEN 'jpeg'
+                WHEN 2 THEN 'png' ELSE 'unknown' END AS format,
+           doc_id % 4 = 0 AS decodable,
+           CASE WHEN doc_id % 4 = 0 THEN CAST(32 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 4 = 0 THEN CAST(16 AS BIGINT) END AS height
+    FROM documents
+    """,
+)
+def q_multimodal_mixed_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 mixed-format corpus end-to-end: each document becomes a PPM /
+    JPEG-magic / PNG-magic / raw payload by doc_id stripe, then
+    ``decode_or_defer`` routes by the capability registry — PPMs are
+    REALLY decoded (width/height from the numpy decoder), codec and
+    unknown payloads land in the deferred lane with their sniffed
+    format and NULL geometry. Proves no payload can reach the
+    NotImplementedError gate on a mixed corpus: the gate is a JVM-side
+    routing predicate, the quarantine lane is a first-class output."""
+    docs = load_table(spark, sf_dir, "documents")
+    stripe = (F.col("doc_id") % 4).cast("int")
+    payload = (
+        F.when(
+            stripe == 0,
+            F.concat(
+                F.encode(F.lit(f"P6\n{_PPM_W} {_PPM_H}\n255\n"), "utf-8"),
+                F.encode(F.substring("text", 1, _PPM_BYTES), "utf-8"),
+            ),
+        )
+        .when(
+            stripe == 1,
+            F.concat(F.lit(bytearray(b"\xff\xd8\xff")), F.encode("text", "utf-8")),
+        )
+        .when(
+            stripe == 2,
+            F.concat(F.lit(bytearray(b"\x89PNG")), F.encode("text", "utf-8")),
+        )
+        .otherwise(F.encode("text", "utf-8"))
+    )
+    media = docs.select("doc_id", payload.alias("payload"))
+    decoded, deferred = decode_or_defer(media)
+    decoded_side = decoded.select(
+        "doc_id", F.lit("ppm").alias("format"), F.lit(True).alias("decodable"),
+        "width", "height",
+    )
+    deferred_side = deferred.select(
+        "doc_id", "format", F.lit(False).alias("decodable"),
+        F.lit(None).cast("long").alias("width"), F.lit(None).cast("long").alias("height"),
+    )
+    return decoded_side.unionByName(deferred_side)
 
 
 def read_binary_dir(

@@ -4,14 +4,18 @@ Prints ONE SHORT JSON line (the headline, LAST on stdout so tail-truncating
 readers still parse it):
     {"metric": "bench_wall_sec", "value": N, "unit": "sec", "sf": 0.1,
      "queries": {"etl_pipeline_concurrent": sec}}
-The full per-query timing map goes to BENCH_DETAIL.json next to this file.
+The full per-query timing map goes to BENCH_DETAIL.json next to this file,
+with two columns per expensive query: "queries" (under suite concurrency)
+and "isolated" (serial re-run on an idle scheduler, excluded from the
+headline wall) so cross-round regressions stay attributable.
 
 Each query is forced with the no-op sink (computes every output column,
 writes nothing) so timings reflect full plan execution, not just a count.
 
 Queries run CONCURRENTLY through the engine's own FAIR-pool runner
-($SPARK_GRAFT_BENCH_THREADS worker threads, default 12, submitted
-longest-previous-runtime-first) — the suite is
+($SPARK_GRAFT_BENCH_THREADS worker threads, default 24, submitted
+in registration order — measured tighter than longest-first, which
+piles the deep-stage heavies into one fair-sharing wave) — the suite is
 many independent output jobs on one SparkContext, which is exactly the
 workload the reference's "Parallelism" half exists for: sequential
 execution leaves most of local[32] idle between stages, while FAIR
@@ -43,7 +47,7 @@ def _force(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
-    threads = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "12"))
+    threads = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "24"))
     spark = build_spark(app_name="engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -55,59 +59,36 @@ def main() -> None:
 
     wall0 = time.perf_counter()
     timings: dict[str, float] = {}
+    spans: dict[str, list[float]] = {}
 
     def _timed(name):
         def run():
             t0 = time.perf_counter()
             _force(catalog.REGISTRY[name].fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            t1 = time.perf_counter()
+            timings[name] = round(t1 - t0, 3)
+            spans[name] = [round(t0 - wall0, 2), round(t1 - wall0, 2)]
 
         return run
 
-    # LPT scheduling: submit the longest-running queries first (using the
-    # previous run's per-query timings when available) so a straggler
-    # never starts last and solely extends the wall-clock tail.
-    prev: dict[str, float] = {}
-    try:
-        with open(os.path.join(_REPO_ROOT, "BENCH_DETAIL.json")) as f:
-            prev = json.load(f).get("queries", {})
-    except (OSError, ValueError):
-        pass
-    ordered = sorted(catalog.REGISTRY, key=lambda n: (-prev.get(n, 0.0), n))
-
-    # Iterative / checkpoint-heavy queries execute as DOZENS of small
-    # sequential Spark jobs (per-iteration actions + eager
-    # localCheckpoints). Running many of them concurrently multiplies
-    # each one's latency — every tiny stage queues behind the siblings'
-    # stages — observed 7s -> 50s+ per query once 8 of them led the LPT
-    # order. Confine the family to a few serial LANES (each lane runs
-    # its queries back-to-back on one worker) while the scan/agg-bound
-    # rest of the suite fills the remaining threads.
-    ITERATIVE_LANES = 3
-    ITERATIVE = [
-        "dedup_embedding_components", "graph_pagerank_parts",
-        "dedup_semdedup_purge", "dedup_components_keep_best",
-        "dedup_components_keeper", "sim_kmeans_refine",
-        "dedup_minhash_lsh", "dedup_fuzzy_pairs_blocked",
-    ]
-    iter_names = [n for n in ordered if n in ITERATIVE]
-    rest = [n for n in ordered if n not in ITERATIVE]
-
-    def _lane(names):
-        def run():
-            for n in names:
-                _timed(n)()
-
-        return run
-
-    lanes = [iter_names[i::ITERATIVE_LANES] for i in range(ITERATIVE_LANES)]
+    # Submission order: REGISTRATION ORDER, deliberately not
+    # longest-first. Timeline profiling showed the heavy iterative/
+    # checkpoint queries multiplying each other's latency ~10× when
+    # they all start together (a deep-stage query's latency under fair
+    # sharing is #sequential-stages × per-stage queue wait —
+    # dedup_simhash spanned [0 s, 112 s] of a 119 s wall when LPT put
+    # every heavy in the first wave). Registration order spreads the
+    # heavy modules through the stream and measured the tightest walls
+    # (33-53 s vs 79-209 s for LPT / interleave / semaphore-gated
+    # variants). Thread count: each worker thread spends most of its
+    # life in DRIVER-side work (planning + whole-stage codegen
+    # compilation — profiled at ~2× the suite wall with codegen
+    # disabled), during which it occupies no executor core, so the
+    # sweet spot OVERSUBSCRIBES cores-per-query: 24 threads measured
+    # 33-53 s wall vs 79-119 s at 12 threads on local[32].
     jobs = [
-        ReportJob(name=f"iterative_lane_{i}", fn=_lane(lane), pool=str(1 + i % 2))
-        for i, lane in enumerate(lanes)
-        if lane
-    ] + [
         ReportJob(name=name, fn=_timed(name), pool=str(1 + i % 2))
-        for i, name in enumerate(rest)
+        for i, name in enumerate(catalog.REGISTRY)
     ]
     run_concurrent(spark, jobs, max_workers=threads)
 
@@ -127,6 +108,24 @@ def main() -> None:
         timings["etl_pipeline_concurrent"] = round(time.perf_counter() - t0, 3)
 
     total = round(time.perf_counter() - wall0, 3)
+
+    # Isolated-mode pass (EXCLUDED from the headline wall, which stays
+    # round-comparable): per-query numbers above are taken under suite
+    # concurrency, so they confound a query's own cost with contention
+    # and aren't comparable across rounds (round 2's
+    # graph_pagerank_parts read 11.8 s concurrent vs ~5.7 s clean).
+    # Re-run the expensive tail serially on the now-idle scheduler and
+    # record both columns; regressions stay attributable.
+    iso0 = time.perf_counter()
+    isolated: dict[str, float] = {}
+    solo_names = sorted(
+        (n for n in timings if n in catalog.REGISTRY), key=lambda n: -timings[n]
+    )[:25]
+    for name in sorted(solo_names, key=lambda n: -timings[n]):
+        t0 = time.perf_counter()
+        _force(catalog.REGISTRY[name].fn(spark, sf_dir))
+        isolated[name] = round(time.perf_counter() - t0, 3)
+    isolated_pass_sec = round(time.perf_counter() - iso0, 3)
     # Full per-query map -> side artifact; stdout gets one short line the
     # driver can parse even if it only keeps the tail of the stream
     # (round 1: the 6 KB queries map made the line unparseable).
@@ -135,6 +134,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spans": spans,
+        "isolated": isolated,
+        "isolated_pass_sec": isolated_pass_sec,
         "sf": sf,
         "n_queries": len(timings),
         "threads": threads,

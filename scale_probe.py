@@ -3,11 +3,16 @@
 
 Naive row duplication would distort JOIN multiplicities (duplicated
 dimension keys fan out fact joins quadratically), so the blow-up remaps
-each table's OWN keys into disjoint id spaces per copy — single-table
-semantics (scan, aggregate, window-per-key, text/dedup/multimodal over
-documents, per-user event ops) scale honestly: 10x rows, 10x groups,
-same per-group history. Cross-table joins are deliberately out of scope
-here (they are exercised by the TPC-H suite at matched keys).
+keys into disjoint id spaces per copy CONSISTENTLY across tables:
+l_orderkey/o_orderkey share one remap, l_partkey/p_partkey another,
+l_suppkey/s_suppkey and o_custkey/c_custkey likewise — every fact row
+joins exactly its own copy's dimension rows, preserving base join
+fan-out. nation/region stay fixed (a country list does not grow with
+the corpus). That makes BOTH families honest: single-table semantics
+(scan, aggregate, window-per-key, text/dedup/multimodal, per-user
+event ops: 10x rows, 10x groups, same per-group history) AND the
+fact+dims joins (report_sales_by_*, as-of join, the whole ETL
+pipeline: 10x facts against 10x-wider dims at 1:1 multiplicity).
 
 A slope <= 10x for 10x data means the operator is at-worst linear at
 this size; slopes near 1x mean fixed (scheduling/codegen) costs still
@@ -43,7 +48,17 @@ QUERIES = [
     "events_pii_scrub", "docs_pii_clean_ratio",
     "events_funnel_conversion", "agg_trimmed_mean", "text_token_budget_sample",
     "dedup_semdedup_purge",
+    # multi-table joins (consistent per-copy key remaps keep 1:1 fan-out)
+    "report_sales_by_customer", "report_sales_by_supplier",
+    "join_asof_last_view", "tpch_q3_shipping_priority",
+    "join3_projection",
 ]
+
+#: Special-cased: the reference's whole-job ETL scenario (incremental
+#: scan -> 3-way join -> cache -> 2 concurrent reports -> parquet sinks
+#: -> bookmark commit) is a function of (spark, sf_dir, out_dir), not a
+#: registry entry; probed alongside the queries.
+PROBE_ETL = True
 
 
 def build_big() -> None:
@@ -57,10 +72,32 @@ def build_big() -> None:
             "event_id + i * 100000000 AS event_id, user_id + i * 1000000 AS user_id, "
             "ts, event_type, value, props"
         ),
+        # Shared remap constants per KEY DOMAIN, not per table, so every
+        # fact row joins exactly its own copy's dimension rows (1:1 join
+        # fan-out preserved): orderkey +i*1e8 on both sides, partkey /
+        # suppkey / custkey +i*1e6 on both sides.
         "lineitem": (
-            "l_orderkey + i * 100000000 AS l_orderkey, l_partkey, l_suppkey, "
+            "l_orderkey + i * 100000000 AS l_orderkey, "
+            "l_partkey + i * 1000000 AS l_partkey, "
+            "l_suppkey + i * 1000000 AS l_suppkey, "
             "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
             "l_returnflag, l_linestatus, l_shipdate"
+        ),
+        "orders": (
+            "o_orderkey + i * 100000000 AS o_orderkey, "
+            "o_custkey + i * 1000000 AS o_custkey, "
+            "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+        ),
+        "customer": (
+            "c_custkey + i * 1000000 AS c_custkey, c_name, c_nationkey, "
+            "c_acctbal, c_mktsegment"
+        ),
+        "supplier": (
+            "s_suppkey + i * 1000000 AS s_suppkey, s_name, s_nationkey, s_acctbal"
+        ),
+        "part": (
+            "p_partkey + i * 1000000 AS p_partkey, p_name, p_brand, p_type, "
+            "p_size, p_retailprice"
         ),
         # label is remapped too: cluster-scoped operators (SemDeDup) key
         # on it, and a real clustering grows cell COUNT with the corpus
@@ -75,6 +112,13 @@ def build_big() -> None:
         con.execute(
             f"COPY (SELECT {cols} FROM '{BASE}/{table}.parquet', "
             f"unnest(range({COPIES})) AS g(i)) "
+            f"TO '{BIG}/{table}.parquet' (FORMAT parquet)"
+        )
+    # nation/region: fixed-size dims (a country list does not grow with
+    # the corpus) — copied once, unscaled.
+    for table in ("nation", "region"):
+        con.execute(
+            f"COPY (SELECT * FROM '{BASE}/{table}.parquet') "
             f"TO '{BIG}/{table}.parquet' (FORMAT parquet)"
         )
 
@@ -117,6 +161,28 @@ def main() -> None:
         slope = big / base
         worst = max(worst, slope)
         print(f"{name:32s} sf0.1={base:6.2f}s  {COPIES}x={big:6.2f}s  slope={slope:5.1f}x")
+
+    if PROBE_ETL:
+        import tempfile
+
+        from aws_glue_pyspark_incrementality_and_parallelism_spark import pipeline
+
+        def run_etl(sfd: str) -> float:
+            with tempfile.TemporaryDirectory() as tmp:
+                t0 = time.perf_counter()
+                pipeline.run_etl(spark, sfd, tmp)
+                return time.perf_counter() - t0
+
+        run_etl(BASE)  # warm
+        drain()
+        base = min(run_etl(BASE), run_etl(BASE))
+        drain()
+        big = min(run_etl(BIG), run_etl(BIG))
+        drain()
+        slope = big / base
+        worst = max(worst, slope)
+        print(f"{'etl_pipeline_concurrent':32s} sf0.1={base:6.2f}s  {COPIES}x={big:6.2f}s  slope={slope:5.1f}x")
+
     print(f"worst slope: {worst:.1f}x for {COPIES}x data "
           f"({'OK - subquadratic' if worst <= COPIES * 1.5 else 'SUPERLINEAR - investigate'})")
     spark.stop()

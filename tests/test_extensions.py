@@ -336,3 +336,47 @@ def test_freq_items_contains_all_true_heavy_hitters(spark):
     # The query confirms sketch candidates with exact counts and filters
     # at the same >1% floor, so the result is exactly the heavy set.
     assert true_heavy == cands
+
+
+def test_mixed_format_corpus_routes_without_raising(spark):
+    """A corpus mixing decodable rasters (PPM, BMP) with codec formats
+    (JPEG/PNG magic) and unknown payloads must flow through
+    decode_or_defer end-to-end: real decodes on the raster lane,
+    format-labelled rows on the deferred lane, and NO payload ever
+    reaches decode_rgb's NotImplementedError gate."""
+    import struct
+
+    ppm = b"P6\n2 2\n255\n" + bytes(range(12))
+    # minimal 2x1 uncompressed 24-bit BMP (bottom-up, stride padded to 8)
+    px = b"\x01\x02\x03\x04\x05\x06\x00\x00"
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(px), 0, 0, 0, 0)
+        + px
+    )
+    rows = [
+        (0, ppm),
+        (1, bmp),
+        (2, b"\xff\xd8\xff fake jpeg"),
+        (3, b"\x89PNG fake png"),
+        (4, b"GIF8 fake gif"),
+        (5, b"just plain bytes"),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    routed = {r.doc_id: (r.format, r.decodable) for r in multimodal.route_media(media).collect()}
+    assert routed == {
+        0: ("ppm", True),
+        1: ("bmp", True),
+        2: ("jpeg", False),
+        3: ("png", False),
+        4: ("gif", False),
+        5: ("unknown", False),
+    }
+
+    decoded, deferred = multimodal.decode_or_defer(media)
+    dec = {r.doc_id: (r.width, r.height) for r in decoded.collect()}  # must not raise
+    assert dec == {0: (2, 2), 1: (2, 1)}
+    defer = {r.doc_id: r.format for r in deferred.collect()}
+    assert defer == {2: "jpeg", 3: "png", 4: "gif", 5: "unknown"}
+    assert multimodal.supported_formats() == {"ppm", "bmp"}

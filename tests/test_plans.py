@@ -300,3 +300,52 @@ def test_pii_scrub_scan_bound_shapes(spark):
     assert plan.count("hashpartitioning") <= 1, plan
     assert "partial_" in plan  # map-side combine before the shuffle
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_portable_twins_share_scale_path_skeleton(spark):
+    """The md5/integer portable twins exist to vouch for the xxhash64/
+    float scale paths, so their physical plans must keep the same
+    join/aggregate skeleton — a twin that silently degenerated into a
+    cartesian or lost its banding join would value-check nothing.
+    Invariant-level assertions only (no exact node counts): the
+    candidate join is an EQUI join on the bucket/band key, never a
+    cartesian, fed by a hash aggregate that builds the signature."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators import dedup, similarity
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+
+    def fmt(df):
+        return df._jdf.queryExecution().explainString(mode)
+
+    # MinHash: scale path and portable twin both band-bucket self-joins
+    # (materialize=False: the production localCheckpoint would hide the
+    # banding lineage from the final plan)
+    docs = load_table(spark, SF_SMALL, "documents")
+    for df in (
+        dedup.minhash_candidate_pairs(docs, materialize=False),
+        REGISTRY["dedup_minhash_portable"].fn(spark, SF_SMALL),
+    ):
+        plan = fmt(df)
+        assert "CartesianProduct" not in plan
+        assert "band_hash" in plan and "band_idx" in plan
+        assert "HashAggregate" in plan  # the min-slot signature aggregate
+
+    # Hyperplane LSH: both join candidates on the bucket key
+    for df in (
+        similarity.lsh_topk_pairs(spark, SF_SMALL),
+        REGISTRY["sim_lsh_portable_buckets"].fn(spark, SF_SMALL),
+    ):
+        plan = fmt(df)
+        assert "CartesianProduct" not in plan
+        assert "bucket" in plan
+
+    # IVF: both probe candidates through an equi join on the cell id
+    # with the tiny centroid/probe side broadcast
+    for df in (
+        similarity.ivf_topk_pairs(spark, SF_SMALL),
+        REGISTRY["sim_ivf_portable_topk"].fn(spark, SF_SMALL),
+    ):
+        plan = fmt(df)
+        assert "CartesianProduct" not in plan
+        assert "cell" in plan
+        assert "BroadcastHashJoin" in plan
