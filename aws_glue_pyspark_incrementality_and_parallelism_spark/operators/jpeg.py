@@ -1,0 +1,346 @@
+"""Dependency-free baseline JPEG decoder (numpy only).
+
+Closes the last E5 codec gap for fixture-sized payloads: baseline
+sequential DCT JPEGs (SOF0, 8-bit, 1 or 3 components, any sampling
+factors, optional restart intervals) decode to an HxWx3 uint8 RGB
+array with nothing but numpy — the same dependency budget as the
+PPM/BMP paths in ``multimodal.decode_rgb``, which dispatches JPEG
+payloads here.
+
+Explicit non-goals (each raises ``NotImplementedError`` naming the
+feature): progressive (SOF2) and the other rare SOF modes, arithmetic
+coding, 12-bit precision, 4-component CMYK/YCCK. Production corpora
+containing those route to the deferred lane via the capability
+registry (``multimodal.route_media``) or fail loudly per payload —
+never silently.
+
+Implementation notes (all from the public JPEG spec, ITU-T T.81):
+
+* Entropy decode: canonical Huffman tables from DHT (16 length counts
+  + symbols), MSB-first bit reader over the byte-stuffed scan (0xFF00
+  unstuffed, RSTn resets the DC predictors).
+* Coefficients: DC = category + EXTEND()ed diff against the per-
+  component predictor; AC = (run, size) pairs with EOB/ZRL, zigzag
+  order.
+* Reconstruction: dequantize -> dezigzag -> 2-D IDCT as two dense
+  8x8 orthonormal DCT-III matrix products (numpy matmul over all
+  blocks at once) -> +128 level shift -> clamp.
+* Color: per-component planes at their sampling resolution,
+  nearest-neighbor (pixel-replication) chroma upsample, BT.601
+  YCbCr -> RGB.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+#: Zigzag index of each coefficient position (zigzag order -> row-major).
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+
+def _dct_basis() -> np.ndarray:
+    """8x8 orthonormal DCT-II basis matrix M; IDCT(X) = M.T @ X @ M."""
+    k = np.arange(8)
+    M = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+    M[0, :] /= np.sqrt(2.0)
+    return M
+
+
+_M = _dct_basis()
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment (already
+    unstuffed; RST markers handled by the caller via segment splits)."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            # Past the end: the spec pads the final byte with 1-bits.
+            return 0
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _build_huffman(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman: {(code_length, code): symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _decode_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _extend(value: int, size: int) -> int:
+    """EXTEND() of T.81 F.2.2.1: map a SIZE-bit magnitude to its signed
+    coefficient value."""
+    if size == 0:
+        return 0
+    if value < (1 << (size - 1)):
+        return value - (1 << size) + 1
+    return value
+
+
+def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) dequantized coefficient blocks -> (n, 8, 8) samples."""
+    # X = M.T @ C @ M for every block at once
+    return np.clip(
+        np.rint(np.einsum("ij,njk,kl->nil", _M.T, coefs, _M) + 128.0), 0, 255
+    ).astype(np.uint8)
+
+
+class _Component:
+    __slots__ = ("cid", "h", "v", "tq", "dc_table", "ac_table", "blocks", "pred")
+
+    def __init__(self, cid: int, h: int, v: int, tq: int):
+        self.cid, self.h, self.v, self.tq = cid, h, v, tq
+        self.dc_table = self.ac_table = None
+        self.blocks: list[np.ndarray] = []
+        self.pred = 0
+
+
+def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to an HxWx3 uint8 RGB array.
+
+    Grayscale inputs are replicated across the three channels so the
+    output shape matches the raster-decode contract of
+    ``multimodal.decode_rgb``.
+    """
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    comps: list[_Component] = []
+    height = width = 0
+    restart_interval = 0
+    n = len(payload)
+
+    while pos < n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: no segment
+            continue
+        seg_len, = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seg_len]
+        pos += seg_len
+
+        if marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc_th = seg[p]
+                counts = list(seg[p + 1 : p + 17])
+                nsym = sum(counts)
+                symbols = seg[p + 17 : p + 17 + nsym]
+                table = _build_huffman(counts, symbols)
+                if tc_th >> 4 == 0:
+                    dc_tables[tc_th & 0xF] = table
+                else:
+                    ac_tables[tc_th & 0xF] = table
+                p += 17 + nsym
+        elif marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq_tq = seg[p]
+                if pq_tq >> 4 != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                q = np.frombuffer(seg, np.uint8, count=64, offset=p + 1).astype(np.int32)
+                qtables[pq_tq & 0xF] = q
+                p += 65
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline(-ish)
+            precision = seg[0]
+            if precision != 8:
+                raise NotImplementedError(f"{precision}-bit sample precision")
+            height, width = struct.unpack_from(">HH", seg, 1)
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG (CMYK?)")
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(_Component(cid, hv >> 4, hv & 0xF, tq))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            kind = "progressive (SOF2)" if marker == 0xC2 else f"SOF{marker - 0xC0}"
+            raise NotImplementedError(f"{kind} JPEG: only baseline sequential is supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval, = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            for c in range(ns):
+                cs, td_ta = seg[1 + 2 * c : 3 + 2 * c]
+                for comp in comps:
+                    if comp.cid == cs:
+                        comp.dc_table = dc_tables[td_ta >> 4]
+                        comp.ac_table = ac_tables[td_ta & 0xF]
+            # Entropy-coded data runs from here to the next real marker.
+            scan_start = pos
+            scan_end = scan_start
+            while scan_end < n - 1:
+                if payload[scan_end] == 0xFF and payload[scan_end + 1] not in (0x00,) and not (
+                    0xD0 <= payload[scan_end + 1] <= 0xD7
+                ):
+                    break
+                scan_end += 1
+            scan = payload[scan_start:scan_end]
+            pos = scan_end
+            _decode_scan(scan, comps, qtables, width, height, restart_interval)
+        # APPn / COM / anything else: skipped via seg_len
+
+    if not comps or not comps[0].blocks:
+        raise ValueError("no scan data decoded")
+    return _assemble(comps, width, height)
+
+
+def _decode_scan(
+    scan: bytes,
+    comps: list[_Component],
+    qtables: dict[int, np.ndarray],
+    width: int,
+    height: int,
+    restart_interval: int,
+) -> None:
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+
+    # Split on RST markers (predictors reset per restart segment) and
+    # unstuff 0xFF00 inside each segment.
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = 0
+    while i < len(scan):
+        b = scan[i]
+        if b == 0xFF and i + 1 < len(scan):
+            nxt = scan[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    mcu_count = 0
+    for comp in comps:
+        comp.pred = 0
+    for _ in range(mcus_x * mcus_y):
+        if restart_interval and mcu_count == restart_interval:
+            seg_idx += 1
+            reader = _BitReader(segments[seg_idx])
+            mcu_count = 0
+            for comp in comps:
+                comp.pred = 0
+        for comp in comps:
+            q = qtables[comp.tq]
+            for _ in range(comp.h * comp.v):
+                zz = np.zeros(64, np.int32)
+                t = _decode_symbol(reader, comp.dc_table)
+                diff = _extend(reader.read_bits(t), t)
+                comp.pred += diff
+                zz[0] = comp.pred
+                k = 1
+                while k < 64:
+                    rs = _decode_symbol(reader, comp.ac_table)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL: 16 zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    zz[k] = _extend(reader.read_bits(s), s)
+                    k += 1
+                block = np.zeros(64, np.int32)
+                block[_ZIGZAG] = zz * q
+                comp.blocks.append(block.reshape(8, 8))
+        mcu_count += 1
+
+
+def _assemble(comps: list[_Component], width: int, height: int) -> np.ndarray:
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+
+    planes: list[np.ndarray] = []
+    for comp in comps:
+        samples = _idct_blocks(np.stack(comp.blocks)).astype(np.float64)
+        pw, ph = 8 * comp.h * mcus_x, 8 * comp.v * mcus_y
+        plane = np.zeros((ph, pw), np.float64)
+        bi = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by in range(comp.v):
+                    for bx in range(comp.h):
+                        y0 = (my * comp.v + by) * 8
+                        x0 = (mx * comp.h + bx) * 8
+                        plane[y0 : y0 + 8, x0 : x0 + 8] = samples[bi]
+                        bi += 1
+        # nearest-neighbor upsample to full resolution, crop to size
+        plane = np.repeat(np.repeat(plane, vmax // comp.v, axis=0), hmax // comp.h, axis=1)
+        planes.append(plane[:height, :width])
+
+    if len(planes) == 1:
+        g = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)

@@ -72,9 +72,9 @@ def as_media_frame(docs: DataFrame) -> DataFrame:
 
 #: Magic prefixes of compressed codec formats we cannot decode without
 #: external libraries — these (and only these) keep the NotImplementedError
-#: gate. Raw raster formats are decoded for real by ``decode_rgb``.
+#: gate. Raw raster formats AND baseline JPEG are decoded for real by
+#: ``decode_rgb`` (JPEG via the dependency-free ``jpeg`` module).
 _CODEC_MAGICS: tuple[tuple[bytes, str], ...] = (
-    (b"\xff\xd8\xff", "jpeg"),
     (b"\x89PNG", "png"),
     (b"GIF8", "gif"),
     (b"RIFF", "riff (webp/wav/avi)"),
@@ -90,12 +90,17 @@ _CODEC_MAGICS: tuple[tuple[bytes, str], ...] = (
 _RASTER_MAGICS: tuple[tuple[bytes, str], ...] = (
     (b"P6", "ppm"),
     (b"BM", "bmp"),
+    (b"\xff\xd8\xff", "jpeg"),
 )
 
+#: jpeg=True covers baseline sequential (SOF0) — the overwhelmingly
+#: common profile; a progressive payload routed here still fails
+#: per-payload with a NAMED NotImplementedError from the jpeg module
+#: (magic sniffing cannot see the SOF marker without parsing).
 FORMAT_DECODABLE: dict[str, bool] = {
     "ppm": True,
     "bmp": True,
-    "jpeg": False,
+    "jpeg": True,
     "png": False,
     "gif": False,
     "riff (webp/wav/avi)": False,
@@ -146,18 +151,22 @@ def decode_or_defer(media: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def decode_rgb(payload: bytes) -> "object":
-    """Dependency-free raster decode: payload bytes → HxWx3 uint8 array.
+    """Dependency-free image decode: payload bytes → HxWx3 uint8 array.
 
-    Supports the two headerful raw formats a test/ingest corpus can carry
-    without codec libraries:
+    Supports the three formats a test/ingest corpus can carry without
+    codec libraries:
 
     - **P6 PPM** (binary PPM: ``P6\\n<w> <h>\\n<maxval>\\n`` + raw RGB) —
       truncated pixel buffers are zero-padded, the streaming-safe choice.
     - **Uncompressed 24-bit BMP** (``BM`` magic, BI_RGB): BGR rows,
       4-byte-aligned, stored bottom-up — converted to top-down RGB.
+    - **Baseline JPEG** (SOF0, 8-bit, gray/YCbCr, restart intervals) via
+      the numpy-only decoder in ``operators.jpeg``; progressive and the
+      other rare SOF modes raise a NAMED NotImplementedError there.
 
-    Compressed codec formats raise ``NotImplementedError`` naming the
-    detected format; anything else raises ``ValueError``.
+    Remaining codec formats (PNG/GIF/RIFF/MP4) raise
+    ``NotImplementedError`` naming the detected format; anything else
+    raises ``ValueError``.
     """
     import re
 
@@ -169,6 +178,10 @@ def decode_rgb(payload: bytes) -> "object":
                 f"payload is {fmt}: decoding needs a codec library "
                 "(PIL/ffmpeg) not present in this environment"
             )
+    if payload.startswith(b"\xff\xd8\xff"):
+        from .jpeg import decode_baseline_jpeg
+
+        return decode_baseline_jpeg(payload)
     if payload.startswith(b"P6"):
         m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
         if not m:
@@ -479,7 +492,7 @@ def q_multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_mixed_routing",
     oracle="""
     SELECT doc_id,
-           CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'ppm' WHEN 1 THEN 'jpeg'
+           CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'ppm' WHEN 1 THEN 'gif'
                 WHEN 2 THEN 'png' ELSE 'unknown' END AS format,
            doc_id % 4 = 0 AS decodable,
            CASE WHEN doc_id % 4 = 0 THEN CAST(32 AS BIGINT) END AS width,
@@ -489,13 +502,15 @@ def q_multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_mixed_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 mixed-format corpus end-to-end: each document becomes a PPM /
-    JPEG-magic / PNG-magic / raw payload by doc_id stripe, then
+    GIF-magic / PNG-magic / raw payload by doc_id stripe, then
     ``decode_or_defer`` routes by the capability registry — PPMs are
     REALLY decoded (width/height from the numpy decoder), codec and
     unknown payloads land in the deferred lane with their sniffed
     format and NULL geometry. Proves no payload can reach the
     NotImplementedError gate on a mixed corpus: the gate is a JVM-side
-    routing predicate, the quarantine lane is a first-class output."""
+    routing predicate, the quarantine lane is a first-class output.
+    (JPEG sits in the DECODABLE lane since the baseline decoder landed —
+    the pytest mixed-corpus test drives a real encoded JPEG through it.)"""
     docs = load_table(spark, sf_dir, "documents")
     stripe = (F.col("doc_id") % 4).cast("int")
     payload = (
@@ -508,7 +523,7 @@ def q_multimodal_mixed_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .when(
             stripe == 1,
-            F.concat(F.lit(bytearray(b"\xff\xd8\xff")), F.encode("text", "utf-8")),
+            F.concat(F.lit(bytearray(b"GIF8")), F.encode("text", "utf-8")),
         )
         .when(
             stripe == 2,

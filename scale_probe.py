@@ -67,7 +67,20 @@ def build_big() -> None:
     os.makedirs(BIG, exist_ok=True)
     con = duckdb.connect()
     remaps = {
-        "documents": "doc_id + i * 1000000 AS doc_id, text, lang, source, n_chars",
+        # Text CONTENT is remapped per copy too (every token prefixed
+        # with the copy id): for content-keyed operators — dedup,
+        # shingling, chunk hashing — the shingle space IS the key
+        # space. Duplicating text verbatim would give every doc
+        # COPIES-1 exact twins, growing the TRUE duplicate-pair
+        # universe ×COPIES² by construction and measuring the data
+        # regime, not the operator (observed: the exact ground-truth
+        # join inside dedup_minhash_lsh at 16× for 10× data on
+        # verbatim copies, linear once shingle spaces are disjoint).
+        "documents": (
+            "doc_id + i * 1000000 AS doc_id, "
+            "regexp_replace(text, '(\\S+)', 'c' || i || '_\\1', 'g') AS text, "
+            "lang, source, n_chars"
+        ),
         "events": (
             "event_id + i * 100000000 AS event_id, user_id + i * 1000000 AS user_id, "
             "ts, event_type, value, props"

@@ -339,12 +339,16 @@ def test_freq_items_contains_all_true_heavy_hitters(spark):
 
 
 def test_mixed_format_corpus_routes_without_raising(spark):
-    """A corpus mixing decodable rasters (PPM, BMP) with codec formats
-    (JPEG/PNG magic) and unknown payloads must flow through
-    decode_or_defer end-to-end: real decodes on the raster lane,
-    format-labelled rows on the deferred lane, and NO payload ever
-    reaches decode_rgb's NotImplementedError gate."""
+    """A corpus mixing decodable formats (PPM, BMP, a REAL baseline
+    JPEG) with codec formats (PNG/GIF magic) and unknown payloads must
+    flow through decode_or_defer end-to-end: real decodes on the
+    decodable lane, format-labelled rows on the deferred lane, and NO
+    payload ever reaches decode_rgb's NotImplementedError gate."""
     import struct
+
+    import numpy as np
+
+    from .test_jpeg import encode_baseline_jpeg
 
     ppm = b"P6\n2 2\n255\n" + bytes(range(12))
     # minimal 2x1 uncompressed 24-bit BMP (bottom-up, stride padded to 8)
@@ -354,10 +358,11 @@ def test_mixed_format_corpus_routes_without_raising(spark):
         + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(px), 0, 0, 0, 0)
         + px
     )
+    jpeg = encode_baseline_jpeg(np.full((8, 16), 150, np.uint8))
     rows = [
         (0, ppm),
         (1, bmp),
-        (2, b"\xff\xd8\xff fake jpeg"),
+        (2, jpeg),
         (3, b"\x89PNG fake png"),
         (4, b"GIF8 fake gif"),
         (5, b"just plain bytes"),
@@ -368,15 +373,21 @@ def test_mixed_format_corpus_routes_without_raising(spark):
     assert routed == {
         0: ("ppm", True),
         1: ("bmp", True),
-        2: ("jpeg", False),
+        2: ("jpeg", True),
         3: ("png", False),
         4: ("gif", False),
         5: ("unknown", False),
     }
 
     decoded, deferred = multimodal.decode_or_defer(media)
-    dec = {r.doc_id: (r.width, r.height) for r in decoded.collect()}  # must not raise
-    assert dec == {0: (2, 2), 1: (2, 1)}
+    rows_dec = {r.doc_id: r for r in decoded.collect()}  # must not raise
+    assert {d: (r.width, r.height) for d, r in rows_dec.items()} == {
+        0: (2, 2),
+        1: (2, 1),
+        2: (16, 8),
+    }
+    # the JPEG really decoded: uniform gray 150 within DCT rounding
+    assert abs(rows_dec[2].mean_r - 150.0) <= 1.5
     defer = {r.doc_id: r.format for r in deferred.collect()}
-    assert defer == {2: "jpeg", 3: "png", 4: "gif", 5: "unknown"}
-    assert multimodal.supported_formats() == {"ppm", "bmp"}
+    assert defer == {3: "png", 4: "gif", 5: "unknown"}
+    assert multimodal.supported_formats() == {"ppm", "bmp", "jpeg"}

@@ -57,8 +57,19 @@ def test_decode_bmp_roundtrip(rng_img):
 
 
 def test_codec_formats_still_gated():
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        decode_rgb(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
+    # jpeg now routes to the real baseline decoder (see test_jpeg.py);
+    # decode_rgb must hand it off rather than gate it...
+    from .test_jpeg import encode_baseline_jpeg
+
+    img = np.full((8, 8), 77, np.uint8)
+    out = decode_rgb(encode_baseline_jpeg(img))
+    assert out.shape == (8, 8, 3) and abs(int(out[0, 0, 0]) - 77) <= 1
+    # ...while progressive stays a NAMED NotImplementedError
+    payload = bytearray(encode_baseline_jpeg(img))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_rgb(bytes(payload))
     with pytest.raises(NotImplementedError, match="png"):
         decode_rgb(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
     with pytest.raises(ValueError, match="unrecognized"):
