@@ -36,6 +36,91 @@ import struct
 
 import numpy as np
 
+def encode_gray_baseline(img: "np.ndarray") -> bytes:
+    """Minimal grayscale baseline JPEG ENCODER (numpy only): all-ones
+    quantization (near-lossless), flat-length canonical Huffman tables.
+    Exists so pipelines (and the driver-oracled round-trip query) can
+    materialize real JPEG payloads without codec libraries — e.g.
+    thumbnail sidecars for a training corpus. The decoder's round-trip
+    tests use a SEPARATE spec-derived encoder in tests/test_jpeg.py so
+    encoder and decoder bugs cannot cancel out."""
+    h, w = img.shape
+    mcus_x, mcus_y = (w + 7) // 8, (h + 7) // 8
+    plane = np.pad(
+        img.astype(np.float64), ((0, 8 * mcus_y - h), (0, 8 * mcus_x - w)), mode="edge"
+    )
+
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    dc_codes = {sym: (8, i) for i, sym in enumerate(dc_syms)}
+    ac_codes = {sym: (9, i) for i, sym in enumerate(ac_syms)}
+    dc_counts = [0] * 16
+    dc_counts[7] = len(dc_syms)
+    ac_counts = [0] * 16
+    ac_counts[8] = len(ac_syms)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += b"\xff\xc0" + struct.pack(">H", 11) + struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    for tc, counts, syms in ((0, dc_counts, dc_syms), (1, ac_counts, ac_syms)):
+        body = bytes([tc << 4]) + bytes(counts) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+
+    bits = bytearray()
+    acc = nbits = 0
+
+    def put(value: int, n: int) -> None:
+        nonlocal acc, nbits
+        for i in range(n - 1, -1, -1):
+            acc = (acc << 1) | ((value >> i) & 1)
+            nbits += 1
+            if nbits == 8:
+                bits.append(acc)
+                if acc == 0xFF:
+                    bits.append(0x00)
+                acc = 0
+                nbits = 0
+
+    pred = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            block = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+            coef = np.rint(_M @ (block - 128.0) @ _M.T).astype(int)
+            zz = coef.reshape(-1)[_ZIGZAG]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            s = abs(diff).bit_length()
+            ln, code = dc_codes[s]
+            put(code, ln)
+            if s:
+                put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            nz = np.nonzero(zz[1:])[0]
+            last = (int(nz[-1]) + 1) if len(nz) else 0
+            run = 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_codes[0xF0]
+                    put(code, ln)
+                    run -= 16
+                s = abs(v).bit_length()
+                ln, code = ac_codes[(run << 4) | s]
+                put(code, ln)
+                put(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < 63:
+                ln, code = ac_codes[0x00]
+                put(code, ln)
+    while nbits:
+        put(1, 1)
+    out += bits + b"\xff\xd9"
+    return bytes(out)
+
+
 #: Zigzag index of each coefficient position (zigzag order -> row-major).
 _ZIGZAG = np.array([
      0,  1,  8, 16,  9,  2,  3, 10,
@@ -344,3 +429,10 @@ def _assemble(comps: list[_Component], width: int, height: int) -> np.ndarray:
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+from ..session import pickle_module_by_value  # noqa: E402
+
+# Worker-side functions (decode/encode run inside mapInPandas closures):
+# ship by value so executors never need the package on sys.path.
+pickle_module_by_value(__name__)

@@ -3,11 +3,12 @@
 Media assets are opaque ``binary`` payloads + a typed metadata struct.
 The engine's job is the Spark-side plumbing: schema, partition-friendly
 layout, Arrow-batched Pandas UDF decode/feature-extract. Raw raster
-formats (P6 PPM, uncompressed 24-bit BMP) are decoded FOR REAL by the
-dependency-free ``decode_rgb`` (header parse + numpy reshape — no codec
-library involved); compressed codec formats (JPEG/PNG/...) still raise
-NotImplementedError at the exact line a PIL/ffmpeg call belongs, since
-those libraries are not in this container.
+formats (P6 PPM, uncompressed 24-bit BMP) AND baseline JPEG are decoded
+FOR REAL by the dependency-free ``decode_rgb`` (header parse + numpy;
+JPEG via the numpy-only Huffman/IDCT decoder in ``operators.jpeg``);
+the remaining codec formats (PNG/GIF/RIFF/MP4) raise
+NotImplementedError at the exact line a PIL/ffmpeg call belongs, gated
+behind the capability registry so mixed corpora route around them.
 
 The testdata has no binary table, so ``documents.text`` (utf-8 encoded)
 stands in as the payload. The pipeline shape is the real thing:
@@ -27,7 +28,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -38,6 +39,7 @@ from pyspark.sql.types import (
 )
 
 from ..plans.registry import query
+from .jpeg import decode_baseline_jpeg, encode_gray_baseline
 from ..sources.io import load_table
 
 from ..session import pickle_module_by_value
@@ -179,8 +181,6 @@ def decode_rgb(payload: bytes) -> "object":
                 "(PIL/ffmpeg) not present in this environment"
             )
     if payload.startswith(b"\xff\xd8\xff"):
-        from .jpeg import decode_baseline_jpeg
-
         return decode_baseline_jpeg(payload)
     if payload.startswith(b"P6"):
         m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
@@ -542,6 +542,57 @@ def q_multimodal_mixed_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("width"), F.lit(None).cast("long").alias("height"),
     )
     return decoded_side.unionByName(deferred_side)
+
+
+#: Fixed geometry for the JPEG round-trip query: 8x16 gray = 128 bytes.
+_JPG_W, _JPG_H = 16, 8
+
+
+@query(
+    "multimodal_decode_jpeg",
+    oracle=f"""
+    SELECT doc_id, {_JPG_W} AS width, {_JPG_H} AS height,
+           TRUE AS roundtrip_ok
+    FROM documents
+    """,
+)
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 REAL codec round-trip through the driver pipeline: per
+    document, build an 8x16 grayscale image from the text's first 128
+    bytes, ENCODE it to a real baseline JPEG (``encode_gray_baseline``
+    — Huffman + DCT, all-ones quant), then DECODE through the same
+    ``decode_rgb`` dispatch every ingest payload takes, all in one
+    Arrow batch pass. Emits the decoded geometry (oracle-exact) and
+    pins the near-lossless round-trip bound (max pixel error ≤ 4 at
+    quant=1; measured ≤ 1). The encoder is engine code; the pytest
+    round-trips use an INDEPENDENT spec-derived encoder so the two
+    cannot cancel out."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = _JPG_W * _JPG_H
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, oks = [], [], []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")[:n]
+                buf = np.zeros(n, np.uint8)
+                buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+                img = buf.reshape(_JPG_H, _JPG_W)
+                out = decode_rgb(encode_gray_baseline(img))
+                widths.append(out.shape[1])
+                heights.append(out.shape[0])
+                err = int(np.max(np.abs(out[:, :, 0].astype(int) - img.astype(int))))
+                oks.append(bool(err <= 4))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "width": widths, "height": heights,
+                 "roundtrip_ok": oks}
+            )
+
+    return docs.mapInPandas(
+        _roundtrip, schema="doc_id long, width int, height int, roundtrip_ok boolean"
+    )
 
 
 def read_binary_dir(

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..plans.registry import query
 from ..sources.io import load_table, register_views
@@ -727,3 +728,113 @@ def q_sql_pipe_syntax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY o_orderpriority
         """
     ).select("o_orderpriority", "n_orders", "revenue")
+
+
+def _wrs_chain_sql(expr: str, n: int) -> str:
+    """Left-associated explicit product ``expr*expr*...`` (n factors) —
+    the SAME IEEE multiply sequence Spark's chained Column ``*`` emits,
+    so both engines produce bit-identical doubles."""
+    return " * ".join([expr] * n)
+
+
+@query(
+    "sample_weighted_reservoir_per_key",
+    oracle=f"""
+    WITH base AS (
+      SELECT source, doc_id,
+             1 + CAST(CAST(CONCAT('0x', substring(md5(CONCAT('tier:', CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) % 4 AS INT) AS tier,
+             (CAST(CONCAT('0x', substring(md5(CONCAT('wrs:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 1)
+               / 4294967297.0 AS u
+      FROM documents
+    ), keyed AS (
+      SELECT source, doc_id, tier,
+             CASE tier
+               WHEN 1 THEN {_wrs_chain_sql('u', 12)}
+               WHEN 2 THEN {_wrs_chain_sql('u', 6)}
+               WHEN 3 THEN {_wrs_chain_sql('u', 4)}
+               ELSE {_wrs_chain_sql('u', 3)}
+             END AS s
+      FROM base
+    )
+    SELECT source, doc_id, tier, CAST(rn AS INT) AS rn
+    FROM (SELECT source, doc_id, tier,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY s DESC, doc_id) AS rn
+          FROM keyed)
+    WHERE rn <= 3
+    """,
+)
+def q_sample_weighted_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling per key (Efraimidis-Spirakis A-ES):
+    keep the top-K=3 documents per ``source``, selection probability
+    proportional to a weight tier — the standard one-pass 'sample k
+    quality-weighted docs per domain' primitive of a training-data
+    pipeline. Each item draws u ∈ (0,1] and ranks by u^(1/w); top-K by
+    that key IS a weighted sample without replacement.
+
+    Cross-engine exactness (the float-threshold trap, engineered out):
+    u is an md5-derived 32-bit rational — identical on both engines —
+    and weights are INTEGER TIERS w ∈ {{1..4}}, so ranking by u^(1/w)
+    is equivalent to ranking by u^(12/w) (both sides of any comparison
+    raised to the 12th power), and 12/w ∈ {{12,6,4,3}} is computed as
+    an EXPLICIT left-associated product — the same IEEE multiply
+    sequence in Spark and DuckDB, hence bit-identical sort keys and an
+    identical reservoir. (A float pow()/ln() formulation could diverge
+    by an ulp at a rank boundary.) Tier here is an md5-derived proxy
+    (decorrelated from ``source``, which is itself doc_id-striped);
+    production buckets a real quality score.
+
+    Scale shape: one scan, one window shuffle on ``source`` — the same
+    top-K-per-key pattern as ``sort_limit_topk``; at 100 TB the window
+    is a partial top-K aggregate, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    tier = (
+        F.lit(1)
+        + (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("tier:"), F.col("doc_id").cast("string"))), 1, 4
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 4
+        ).cast("int")
+    ).alias("tier")
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            + 1
+        )
+        / F.lit(4294967297.0)
+    ).alias("u")
+    base = docs.select("source", "doc_id", tier, u)
+
+    def chain(n: int):
+        col = F.col("u")
+        for _ in range(n - 1):
+            col = col * F.col("u")
+        return col
+
+    keyed = base.select(
+        "source",
+        "doc_id",
+        "tier",
+        F.when(F.col("tier") == 1, chain(12))
+        .when(F.col("tier") == 2, chain(6))
+        .when(F.col("tier") == 3, chain(4))
+        .otherwise(chain(3))
+        .alias("s"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("s"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "doc_id", "tier", F.col("rn").cast("int").alias("rn"))
+    )

@@ -60,97 +60,97 @@ _DRIVER_PENDING = [
     "agg_quantile_bucketize",
     "agg_hll_rollup_merge",
     "window_gaps_islands",
-    "text_fingerprint",
-    "text_chunk_sliding",
-    "text_stats",
-    "setop_unpivot_melt",
-    "fn_explode_posexplode",
-    "fn_hof_exists_filter",
+    "fn_array_ops",
     "fn_date_format_parse",
-    "text_token_count_bpe",
     "fn_bitwise",
+    "text_token_count_bpe",
     "fn_case_null",
-    "fn_url_parse",
-    "setop_union_all",
     "fn_map_ops",
+    "fn_explode_posexplode",
+    "text_stats",
+    "fn_url_parse",
+    "text_token_budget_sample",
+    "setop_union_all",
+    "text_chunk_sliding",
     "text_quality_score",
-    "setop_distinct",
+    "fn_hof_exists_filter",
     "fn_dataset_split",
-    "scd2_user_value_history",
-    "docs_pii_clean_ratio",
-    "text_langid",
+    "subquery_scalar",
+    "window_moving_avg_rows",
     "setop_union_by_name_evolution",
+    "text_langid",
+    "setop_unpivot_melt",
+    "fn_json_extract",
     "fn_from_json_struct",
     "setop_except",
-    "text_vocabulary_topk",
-    "sim_label_centroids",
-    "window_moving_avg_rows",
-    "fn_array_ops",
-    "agg_table_checksum",
-    "text_token_budget_sample",
+    "scd2_user_value_history",
     "sql_pipe_syntax_report",
-    "fn_json_extract",
-    "fn_stratified_sample",
-    "embed_dim_stats",
-    "multimodal_decode_ppm",
     "fn_try_arithmetic",
-    "window_year_over_year",
-    "setop_intersect",
-    "agg_hll_set_overlap",
-    "events_pii_scrub",
-    "pipeline_corpus_clean",
-    "events_sliding_window_rollup",
-    "udf_udtf_sentences",
-    "join_lateral_topk",
-    "fn_xml_extract",
-    "events_daily_from_hourly",
-    "agg_salted_skew",
-    "sim_cosine_pairs_blocked",
-    "text_freq_items_sketch",
-    "join_salted_skew",
-    "agg_trimmed_mean",
-    "udf_grouped_agg_gini",
-    "text_distribution_drift",
-    "setop_intersect_all",
-    "agg_entropy_per_group",
+    "docs_pii_clean_ratio",
+    "text_vocabulary_topk",
     "events_hourly_rollup",
-    "text_perplexity_proxy",
-    "subquery_scalar",
-    "dedup_winnow_portable",
-    "events_gapfill_daily",
-    "setop_except_all",
+    "setop_distinct",
+    "agg_table_checksum",
+    "fn_stratified_sample",
+    "text_fingerprint",
+    "subquery_in_correlated",
     "fn_variant_extract",
+    "sim_label_centroids",
+    "events_gapfill_daily",
+    "setop_intersect",
+    "udf_pandas_scalar_charge",
+    "agg_entropy_per_group",
+    "embed_dim_stats",
+    "setop_except_all",
     "events_markov_transitions",
     "text_repetition_ratio",
-    "subquery_in_correlated",
-    "agg_zscore_outliers",
-    "sim_cosine_pairs_threshold",
-    "events_sessionization",
     "udf_apply_in_pandas_top2",
-    "profile_table_columns",
-    "sim_brute_force_topk",
+    "agg_zscore_outliers",
+    "dedup_winnow_portable",
+    "setop_intersect_all",
+    "events_sessionization",
     "text_decontamination",
-    "rag_retrieve_topk",
-    "events_funnel_conversion",
-    "sql_recursive_cte_walk",
+    "sim_cosine_pairs_threshold",
     "sql_cte_window",
-    "dedup_chunk_dupe_ratio",
-    "agg_mad_outliers",
+    "window_year_over_year",
+    "rag_retrieve_topk",
+    "agg_trimmed_mean",
+    "text_distribution_drift",
+    "udf_grouped_agg_gini",
+    "text_perplexity_proxy",
+    "sim_brute_force_topk",
     "text_tfidf_top3",
-    "graph_triangle_count",
-    "sim_lsh_topk",
+    "events_pii_scrub",
+    "profile_table_columns",
+    "agg_salted_skew",
+    "dedup_chunk_dupe_ratio",
+    "join_salted_skew",
+    "sql_recursive_cte_walk",
     "sim_lsh_portable_buckets",
+    "pipeline_corpus_clean",
+    "events_funnel_conversion",
+    "graph_triangle_count",
+    "agg_mad_outliers",
+    "udf_udtf_sentences",
     "udf_ewma_per_user",
-    "dedup_minhash_portable",
-    "sim_kmeans_portable",
-    "sim_ivf_topk",
-    "dedup_semdedup_purge",
+    "agg_hll_set_overlap",
+    "events_daily_from_hourly",
+    "sim_lsh_topk",
     "sim_ivf_portable_topk",
-    "udf_pandas_scalar_charge",
-    "text_sequence_pack",
+    "sim_kmeans_portable",
     "sim_kmeans_refine",
+    "dedup_minhash_portable",
+    "text_sequence_pack",
+    "sim_ivf_topk",
+    "multimodal_decode_ppm",
     "dedup_simhash_portable",
     "dedup_components_keep_best",
+    "events_sliding_window_rollup",
+    "dedup_semdedup_purge",
+    "text_freq_items_sketch",
+    "join_lateral_topk",
+    "fn_xml_extract",
+    "sim_cosine_pairs_blocked",
 ]
 
 # Driver-green in CORRECTNESS_r01/r02.json, registration order.

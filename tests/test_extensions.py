@@ -391,3 +391,20 @@ def test_mixed_format_corpus_routes_without_raising(spark):
     defer = {r.doc_id: r.format for r in deferred.collect()}
     assert defer == {3: "png", 4: "gif", 5: "unknown"}
     assert multimodal.supported_formats() == {"ppm", "bmp", "jpeg"}
+
+
+def test_weighted_reservoir_prefers_heavy_tiers(spark):
+    """A-ES weighted sampling: exactly K=3 per source, and the kept set
+    must overrepresent high-weight tiers vs the corpus tier mix (tiers
+    are uniform 1..4 by construction, so the kept-tier mean must sit
+    clearly above the population mean of 2.5)."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import REGISTRY
+
+    rows = REGISTRY["sample_weighted_reservoir_per_key"].fn(spark, SF_SMALL).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert all(len(v) == 3 for v in by_source.values())
+    assert all(sorted(x.rn for x in v) == [1, 2, 3] for v in by_source.values())
+    tiers = [r.tier for r in rows]
+    assert sum(tiers) / len(tiers) > 2.5, f"weighting had no effect: {tiers}"
