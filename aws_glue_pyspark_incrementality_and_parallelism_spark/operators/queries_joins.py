@@ -389,3 +389,80 @@ def q_join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.alias("c").join(o.alias("o"), F.col("c.k").eqNullSafe(F.col("o.k"))).select(
         F.col("c.k").alias("k"), "n_customers", "n_orders"
     )
+
+
+#: Bucket width (days) for the binned interval join below.
+INTERVAL_BUCKET_DAYS = 30
+
+
+@query(
+    "join_interval_binned",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS start_d,
+             CAST(o_orderdate AS DATE) + 30 AS end_d
+      FROM orders WHERE o_orderstatus = 'P' AND o_orderkey % 97 = 0
+    )
+    SELECT iv.o_orderkey, CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_shipped
+    FROM iv LEFT JOIN lineitem l
+      ON CAST(l.l_shipdate AS DATE) >= iv.start_d
+     AND CAST(l.l_shipdate AS DATE) < iv.end_d
+    GROUP BY 1
+    """,
+)
+def q_join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval join done scale-safe: count ALL lineitems
+    shipped inside each sampled order's 30-day window — there is no
+    equi key relating the two sides, the predicate is purely
+    range-vs-point, which Spark would otherwise plan as a
+    BroadcastNestedLoopJoin (O(n·m) compares; a cluster-killer when
+    neither side broadcasts).
+
+    The standard rewrite: BIN time into fixed-width buckets — each
+    point belongs to exactly one bucket, each interval EXPLODES into
+    the (at most ⌈len/width⌉+1) buckets it covers — equi-join on the
+    bucket id, then refine with the exact range predicate. A
+    (point, interval) pair meets in exactly one bucket (the point's),
+    so no post-join dedup is needed. The join becomes a plain shuffle
+    hash join keyed on the bucket: partitionable, skew-manageable,
+    no nested loop at any scale. Zero-match intervals are restored by
+    a left join against the interval set (the oracle's LEFT JOIN)."""
+    B = INTERVAL_BUCKET_DAYS
+    epoch = F.lit("1970-01-01").cast("date")
+    iv = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "P") & (F.col("o_orderkey") % 97 == 0))
+        .select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("start_d"),
+            F.date_add(F.to_date("o_orderdate"), B).alias("end_d"),
+        )
+    )
+    sd = F.datediff(F.col("start_d"), epoch)
+    ed = F.datediff(F.col("end_d"), epoch)
+    iv_binned = iv.select(
+        "o_orderkey",
+        "start_d",
+        "end_d",
+        F.explode(
+            F.sequence(F.floor(sd / B).cast("long"), F.floor((ed - 1) / B).cast("long"))
+        ).alias("bucket"),
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.to_date("l_shipdate").alias("ship_d"))
+        .withColumn(
+            "bucket", F.floor(F.datediff(F.col("ship_d"), epoch) / B).cast("long")
+        )
+    )
+    matched = (
+        li.join(iv_binned, "bucket")
+        .filter((F.col("ship_d") >= F.col("start_d")) & (F.col("ship_d") < F.col("end_d")))
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        iv.select("o_orderkey")
+        .join(matched, "o_orderkey", "left")
+        .select("o_orderkey", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_shipped"))
+    )

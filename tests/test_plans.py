@@ -349,3 +349,12 @@ def test_portable_twins_share_scale_path_skeleton(spark):
         assert "CartesianProduct" not in plan
         assert "cell" in plan
         assert "BroadcastHashJoin" in plan
+
+
+def test_interval_join_binned_no_nested_loop(spark):
+    """The keyless interval join must stay an equi join on the bucket id
+    — binning exists precisely so the pure range predicate never plans
+    as a BroadcastNestedLoopJoin or cartesian."""
+    plan = _plan(spark, "join_interval_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
