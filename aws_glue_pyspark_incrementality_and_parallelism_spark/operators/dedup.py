@@ -742,10 +742,10 @@ def q_dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE sized AS (
       SELECT vec_id, label,
              list_transform(embedding,
-                            x -> CAST(CAST(x AS DECIMAL(12,6)) * 1000000 AS BIGINT)) AS q,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q,
              list_sum(list_transform(embedding,
-                      x -> CAST(CAST(x AS DECIMAL(12,6)) * 1000000 AS BIGINT)
-                         * CAST(CAST(x AS DECIMAL(12,6)) * 1000000 AS BIGINT))) AS ss
+                      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                         * CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))) AS ss
       FROM embeddings
     ), dots AS (
       SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
@@ -789,7 +789,7 @@ def q_dedup_semdedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The cosine ≥ 0.35 threshold is evaluated in EXACT integer
     arithmetic on both engines: components quantized to micro-units
-    (decimal(12,6)×10⁶), then cos ≥ 0.35 ⟺ dot ≥ 0 ∧ 400·dot² ≥
+    (floor(x·10⁶+0.5)), then cos ≥ 0.35 ⟺ dot ≥ 0 ∧ 400·dot² ≥
     49·‖a‖²·‖b‖² (0.35² = 49/400 exactly; the square comparison runs in
     decimal(38,0) here, HUGEINT in DuckDB — both exact). A float pair
     within an ulp of the threshold therefore cannot become an edge on
@@ -797,7 +797,7 @@ def q_dedup_semdedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes the transitive closure discretely."""
     emb = load_table(spark, sf_dir, "embeddings")
     quant = F.transform(
-        F.col("embedding"), lambda x: (x.cast("decimal(12,6)") * 1000000).cast("bigint")
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000000 + 0.5)
     )
     sized = emb.select("label", "vec_id", quant.alias("q")).select(
         "label",

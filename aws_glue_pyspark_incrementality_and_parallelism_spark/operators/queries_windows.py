@@ -161,7 +161,11 @@ def q_window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS rolling_1h_value
     FROM (SELECT user_id, event_id, value,
-                 CAST(epoch(ts) AS BIGINT) AS epoch_s FROM events)
+                 -- floor, not CAST: DuckDB's double->int cast ROUNDS, while
+                 -- Spark's unix_timestamp TRUNCATES sub-second parts; a
+                 -- rounded-up second shifts the 1h frame boundary for
+                 -- events whose microseconds are >= .5 (bit sf0.1)
+                 CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events)
     """,
 )
 def q_window_range_frame_1h(spark: SparkSession, sf_dir: str) -> DataFrame:

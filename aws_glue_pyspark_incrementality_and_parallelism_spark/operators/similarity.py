@@ -128,16 +128,34 @@ def q_sim_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_cosine_pairs_threshold",
-    oracle="""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
-    FROM embeddings a
-    JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
-    """,
-)
+#: Shared oracle for the all-pairs cosine queries: cosines derive from
+#: EXACT integer micro-unit quantities (quantized components, integer
+#: dot and squared norms) through an identical float op sequence on
+#: both engines — list_cosine_similarity vs the numpy GEMM differed in
+#: the last ulp and flipped 4-decimal roundings at sf0.1.
+_COSINE_PAIRS_ORACLE = """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, qv,
+             CAST(list_sum(list_transform(qv, x -> x*x)) AS DOUBLE) AS ss
+      FROM q
+    ), pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1]*p[2])) AS DOUBLE)
+               / sqrt(a.ss * b.ss) AS cos
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           CAST(floor(cos * 10000 + 0.5) AS BIGINT) / 10000.0 AS cosine
+    FROM pairs WHERE cos >= 0.35
+    """
+
+
+@query("sim_cosine_pairs_threshold", oracle=_COSINE_PAIRS_ORACLE)
 def q_sim_cosine_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.35 — the test
     embeddings are near-orthogonal random vectors, max ~0.48).
@@ -153,16 +171,7 @@ def q_sim_cosine_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOCK_SIZE = 512
 
 
-@query(
-    "sim_cosine_pairs_blocked",
-    oracle="""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
-    FROM embeddings a
-    JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
-    """,
-)
+@query("sim_cosine_pairs_blocked", oracle=_COSINE_PAIRS_ORACLE)
 def q_sim_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine ≥ τ via blocked matrix products — the scale path
     for exhaustive similarity (same oracle as the row-wise quadratic
@@ -174,7 +183,12 @@ def q_sim_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     Data volume shuffled: O(n·dim + survivors), FLOPs distributed across
     B² tasks — this is how you run exhaustive all-pairs on a cluster
     when LSH recall isn't acceptable.
-    """
+
+    The GEMM runs over integer micro-unit quantized components (int64
+    matmul — exact), and the cosine derives from those exact integers
+    with the same float op sequence as the oracle: summation-order ulp
+    drift can therefore never flip the 0.35 membership or a 4-decimal
+    rounding, at any SF."""
     emb = load_table(spark, sf_dir, "embeddings")
     blocked = (
         emb.withColumn("block", F.floor(F.col("vec_id") / BLOCK_SIZE).cast("long"))
@@ -201,9 +215,18 @@ def q_sim_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ids_b = np.asarray(row.ids_b, dtype=np.int64)
                 A = np.vstack([np.asarray(v) for v in row.vecs_a]).astype(np.float64)
                 B = np.vstack([np.asarray(v) for v in row.vecs_b]).astype(np.float64)
-                An = A / np.linalg.norm(A, axis=1, keepdims=True)
-                Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
-                S = An @ Bn.T
+                # micro-unit quantization via floor(x*1e6 + 0.5) — the
+                # ONE portable rule: engines disagree on float->decimal
+                # casts (Spark rounds the exact double half-away, DuckDB
+                # rounds the float's shortest repr half-even), but the
+                # identical double product/add/floor sequence cannot
+                # diverge. Then EXACT int64 algebra.
+                Aq = np.floor(A * 1e6 + 0.5).astype(np.int64)
+                Bq = np.floor(B * 1e6 + 0.5).astype(np.int64)
+                dot = Aq @ Bq.T  # int64 matmul: exact
+                ssa = (Aq * Aq).sum(axis=1).astype(np.float64)
+                ssb = (Bq * Bq).sum(axis=1).astype(np.float64)
+                S = dot.astype(np.float64) / np.sqrt(ssa[:, None] * ssb[None, :])
                 ia, ib = np.nonzero(S >= 0.35)
                 if len(ia) == 0:
                     continue
@@ -215,7 +238,12 @@ def q_sim_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {
                         "vec_a": va[keep],
                         "vec_b": vb[keep],
-                        "cosine": np.round(S[ia[keep], ib[keep]], 4),
+                        # floor(x*1e4+0.5)/1e4: identical float ops on both
+                        # engines — np.round (half-even) vs DuckDB ROUND
+                        # (half-away) disagreed on an exactly-representable
+                        # x.xxxx5 product even from IDENTICAL doubles
+                        "cosine": np.floor(S[ia[keep], ib[keep]] * 10000 + 0.5)
+                        / 10000.0,
                     }
                 )
 
@@ -637,12 +665,20 @@ def q_rag_retrieve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT dim,
            COUNT(*) AS n,
-           ROUND(AVG(e), 4) AS mean_val,
-           ROUND(STDDEV_SAMP(e), 4) AS std_val,
-           ROUND(MIN(e), 4) AS min_val,
-           ROUND(MAX(e), 4) AS max_val
+           CAST(floor(CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                      / 1000000.0 * 10000 + 0.5) AS BIGINT) / 10000.0
+             AS mean_val,
+           CAST(floor(sqrt(CAST(COUNT(*) * SUM(q*q) - SUM(q) * SUM(q) AS DOUBLE)
+                           / CAST(COUNT(*) * (COUNT(*) - 1) AS DOUBLE))
+                      / 1000000.0 * 10000 + 0.5) AS BIGINT) / 10000.0
+             AS std_val,
+           CAST(floor(CAST(MIN(q) AS DOUBLE) / 1000000.0 * 10000 + 0.5) AS BIGINT)
+             / 10000.0 AS min_val,
+           CAST(floor(CAST(MAX(q) AS DOUBLE) / 1000000.0 * 10000 + 0.5) AS BIGINT)
+             / 10000.0 AS max_val
     FROM (
-      SELECT i AS dim, embedding[i] AS e
+      SELECT i AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
       FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
     )
     GROUP BY dim
@@ -654,17 +690,47 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard drift check on a new embedding drop. posexplode keeps the
     dimension index JVM-side; the aggregate shuffles only (dim, partial
     state) — O(dims × partitions) rows, independent of corpus size, so
-    the plan holds at 100 TB."""
+    the plan holds at 100 TB.
+
+    Cross-engine exactness: components quantize to integer micro-units,
+    sums/sums-of-squares aggregate EXACTLY (bigint; n·Σq²−S² in
+    decimal(38,0) here, HUGEINT in DuckDB), and mean/std derive from
+    those exact integers with an identical float op sequence — a plain
+    AVG/STDDEV over doubles diverged in the last ulp at sf0.1 (Spark's
+    distributed summation order vs DuckDB's serial one) and flipped a
+    4-decimal rounding."""
     emb = load_table(spark, sf_dir, "embeddings")
     exploded = emb.select(F.posexplode("embedding").alias("pos", "e")).select(
-        (F.col("pos") + 1).alias("dim"), F.col("e").cast("double").alias("e")
+        (F.col("pos") + 1).alias("dim"),
+        (F.floor(F.col("e").cast("double") * 1000000 + F.lit(0.5))).alias("q"),
     )
-    return exploded.groupBy("dim").agg(
+    agg = exploded.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("e"), 4).alias("mean_val"),
-        F.round(F.stddev_samp("e"), 4).alias("std_val"),
-        F.round(F.min("e"), 4).alias("min_val"),
-        F.round(F.max("e"), 4).alias("max_val"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("ss"),
+        F.min("q").alias("mn"),
+        F.max("q").alias("mx"),
+    )
+    big = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    var_num = (big("n") * big("ss") - big("s") * big("s")).cast("double")
+    var_den = (F.col("n") * (F.col("n") - 1)).cast("double")
+
+    # floor(x*1e4+0.5)/1e4 with identical float ops on both engines —
+    # engine ROUND implementations legitimately disagree on near-tie
+    # doubles (Spark rounds the exact BigDecimal of the double, DuckDB
+    # rounds a scaled product), and exact 4-decimal ties are COMMON for
+    # quantized rationals. floor-of-identical-doubles cannot diverge.
+    def r4(col):
+        return F.floor(col * 10000 + F.lit(0.5)) / F.lit(10000.0)
+
+    return agg.select(
+        "dim",
+        "n",
+        r4(F.col("s").cast("double") / F.col("n").cast("double") / 1000000.0)
+        .alias("mean_val"),
+        r4(F.sqrt(var_num / var_den) / 1000000.0).alias("std_val"),
+        r4(F.col("mn").cast("double") / 1000000.0).alias("min_val"),
+        r4(F.col("mx").cast("double") / 1000000.0).alias("max_val"),
     )
 
 
@@ -687,7 +753,7 @@ LSH_PORTABLE_VEC_CAP = 300
       FROM range({LSH_PORTABLE_PLANES}) t(i), range(1, 65) u(j)
     ), comps AS (
       SELECT d.vec_id, p.i,
-             SUM(p.sgn * CAST(d.x AS DECIMAL(12,6))) AS proj
+             SUM(p.sgn * CAST(floor(CAST(d.x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS proj
       FROM (SELECT vec_id, j, embedding[j] AS x
             FROM embeddings, unnest(generate_series(1, len(embedding))) t(j)
             WHERE vec_id < {LSH_PORTABLE_VEC_CAP}) d
@@ -707,10 +773,13 @@ def q_sim_lsh_portable_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH candidate generation with EXACT portable
     arithmetic, oracled end-to-end: Rademacher (±1) hyperplanes derived
     from md5 parity — both engines derive the identical matrix from the
-    same formula — and projections carried as DECIMAL, so the sign of
-    every dot product (and therefore every bucket bit and every
-    candidate pair) is bit-for-bit reproducible; float summation-order
-    drift cannot flip a bucket. Shape is the real LSH path's: per-plane
+    same formula — and projections carried as INTEGER micro-unit sums
+    (floor(x·10⁶+0.5) quantization — the one float→int rule both
+    engines compute identically; engine decimal casts of float32
+    actually disagree), so the sign of every dot product (and
+    therefore every bucket bit and every candidate pair) is
+    bit-for-bit reproducible; float summation-order drift cannot flip
+    a bucket. Shape is the real LSH path's: per-plane
     projection as one hash-aggregate over (vec, plane) rows, signature
     packing, bucket equi self-join. The float-hyperplane scale variant
     (``sim_lsh_topk``) keeps its pytest recall check; this query proves
@@ -751,7 +820,11 @@ def q_sim_lsh_portable_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dims = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "x")
-    ).select("vec_id", (F.col("pos") + 1).alias("j"), F.col("x").cast("decimal(12,6)").alias("x"))
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("j"),
+        F.floor(F.col("x").cast("double") * 1000000 + F.lit(0.5)).alias("x"),
+    )
     comps = (
         dims.join(F.broadcast(planes), "j")
         .groupBy("vec_id", "i")
@@ -784,7 +857,7 @@ IVF_PORTABLE_NQUERIES = 50
     oracle=f"""
     WITH dims AS (
       SELECT vec_id, label, j,
-             CAST(CAST(embedding[j] AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS x
+             CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
       FROM embeddings, unnest(generate_series(1, len(embedding))) t(j)
     ), cent AS (
       SELECT label AS cell, j,
@@ -831,7 +904,7 @@ IVF_PORTABLE_NQUERIES = 50
 def q_sim_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe search with EXACT portable arithmetic, oracled
     end-to-end: vector components are quantized to integer micro-units
-    (decimal(12,6) × 10⁶ — exact), coarse centroids are integer means
+    (floor(x·10⁶+0.5) — the portable rule), coarse centroids are integer means
     rounded half-away-from-zero IN INTEGER ARITHMETIC ((2S+n) div 2n —
     no double quotient near a rounding midpoint can diverge between
     engines), and every distance — corpus→cell assignment, query probe
@@ -850,7 +923,7 @@ def q_sim_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         (F.col("pos") + 1).alias("j"),
-        (F.col("xr").cast("decimal(12,6)") * 1000000).cast("bigint").alias("x"),
+        (F.floor(F.col("xr").cast("double") * 1000000 + F.lit(0.5))).alias("x"),
     )
     cent = (
         dims.groupBy("label", "j")
@@ -910,7 +983,7 @@ KMEANS_PORTABLE_CAP = 200
     oracle=f"""
     WITH dims AS (
       SELECT vec_id, j,
-             CAST(CAST(embedding[j] AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS x
+             CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
       FROM embeddings, unnest(generate_series(1, len(embedding))) t(j)
       WHERE vec_id < {KMEANS_PORTABLE_CAP}
     ), c0 AS (
@@ -964,7 +1037,7 @@ def q_sim_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = emb.select("vec_id", F.posexplode("embedding").alias("pos", "xr")).select(
         "vec_id",
         (F.col("pos") + 1).alias("j"),
-        (F.col("xr").cast("decimal(12,6)") * 1000000).cast("bigint").alias("x"),
+        (F.floor(F.col("xr").cast("double") * 1000000 + F.lit(0.5))).alias("x"),
     )
     cent = dims.filter(F.col("vec_id") < KMEANS_PORTABLE_K).select(
         F.col("vec_id").alias("cid"), "j", F.col("x").alias("c")
