@@ -106,6 +106,22 @@ def read_json(
     return spark.read.schema(schema).option("mode", mode).json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC source (the other columnar format a Glue/Hive catalog
+    commonly serves). ORC files carry their own schema; pass one only
+    to pin/project it. Predicate pushdown and column pruning work the
+    same as parquet — the scan honors PushedFilters/ReadSchema."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (zlib default compression; schema travels with data)."""
+    df.write.mode(mode).orc(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -32,6 +32,27 @@ def test_json_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, region.collect()))
 
 
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import (
+        read_orc,
+        write_orc,
+    )
+
+    supplier = load_table(spark, SF_SMALL, "supplier")
+    path = str(tmp_path / "supplier_orc")
+    write_orc(supplier, path)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, supplier.collect()))
+    # pushdown + pruning reach the ORC scan like parquet
+    from pyspark.sql import functions as F
+
+    q = read_orc(spark, path).filter(F.col("s_suppkey") > 10).select("s_suppkey", "s_name")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = q._jdf.queryExecution().explainString(mode)
+    assert "GreaterThan(s_suppkey,10)" in plan
+    assert "ReadSchema: struct<s_suppkey:bigint,s_name:string>" in plan
+
+
 def test_cli_entrypoint(tmp_path):
     out = str(tmp_path / "reports")
     env = dict(os.environ, SPARK_GRAFT_CPUS="4")
