@@ -170,7 +170,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Band buckets larger than this are star-linearized instead of
+#: Band buckets larger than this are chain-linearized instead of
 #: all-paired (see the hot-band guard below). Never reached by the test
 #: corpora — sized for the boilerplate mega-clusters of a web crawl.
 LSH_BUCKET_CAP = 1000

@@ -6,9 +6,10 @@ the same parquet tables (driver contract, /root/repo/__spark_entry__.py).
 Column names/aliases MUST match between the two sides — the driver's
 compare sorts columns by name before hashing values.
 
-Oracle-less entries (``oracle=None``) are genuinely non-SQL-expressible
-ops (stateful streaming, LSH internals); the driver records a weaker
-rows-only check for those.
+Oracle-less entries (``oracle=None``) would get a weaker rows-only
+driver check; since round 3 every registered query carries an oracle —
+hash/float scale paths emit deterministic verification surfaces
+(exact counts + pinned invariants) alongside their scale computation.
 """
 
 from __future__ import annotations

@@ -59,7 +59,7 @@ def test_minhash_mega_bucket_star_linearization(spark):
         cands.select("doc_a", "doc_b"), docs.select("doc_id")
     )
     labels = {r["comp"] for r in comp.collect()}
-    assert len(labels) == 1, f"star pairs must close into one cluster, got {labels}"
+    assert len(labels) == 1, f"chain pairs must close into one cluster, got {labels}"
 
     # below the cap the same corpus produces all-pairs (sanity contrast)
     small = _docs_df(spark, [(i, body) for i in range(5)])
