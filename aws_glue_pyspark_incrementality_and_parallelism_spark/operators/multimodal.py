@@ -40,6 +40,7 @@ from pyspark.sql.types import (
 
 from ..plans.registry import query
 from .jpeg import decode_baseline_jpeg, encode_gray_baseline
+from .png import decode_png
 from ..sources.io import load_table
 
 from ..session import pickle_module_by_value
@@ -77,7 +78,6 @@ def as_media_frame(docs: DataFrame) -> DataFrame:
 #: gate. Raw raster formats AND baseline JPEG are decoded for real by
 #: ``decode_rgb`` (JPEG via the dependency-free ``jpeg`` module).
 _CODEC_MAGICS: tuple[tuple[bytes, str], ...] = (
-    (b"\x89PNG", "png"),
     (b"GIF8", "gif"),
     (b"RIFF", "riff (webp/wav/avi)"),
     (b"\x00\x00\x00", "mp4/iso-bmff"),
@@ -93,6 +93,7 @@ _RASTER_MAGICS: tuple[tuple[bytes, str], ...] = (
     (b"P6", "ppm"),
     (b"BM", "bmp"),
     (b"\xff\xd8\xff", "jpeg"),
+    (b"\x89PNG", "png"),
 )
 
 #: jpeg=True covers baseline sequential (SOF0) — the overwhelmingly
@@ -103,7 +104,7 @@ FORMAT_DECODABLE: dict[str, bool] = {
     "ppm": True,
     "bmp": True,
     "jpeg": True,
-    "png": False,
+    "png": True,
     "gif": False,
     "riff (webp/wav/avi)": False,
     "mp4/iso-bmff": False,
@@ -166,7 +167,10 @@ def decode_rgb(payload: bytes) -> "object":
       the numpy-only decoder in ``operators.jpeg``; progressive and the
       other rare SOF modes raise a NAMED NotImplementedError there.
 
-    Remaining codec formats (PNG/GIF/RIFF/MP4) raise
+    - **PNG** (8-bit gray/RGB/RGBA/palette, non-interlaced) via the
+      stdlib-zlib decoder in ``operators.png``.
+
+    Remaining codec formats (GIF/RIFF/MP4) raise
     ``NotImplementedError`` naming the detected format; anything else
     raises ``ValueError``.
     """
@@ -182,6 +186,8 @@ def decode_rgb(payload: bytes) -> "object":
             )
     if payload.startswith(b"\xff\xd8\xff"):
         return decode_baseline_jpeg(payload)
+    if payload.startswith(b"\x89PNG"):
+        return decode_png(payload)
     if payload.startswith(b"P6"):
         m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
         if not m:
@@ -493,7 +499,7 @@ def q_multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'ppm' WHEN 1 THEN 'gif'
-                WHEN 2 THEN 'png' ELSE 'unknown' END AS format,
+                WHEN 2 THEN 'riff (webp/wav/avi)' ELSE 'unknown' END AS format,
            doc_id % 4 = 0 AS decodable,
            CASE WHEN doc_id % 4 = 0 THEN CAST(32 AS BIGINT) END AS width,
            CASE WHEN doc_id % 4 = 0 THEN CAST(16 AS BIGINT) END AS height
@@ -504,7 +510,7 @@ def q_multimodal_mixed_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 mixed-format corpus end-to-end: each document becomes a PPM /
     GIF-magic / PNG-magic / raw payload by doc_id stripe, then
     ``decode_or_defer`` routes by the capability registry — PPMs are
-    REALLY decoded (width/height from the numpy decoder), codec and
+    REALLY decoded (width/height from the numpy decoder), GIF/RIFF and
     unknown payloads land in the deferred lane with their sniffed
     format and NULL geometry. Proves no payload can reach the
     NotImplementedError gate on a mixed corpus: the gate is a JVM-side
@@ -527,7 +533,7 @@ def q_multimodal_mixed_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .when(
             stripe == 2,
-            F.concat(F.lit(bytearray(b"\x89PNG")), F.encode("text", "utf-8")),
+            F.concat(F.lit(bytearray(b"RIFF")), F.encode("text", "utf-8")),
         )
         .otherwise(F.encode("text", "utf-8"))
     )

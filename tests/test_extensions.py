@@ -358,14 +358,18 @@ def test_mixed_format_corpus_routes_without_raising(spark):
         + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(px), 0, 0, 0, 0)
         + px
     )
+    from .test_png import encode_png
+
     jpeg = encode_baseline_jpeg(np.full((8, 16), 150, np.uint8))
+    png = encode_png(np.full((3, 5, 3), 40, np.uint8), color_type=2, filter_type=2)
     rows = [
         (0, ppm),
         (1, bmp),
         (2, jpeg),
-        (3, b"\x89PNG fake png"),
+        (3, png),
         (4, b"GIF8 fake gif"),
         (5, b"just plain bytes"),
+        (6, b"RIFF fake wav"),
     ]
     media = spark.createDataFrame(rows, "doc_id long, payload binary")
 
@@ -374,9 +378,10 @@ def test_mixed_format_corpus_routes_without_raising(spark):
         0: ("ppm", True),
         1: ("bmp", True),
         2: ("jpeg", True),
-        3: ("png", False),
+        3: ("png", True),
         4: ("gif", False),
         5: ("unknown", False),
+        6: ("riff (webp/wav/avi)", False),
     }
 
     decoded, deferred = multimodal.decode_or_defer(media)
@@ -385,12 +390,15 @@ def test_mixed_format_corpus_routes_without_raising(spark):
         0: (2, 2),
         1: (2, 1),
         2: (16, 8),
+        3: (5, 3),
     }
-    # the JPEG really decoded: uniform gray 150 within DCT rounding
+    # the JPEG really decoded: uniform gray 150 within DCT rounding;
+    # the PNG really decoded: lossless uniform 40
     assert abs(rows_dec[2].mean_r - 150.0) <= 1.5
+    assert rows_dec[3].mean_r == 40.0
     defer = {r.doc_id: r.format for r in deferred.collect()}
-    assert defer == {3: "png", 4: "gif", 5: "unknown"}
-    assert multimodal.supported_formats() == {"ppm", "bmp", "jpeg"}
+    assert defer == {4: "gif", 5: "unknown", 6: "riff (webp/wav/avi)"}
+    assert multimodal.supported_formats() == {"ppm", "bmp", "jpeg", "png"}
 
 
 def test_weighted_reservoir_prefers_heavy_tiers(spark):

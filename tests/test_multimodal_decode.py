@@ -70,8 +70,12 @@ def test_codec_formats_still_gated():
     payload[i + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="progressive"):
         decode_rgb(bytes(payload))
-    with pytest.raises(NotImplementedError, match="png"):
+    # png now routes to the real stdlib-zlib decoder (test_png.py);
+    # a malformed png fails loudly inside it rather than being gated
+    with pytest.raises(Exception):
         decode_rgb(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="gif"):
+        decode_rgb(b"GIF89a" + b"\x00" * 64)
     with pytest.raises(ValueError, match="unrecognized"):
         decode_rgb(b"????junk")
 
