@@ -601,6 +601,78 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Sample rate for the WAV round-trip query below.
+_WAV_SR = 8000
+
+
+@query(
+    "multimodal_audio_wav",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(split(text, ''), c -> unicode(c)) AS codes,
+             CAST(strlen(text) // 2 AS BIGINT) AS n
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n,
+             list_transform(range(1, CAST(n AS INT) + 1),
+               i -> CASE WHEN codes[2*i-1] + 256*codes[2*i] >= 32768
+                         THEN codes[2*i-1] + 256*codes[2*i] - 65536
+                         ELSE codes[2*i-1] + 256*codes[2*i] END) AS smp
+      FROM b
+    )
+    SELECT doc_id, {_WAV_SR} AS sample_rate, n AS n_samples,
+           CAST(n AS DOUBLE) / {_WAV_SR}.0 AS duration_sec,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE CAST(floor(sqrt(CAST(list_sum(list_transform(smp, x -> x*x)) AS DOUBLE)
+                                     / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) / 10000.0
+           END AS rms,
+           CAST(COALESCE(list_max(list_transform(smp, x -> abs(x))), 0) AS BIGINT) AS peak
+    FROM s
+    """,
+)
+def q_multimodal_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 AUDIO modality end-to-end: per document, interpret the text's
+    byte pairs as little-endian PCM16 samples, ENCODE a canonical
+    RIFF/WAVE container (``audio.encode_wav_pcm16``), DECODE it back
+    through the real WAV parser (``audio.decode_wav``), and extract the
+    features a training pipeline filters on — duration, RMS loudness
+    (exact integer sum of squares → one division + sqrt, floor-rounded
+    so both engines agree bit-for-bit), absolute peak — all in one
+    Arrow batch pass. The oracle recomputes every feature straight from
+    the text code points (ASCII corpus ⇒ bytes == code points)."""
+    import math
+
+    from .audio import encode_wav_pcm16, wav_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "sample_rate": [], "n_samples": [],
+                   "duration_sec": [], "rms": [], "peak": []}
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")
+                raw = raw[: (len(raw) // 2) * 2]
+                samples = np.frombuffer(raw, "<i2") if raw else np.zeros(0, "<i2")
+                payload = encode_wav_pcm16(samples, _WAV_SR)
+                f = wav_features(payload)
+                out["sample_rate"].append(f["sample_rate"])
+                out["n_samples"].append(f["n_samples"])
+                out["duration_sec"].append(f["duration_sec"])
+                out["rms"].append(math.floor(f["rms"] * 10000 + 0.5) / 10000.0)
+                out["peak"].append(f["peak"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        _audio,
+        schema="doc_id long, sample_rate int, n_samples long, "
+        "duration_sec double, rms double, peak long",
+    )
+
+
 def read_binary_dir(
     spark: SparkSession, path: str, glob: str | None = None
 ) -> DataFrame:
