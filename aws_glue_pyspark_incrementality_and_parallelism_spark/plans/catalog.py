@@ -3,21 +3,24 @@
 Importing this module imports every operator module, which registers its
 queries into ``REGISTRY`` via the ``@query`` decorator.
 
-Driver-facing ordering policy (round 3): the driver's correctness pass
+Driver-facing ordering policy (round 4): the driver's correctness pass
 walks ``queries()`` in dict order and adjudicates a bounded window
-(~50 queries in rounds 1-2), so ``all_queries``/``all_oracles`` emit an
+(~50 queries per round), so ``all_queries``/``all_oracles`` emit an
 explicit priority order instead of raw registration order:
 
-1. ``_DRIVER_PENDING`` — the 99 queries with no green driver verdict
-   after rounds 1+2 (CORRECTNESS_r01/r02.json). The 8 round-1
-   non-green entries (fixed in round 2, judge-verified) lead so the
-   driver replaces their stale fail/no_oracle records; the rest are
-   ordered cheapest-first by measured sf0.01 cost (SWEEP_DETAIL.json)
-   to stretch the driver's adjudication budget.
+1. ``_DRIVER_PENDING`` — queries with no driver verdict yet. Round 4
+   fronts the back half of the round-3 pending list (the round-3
+   window should have cleared the front ~50) plus the five queries
+   registered late in round 3 (``join_interval_binned``,
+   ``sample_weighted_reservoir_per_key``, ``multimodal_mixed_routing``,
+   ``multimodal_decode_jpeg``, ``multimodal_audio_wav``).
 2. Any query registered after this list was frozen (new this round) —
    appended right after the pending block, before already-verified.
-3. ``_DRIVER_VERIFIED`` — the 92 queries already driver-green, in
-   original registration order.
+3. ``_DRIVER_PRESUMED`` — the round-3 front window (presumed
+   adjudicated in CORRECTNESS_r03; re-front any that come back
+   non-green once the file lands).
+4. ``_DRIVER_VERIFIED`` — the 92 queries driver-green in rounds 1+2,
+   in original registration order.
 
 Rotate (1) each round until every query has a recorded driver verdict.
 """
@@ -49,9 +52,68 @@ from ..operators import (  # noqa: F401
 
 from .registry import REGISTRY, QuerySpec  # noqa: F401
 
-# Never driver-green after rounds 1+2; first 8 = the round-1 non-green set
-# (re-surfaced per VERDICT.md item 2), then cheapest-first by sf0.01 cost.
+# No driver verdict yet after rounds 1-3: the back half of the round-3
+# pending order (its front ~50 presumably cleared in CORRECTNESS_r03),
+# then the five queries registered after that list froze.
 _DRIVER_PENDING = [
+    "events_markov_transitions",
+    "text_repetition_ratio",
+    "udf_apply_in_pandas_top2",
+    "agg_zscore_outliers",
+    "dedup_winnow_portable",
+    "setop_intersect_all",
+    "events_sessionization",
+    "text_decontamination",
+    "sim_cosine_pairs_threshold",
+    "sql_cte_window",
+    "window_year_over_year",
+    "rag_retrieve_topk",
+    "agg_trimmed_mean",
+    "text_distribution_drift",
+    "udf_grouped_agg_gini",
+    "text_perplexity_proxy",
+    "sim_brute_force_topk",
+    "text_tfidf_top3",
+    "events_pii_scrub",
+    "profile_table_columns",
+    "agg_salted_skew",
+    "dedup_chunk_dupe_ratio",
+    "join_salted_skew",
+    "sql_recursive_cte_walk",
+    "sim_lsh_portable_buckets",
+    "pipeline_corpus_clean",
+    "events_funnel_conversion",
+    "graph_triangle_count",
+    "agg_mad_outliers",
+    "udf_udtf_sentences",
+    "udf_ewma_per_user",
+    "agg_hll_set_overlap",
+    "events_daily_from_hourly",
+    "sim_lsh_topk",
+    "sim_ivf_portable_topk",
+    "sim_kmeans_portable",
+    "sim_kmeans_refine",
+    "dedup_minhash_portable",
+    "text_sequence_pack",
+    "sim_ivf_topk",
+    "multimodal_decode_ppm",
+    "dedup_simhash_portable",
+    "dedup_components_keep_best",
+    "events_sliding_window_rollup",
+    "dedup_semdedup_purge",
+    "text_freq_items_sketch",
+    "join_lateral_topk",
+    "fn_xml_extract",
+    "sim_cosine_pairs_blocked",
+    "join_interval_binned",
+    "sample_weighted_reservoir_per_key",
+    "multimodal_mixed_routing",
+    "multimodal_decode_jpeg",
+    "multimodal_audio_wav",
+]
+
+# Round-3 front window — presumed adjudicated in CORRECTNESS_r03.
+_DRIVER_PRESUMED = [
     "dedup_minhash_lsh",
     "dedup_winnow_fingerprints",
     "dedup_simhash",
@@ -102,55 +164,6 @@ _DRIVER_PENDING = [
     "agg_entropy_per_group",
     "embed_dim_stats",
     "setop_except_all",
-    "events_markov_transitions",
-    "text_repetition_ratio",
-    "udf_apply_in_pandas_top2",
-    "agg_zscore_outliers",
-    "dedup_winnow_portable",
-    "setop_intersect_all",
-    "events_sessionization",
-    "text_decontamination",
-    "sim_cosine_pairs_threshold",
-    "sql_cte_window",
-    "window_year_over_year",
-    "rag_retrieve_topk",
-    "agg_trimmed_mean",
-    "text_distribution_drift",
-    "udf_grouped_agg_gini",
-    "text_perplexity_proxy",
-    "sim_brute_force_topk",
-    "text_tfidf_top3",
-    "events_pii_scrub",
-    "profile_table_columns",
-    "agg_salted_skew",
-    "dedup_chunk_dupe_ratio",
-    "join_salted_skew",
-    "sql_recursive_cte_walk",
-    "sim_lsh_portable_buckets",
-    "pipeline_corpus_clean",
-    "events_funnel_conversion",
-    "graph_triangle_count",
-    "agg_mad_outliers",
-    "udf_udtf_sentences",
-    "udf_ewma_per_user",
-    "agg_hll_set_overlap",
-    "events_daily_from_hourly",
-    "sim_lsh_topk",
-    "sim_ivf_portable_topk",
-    "sim_kmeans_portable",
-    "sim_kmeans_refine",
-    "dedup_minhash_portable",
-    "text_sequence_pack",
-    "sim_ivf_topk",
-    "multimodal_decode_ppm",
-    "dedup_simhash_portable",
-    "dedup_components_keep_best",
-    "events_sliding_window_rollup",
-    "dedup_semdedup_purge",
-    "text_freq_items_sketch",
-    "join_lateral_topk",
-    "fn_xml_extract",
-    "sim_cosine_pairs_blocked",
 ]
 
 # Driver-green in CORRECTNESS_r01/r02.json, registration order.
@@ -251,11 +264,12 @@ _DRIVER_VERIFIED = [
 
 
 def _ordered_names() -> list[str]:
-    listed = set(_DRIVER_PENDING) | set(_DRIVER_VERIFIED)
+    listed = set(_DRIVER_PENDING) | set(_DRIVER_PRESUMED) | set(_DRIVER_VERIFIED)
     new = [n for n in REGISTRY if n not in listed]
     return (
         [n for n in _DRIVER_PENDING if n in REGISTRY]
         + new
+        + [n for n in _DRIVER_PRESUMED if n in REGISTRY]
         + [n for n in _DRIVER_VERIFIED if n in REGISTRY]
     )
 
