@@ -2,13 +2,14 @@
 
 Media assets are opaque ``binary`` payloads + a typed metadata struct.
 The engine's job is the Spark-side plumbing: schema, partition-friendly
-layout, Arrow-batched Pandas UDF decode/feature-extract. Raw raster
-formats (P6 PPM, uncompressed 24-bit BMP) AND baseline JPEG are decoded
-FOR REAL by the dependency-free ``decode_rgb`` (header parse + numpy;
-JPEG via the numpy-only Huffman/IDCT decoder in ``operators.jpeg``);
-the remaining codec formats (PNG/GIF/RIFF/MP4) raise
-NotImplementedError at the exact line a PIL/ffmpeg call belongs, gated
-behind the capability registry so mixed corpora route around them.
+layout, Arrow-batched Pandas UDF decode/feature-extract. PPM, BMP,
+baseline JPEG, PNG and GIF are decoded FOR REAL by the dependency-free
+``decode_rgb`` (numpy header parse; JPEG via the Huffman/IDCT decoder
+in ``operators.jpeg``, PNG via stdlib-zlib in ``operators.png``, GIF
+via the LZW decoder in ``operators.gif``); the remaining codec formats
+(RIFF/MP4) raise NotImplementedError at the exact line an ffmpeg call
+belongs, gated behind the capability registry so mixed corpora route
+around them.
 
 The testdata has no binary table, so ``documents.text`` (utf-8 encoded)
 stands in as the payload. The pipeline shape is the real thing:
@@ -39,6 +40,8 @@ from pyspark.sql.types import (
 )
 
 from ..plans.registry import query
+from .gif import decode_gif as decode_gif_payload
+from .gif import encode_gif as encode_gif_payload
 from .jpeg import decode_baseline_jpeg, encode_gray_baseline
 from .png import decode_png
 from ..sources.io import load_table
@@ -73,12 +76,11 @@ def as_media_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-#: Magic prefixes of compressed codec formats we cannot decode without
-#: external libraries — these (and only these) keep the NotImplementedError
-#: gate. Raw raster formats AND baseline JPEG are decoded for real by
-#: ``decode_rgb`` (JPEG via the dependency-free ``jpeg`` module).
+#: Magic prefixes of codec formats we cannot decode without external
+#: libraries — these (and only these) keep the NotImplementedError
+#: gate. Every raster format (PPM/BMP/JPEG/PNG/GIF) is decoded for real
+#: by ``decode_rgb`` via the dependency-free codec modules.
 _CODEC_MAGICS: tuple[tuple[bytes, str], ...] = (
-    (b"GIF8", "gif"),
     (b"RIFF", "riff (webp/wav/avi)"),
     (b"\x00\x00\x00", "mp4/iso-bmff"),
 )
@@ -94,6 +96,7 @@ _RASTER_MAGICS: tuple[tuple[bytes, str], ...] = (
     (b"BM", "bmp"),
     (b"\xff\xd8\xff", "jpeg"),
     (b"\x89PNG", "png"),
+    (b"GIF8", "gif"),
 )
 
 #: jpeg=True covers baseline sequential (SOF0) — the overwhelmingly
@@ -105,7 +108,7 @@ FORMAT_DECODABLE: dict[str, bool] = {
     "bmp": True,
     "jpeg": True,
     "png": True,
-    "gif": False,
+    "gif": True,
     "riff (webp/wav/avi)": False,
     "mp4/iso-bmff": False,
     "unknown": False,
@@ -170,9 +173,11 @@ def decode_rgb(payload: bytes) -> "object":
     - **PNG** (8-bit gray/RGB/RGBA/palette, non-interlaced) via the
       stdlib-zlib decoder in ``operators.png``.
 
-    Remaining codec formats (GIF/RIFF/MP4) raise
-    ``NotImplementedError`` naming the detected format; anything else
-    raises ``ValueError``.
+    - **GIF** (87a/89a, interlace, local tables, transparency, first
+      frame of animations) via the LZW decoder in ``operators.gif``.
+
+    Remaining codec formats (RIFF/MP4) raise ``NotImplementedError``
+    naming the detected format; anything else raises ``ValueError``.
     """
     import re
 
@@ -188,6 +193,8 @@ def decode_rgb(payload: bytes) -> "object":
         return decode_baseline_jpeg(payload)
     if payload.startswith(b"\x89PNG"):
         return decode_png(payload)
+    if payload.startswith(b"GIF8"):
+        return decode_gif_payload(payload)
     if payload.startswith(b"P6"):
         m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
         if not m:
@@ -498,7 +505,7 @@ def q_multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_mixed_routing",
     oracle="""
     SELECT doc_id,
-           CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'ppm' WHEN 1 THEN 'gif'
+           CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'ppm' WHEN 1 THEN 'mp4/iso-bmff'
                 WHEN 2 THEN 'riff (webp/wav/avi)' ELSE 'unknown' END AS format,
            doc_id % 4 = 0 AS decodable,
            CASE WHEN doc_id % 4 = 0 THEN CAST(32 AS BIGINT) END AS width,
@@ -508,15 +515,17 @@ def q_multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_mixed_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 mixed-format corpus end-to-end: each document becomes a PPM /
-    GIF-magic / PNG-magic / raw payload by doc_id stripe, then
+    MP4-magic / RIFF-magic / raw payload by doc_id stripe, then
     ``decode_or_defer`` routes by the capability registry — PPMs are
-    REALLY decoded (width/height from the numpy decoder), GIF/RIFF and
+    REALLY decoded (width/height from the numpy decoder), MP4/RIFF and
     unknown payloads land in the deferred lane with their sniffed
     format and NULL geometry. Proves no payload can reach the
     NotImplementedError gate on a mixed corpus: the gate is a JVM-side
     routing predicate, the quarantine lane is a first-class output.
-    (JPEG sits in the DECODABLE lane since the baseline decoder landed —
-    the pytest mixed-corpus test drives a real encoded JPEG through it.)"""
+    (JPEG/PNG/GIF sit in the DECODABLE lane since their dependency-free
+    decoders landed — the pytest mixed-corpus test and the
+    ``multimodal_decode_*`` round-trip queries drive real encoded
+    payloads through that lane.)"""
     docs = load_table(spark, sf_dir, "documents")
     stripe = (F.col("doc_id") % 4).cast("int")
     payload = (
@@ -529,7 +538,7 @@ def q_multimodal_mixed_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .when(
             stripe == 1,
-            F.concat(F.lit(bytearray(b"GIF8")), F.encode("text", "utf-8")),
+            F.concat(F.lit(bytearray(b"\x00\x00\x00")), F.encode("text", "utf-8")),
         )
         .when(
             stripe == 2,
@@ -598,6 +607,61 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.mapInPandas(
         _roundtrip, schema="doc_id long, width int, height int, roundtrip_ok boolean"
+    )
+
+
+#: Fixed geometry for the GIF round-trip query: 8x16 indices = 128 bytes.
+_GIF_W, _GIF_H = 16, 8
+
+
+@query(
+    "multimodal_decode_gif",
+    oracle=f"""
+    SELECT doc_id, {_GIF_W} AS width, {_GIF_H} AS height,
+           TRUE AS lossless_ok,
+           CAST(COALESCE(list_sum(list_transform(
+                    split(substr(text, 1, {_GIF_W * _GIF_H}), ''),
+                    c -> unicode(c))), 0) AS BIGINT) AS sum_red
+    FROM documents
+    """,
+)
+def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 third codec round-trip: per document, build an 8x16 image from
+    the text's first 128 bytes over an identity 256-gray palette, ENCODE
+    it to a real GIF (dictionary LZW; odd doc_ids interlaced so the
+    deinterlace path runs under the driver oracle too), then DECODE
+    through the same ``decode_rgb`` dispatch every ingest payload takes,
+    all in one Arrow batch pass. GIF is lossless, so full pixel equality
+    is pinned TRUE and the decoded red-channel sum is oracle-exact
+    (ASCII corpus ⇒ text bytes == code points; zero padding adds 0)."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = _GIF_W * _GIF_H
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gray = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+        for pdf in batches:
+            widths, heights, oks, sums = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")[:n]
+                buf = np.zeros(n, np.uint8)
+                buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+                idx = buf.reshape(_GIF_H, _GIF_W)
+                payload = encode_gif_payload(idx, gray, interlace=bool(doc_id % 2))
+                out = decode_rgb(payload)
+                widths.append(out.shape[1])
+                heights.append(out.shape[0])
+                oks.append(bool((out == gray[idx]).all()))
+                sums.append(int(out[:, :, 0].sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "width": widths, "height": heights,
+                 "lossless_ok": oks, "sum_red": sums}
+            )
+
+    return docs.mapInPandas(
+        _roundtrip,
+        schema="doc_id long, width int, height int, lossless_ok boolean, sum_red long",
     )
 
 

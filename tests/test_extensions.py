@@ -360,16 +360,25 @@ def test_mixed_format_corpus_routes_without_raising(spark):
     )
     from .test_png import encode_png
 
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.gif import (
+        encode_gif,
+    )
+
     jpeg = encode_baseline_jpeg(np.full((8, 16), 150, np.uint8))
     png = encode_png(np.full((3, 5, 3), 40, np.uint8), color_type=2, filter_type=2)
+    gif = encode_gif(
+        np.full((4, 6), 1, np.uint8),
+        np.array([[0, 0, 0], [60, 60, 60]], np.uint8),
+    )
     rows = [
         (0, ppm),
         (1, bmp),
         (2, jpeg),
         (3, png),
-        (4, b"GIF8 fake gif"),
+        (4, gif),
         (5, b"just plain bytes"),
         (6, b"RIFF fake wav"),
+        (7, b"\x00\x00\x00 fake mp4"),
     ]
     media = spark.createDataFrame(rows, "doc_id long, payload binary")
 
@@ -379,9 +388,10 @@ def test_mixed_format_corpus_routes_without_raising(spark):
         1: ("bmp", True),
         2: ("jpeg", True),
         3: ("png", True),
-        4: ("gif", False),
+        4: ("gif", True),
         5: ("unknown", False),
         6: ("riff (webp/wav/avi)", False),
+        7: ("mp4/iso-bmff", False),
     }
 
     decoded, deferred = multimodal.decode_or_defer(media)
@@ -391,14 +401,17 @@ def test_mixed_format_corpus_routes_without_raising(spark):
         1: (2, 1),
         2: (16, 8),
         3: (5, 3),
+        4: (6, 4),
     }
     # the JPEG really decoded: uniform gray 150 within DCT rounding;
-    # the PNG really decoded: lossless uniform 40
+    # the PNG really decoded: lossless uniform 40;
+    # the GIF really decoded: lossless uniform 60 via the palette
     assert abs(rows_dec[2].mean_r - 150.0) <= 1.5
     assert rows_dec[3].mean_r == 40.0
+    assert rows_dec[4].mean_r == 60.0
     defer = {r.doc_id: r.format for r in deferred.collect()}
-    assert defer == {4: "gif", 5: "unknown", 6: "riff (webp/wav/avi)"}
-    assert multimodal.supported_formats() == {"ppm", "bmp", "jpeg", "png"}
+    assert defer == {5: "unknown", 6: "riff (webp/wav/avi)", 7: "mp4/iso-bmff"}
+    assert multimodal.supported_formats() == {"ppm", "bmp", "jpeg", "png", "gif"}
 
 
 def test_weighted_reservoir_prefers_heavy_tiers(spark):

@@ -74,8 +74,12 @@ def test_codec_formats_still_gated():
     # a malformed png fails loudly inside it rather than being gated
     with pytest.raises(Exception):
         decode_rgb(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
-    with pytest.raises(NotImplementedError, match="gif"):
-        decode_rgb(b"GIF89a" + b"\x00" * 64)
+    # gif now routes to the real LZW decoder (test_gif.py); a malformed
+    # gif fails loudly inside it rather than being gated
+    with pytest.raises(ValueError):
+        decode_rgb(b"GIF89a" + b"\x00" * 4)
+    with pytest.raises(NotImplementedError, match="riff"):
+        decode_rgb(b"RIFF" + b"\x00" * 64)
     with pytest.raises(ValueError, match="unrecognized"):
         decode_rgb(b"????junk")
 
