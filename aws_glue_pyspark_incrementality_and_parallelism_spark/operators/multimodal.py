@@ -170,8 +170,9 @@ def decode_rgb(payload: bytes) -> "object":
       the numpy-only decoder in ``operators.jpeg``; progressive and the
       other rare SOF modes raise a NAMED NotImplementedError there.
 
-    - **PNG** (8-bit gray/RGB/RGBA/palette, non-interlaced) via the
-      stdlib-zlib decoder in ``operators.png``.
+    - **PNG** (every legal depth/color combination incl. 16-bit,
+      sub-byte and Adam7) via the stdlib-zlib decoder in
+      ``operators.png``.
 
     - **GIF** (87a/89a, interlace, local tables, transparency, first
       frame of animations) via the LZW decoder in ``operators.gif``.
