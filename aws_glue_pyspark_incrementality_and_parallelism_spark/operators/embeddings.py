@@ -1,0 +1,187 @@
+"""Embedding-matrix operators for training-data pipelines (SURVEY §2.8 E3+).
+
+Two pipeline stages ANN/dedup don't cover:
+
+- ``embed_pca_gramian`` — the distributed half of PCA: the d×d Gramian
+  (sum of per-vector outer products) computed as one int64 GEMM per
+  partition, so only O(#partitions · d²) tiny rows ever shuffle. The
+  eigendecomposition of a 64×64 matrix is driver-side control-plane
+  (pytest covers that step); the O(n·d²) work is what needs a cluster.
+- ``embed_int8_quantize`` — symmetric per-vector int8 quantization
+  (the storage format vector stores ship) with exact integer error
+  accounting, entirely in JVM-side array HOFs: no Python worker, no
+  shuffle, one linear scan.
+
+Cross-engine exactness uses the repo-wide micro-unit rule: quantize via
+``floor(double(x)·1e6 + 0.5)`` (the one float→int rule Spark and DuckDB
+compute identically), then pure int64 algebra on both engines.
+
+Reference parity note: the reference ETL (`glue_rds_to_redshift.py`)
+has no vector operations; this module belongs to the driver-mandated
+LLM-pipeline extension (BASELINE.json:6).
+
+100 TB design: the Gramian's shuffle volume is independent of row
+count — each task reduces its slice to one d×d partial locally (the
+same map-side-combine shape Spark's own ``Summarizer`` uses), and the
+final groupBy moves #partitions·d(d+1)/2 rows. Quantization is
+embarrassingly parallel and pushes down to a projection over the scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..session import pickle_module_by_value
+from ..sources.io import load_table
+
+
+@query(
+    "embed_pca_gramian",
+    oracle="""
+    WITH q AS (
+      SELECT list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             ) AS qv
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j
+      FROM range(0, 64) t1(i), range(0, 64) t2(j)
+      WHERE i <= j
+    )
+    SELECT dim_i, dim_j,
+           CAST(SUM(qv[dim_i + 1] * qv[dim_j + 1]) AS BIGINT) AS gram
+    FROM q, pairs
+    GROUP BY dim_i, dim_j
+    """,
+)
+def q_embed_pca_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact Gramian G = Σ_v q(v)·q(v)ᵀ over micro-unit
+    quantized embeddings: each partition reduces to ONE int64 d×d
+    partial inside mapInPandas (a single numpy GEMM over the whole
+    partition — the map-side combine), then a groupBy sums the
+    #partitions·2080 upper-triangle rows. PCA's covariance eigenbasis
+    follows driver-side from this d×d result (see
+    ``tests/test_embeddings.py`` for the eigh step and its invariants);
+    the oracle recomputes every cell with the identical integer algebra.
+
+    Why exact integers: Spark's distributed float summation order is
+    nondeterministic and diverges from DuckDB's serial sum in the last
+    ulp; int64 addition is associative, so the Gramian is bit-exact at
+    any partitioning and any SF. Overflow headroom: |q| ≲ 4e6 ⇒ a cell
+    needs ~5e8 rows per PARTITION to approach int64 range."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+            Q = np.floor(M * 1e6 + 0.5).astype(np.int64)
+            g = Q.T @ Q  # int64 GEMM: exact
+            acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        iu = np.triu_indices(acc.shape[0])
+        yield pd.DataFrame(
+            {"dim_i": iu[0].astype("int32"), "dim_j": iu[1].astype("int32"),
+             "partial": acc[iu]}
+        )
+
+    partials = emb.mapInPandas(_partial, schema="dim_i int, dim_j int, partial long")
+    return partials.groupBy("dim_i", "dim_j").agg(F.sum("partial").alias("gram"))
+
+
+@query(
+    "embed_int8_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             ) AS qv
+      FROM embeddings
+    ),
+    a AS (
+      SELECT vec_id, qv,
+             COALESCE(list_max(list_transform(qv, v -> abs(v))), 0) AS amax
+      FROM q
+    ),
+    t AS (
+      SELECT vec_id, qv, amax,
+             list_transform(qv, v -> CASE
+               WHEN amax = 0 THEN 0
+               WHEN v >= 0 THEN (2 * v * 127 + amax) // (2 * amax)
+               ELSE -((2 * (-v) * 127 + amax) // (2 * amax)) END) AS qi
+      FROM a
+    )
+    SELECT vec_id,
+           CAST(amax AS BIGINT) AS amax_micro,
+           CAST(list_sum(qi) AS BIGINT) AS sum_q,
+           CAST(list_sum(list_transform(qi, v -> abs(v))) AS BIGINT) AS sum_abs_q,
+           CAST(list_max(
+             list_transform(range(1, len(qv) + 1),
+                            i -> abs(qv[i] * 127 - qi[i] * amax))
+           ) AS BIGINT) AS max_abs_err_scaled,
+           list_max(list_transform(qi, v -> abs(v))) <= 127 AS within_int8
+    FROM t
+    """,
+)
+def q_embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization q_i = round(127·x_i / max|x|) with
+    round-half-away-from-zero done in EXACT integer arithmetic
+    ((2·v·127 + amax) DIV (2·amax), sign-split because engines disagree
+    on negative integer division), entirely in JVM array HOFs —
+    transform / aggregate-free max / zip_with — so the hot path is
+    whole-stage codegen over the scan with zero Python and zero
+    shuffle. Emits the per-vector scale, quantized-sum fingerprints,
+    and the worst absolute dequantization error in exact scaled units
+    (|q_micro·127 − q_i·amax|, i.e. error × 127×10⁶); ``within_int8``
+    pins that symmetric quantization can never leave [-127, 127]."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = F.expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+    )
+    step = emb.select("vec_id", qv.alias("qv")).select(
+        "vec_id",
+        "qv",
+        F.coalesce(
+            F.array_max(F.expr("transform(qv, v -> abs(v))")), F.lit(0).cast("long")
+        ).alias("amax"),
+    )
+    step = step.withColumn(
+        "qi",
+        F.expr(
+            """transform(qv, v -> CASE
+                 WHEN amax = 0 THEN 0L
+                 WHEN v >= 0 THEN (2 * v * 127 + amax) DIV (2 * amax)
+                 ELSE -((2 * (-v) * 127 + amax) DIV (2 * amax)) END)"""
+        ),
+    )
+    return step.select(
+        "vec_id",
+        F.col("amax").alias("amax_micro"),
+        F.expr("aggregate(qi, 0L, (acc, v) -> acc + v)").alias("sum_q"),
+        F.expr("aggregate(qi, 0L, (acc, v) -> acc + abs(v))").alias("sum_abs_q"),
+        F.array_max(
+            F.expr("zip_with(qv, qi, (v, w) -> abs(v * 127 - w * amax))")
+        ).alias("max_abs_err_scaled"),
+        (F.array_max(F.expr("transform(qi, v -> abs(v))")) <= F.lit(127)).alias(
+            "within_int8"
+        ),
+    )
+
+
+# The Gramian partials run inside mapInPandas workers: ship by value so
+# executors never need the package on their own sys.path.
+pickle_module_by_value(__name__)

@@ -48,6 +48,7 @@ from ..operators import (  # noqa: F401
     layout,
     multimodal,
     queries_scrub,
+    embeddings,
 )
 
 from .registry import REGISTRY, QuerySpec  # noqa: F401
