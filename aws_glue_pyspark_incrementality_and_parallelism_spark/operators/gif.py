@@ -167,9 +167,17 @@ def _interlace_order(height: int) -> list[int]:
     return order
 
 
-def decode_gif(payload: bytes) -> np.ndarray:
-    """GIF payload → HxWx3 uint8 RGB (the logical screen; first frame
-    of an animation). Transparent pixels keep the background color."""
+def decode_gif_frames(payload: bytes, max_frames: int | None = None) -> list[np.ndarray]:
+    """GIF payload → list of composited HxWx3 uint8 RGB frames (the
+    logical screen after each rendering block).
+
+    Full animation semantics: per-frame graphic control extensions
+    (transparency index, disposal method) are honored — disposal 0/1
+    leaves the frame composited for the next one, 2 restores the
+    frame's rectangle to the background color, 3 restores the previous
+    canvas. This is the dependency-free "video" decode path: an
+    animated GIF is the one multi-frame format decodable without codec
+    libraries, so the frame-sampling lane gets real decoded frames."""
     if not (payload.startswith(b"GIF87a") or payload.startswith(b"GIF89a")):
         raise ValueError("not a GIF87a/GIF89a payload")
     if len(payload) < 13:
@@ -183,7 +191,14 @@ def decode_gif(payload: bytes) -> np.ndarray:
             raise ValueError("truncated GIF: global color table overruns payload")
         gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
+    background = (
+        gct[bg_index] if gct is not None and bg_index < len(gct) else np.zeros(3, np.uint8)
+    )
+    canvas = np.empty((height, width, 3), np.uint8)
+    canvas[:] = background
+    frames: list[np.ndarray] = []
     transparent: int | None = None
+    disposal = 0
     while pos < len(payload):
         block = payload[pos]
         pos += 1
@@ -195,8 +210,9 @@ def decode_gif(payload: bytes) -> np.ndarray:
             label = payload[pos]
             pos += 1
             data, pos = _read_sub_blocks(payload, pos)
-            if label == 0xF9 and len(data) >= 4 and data[0] & 0x01:
-                transparent = data[3]
+            if label == 0xF9 and len(data) >= 4:
+                disposal = (data[0] >> 2) & 0x07
+                transparent = data[3] if data[0] & 0x01 else None
             continue
         if block != 0x2C:
             raise ValueError(f"unrecognized GIF block 0x{block:02x}")
@@ -227,9 +243,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
             ordered = np.empty_like(rows)
             ordered[_interlace_order(ih)] = rows
             rows = ordered
-        canvas = np.zeros((height, width, 3), np.uint8)
-        if gct is not None and bg_index < len(gct):
-            canvas[:] = gct[bg_index]
+        saved = canvas.copy() if disposal == 3 else None
         frame = ct[rows]  # (ih, iw, 3) palette lookup
         region = canvas[top : top + ih, left : left + iw]
         if transparent is not None and transparent < len(ct):
@@ -237,8 +251,81 @@ def decode_gif(payload: bytes) -> np.ndarray:
             region[opaque] = frame[opaque]
         else:
             region[:] = frame
-        return canvas  # first frame only
-    raise ValueError("GIF contains no image data")
+        frames.append(canvas.copy())
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
+        if disposal == 2:  # restore the rect to background
+            canvas[top : top + ih, left : left + iw] = background
+        elif disposal == 3:  # restore the pre-frame canvas
+            canvas = saved
+        transparent = None  # a GCE applies to ONE rendering block
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF payload → HxWx3 uint8 RGB (the logical screen; first frame
+    of an animation). Transparent pixels keep the background color."""
+    return decode_gif_frames(payload, max_frames=1)[0]
+
+
+def _frame_block(
+    indices: np.ndarray,
+    ct_bits: int,
+    *,
+    interlace: bool = False,
+    left: int = 0,
+    top: int = 0,
+) -> bytes:
+    """One image descriptor + dictionary-LZW pixel data in ≤255-byte
+    sub-blocks (no local color table)."""
+    h, w = indices.shape
+    iflags = 0x40 if interlace else 0x00
+    out = bytearray([0x2C]) + struct.pack("<HHHHB", left, top, w, h, iflags)
+    rows = indices[_interlace_order(h)] if interlace else indices
+    min_code_size = max(2, ct_bits)
+    out.append(min_code_size)
+    compressed = lzw_encode(rows.tobytes(), min_code_size)
+    for i in range(0, len(compressed), 255):
+        chunk = compressed[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0x00)
+    return bytes(out)
+
+
+def _gce(disposal: int, delay_cs: int, transparent: int | None) -> bytes:
+    """Graphic control extension for the following rendering block."""
+    packed = ((disposal & 0x07) << 2) | (0x01 if transparent is not None else 0x00)
+    return bytes(
+        [0x21, 0xF9, 0x04, packed, delay_cs & 0xFF, (delay_cs >> 8) & 0xFF,
+         (transparent or 0) & 0xFF, 0x00]
+    )
+
+
+def _header(w: int, h: int, palette: np.ndarray, version: bytes) -> tuple[bytearray, int]:
+    """GIF header + logical screen descriptor + global color table;
+    returns (buffer, ct_bits)."""
+    # GCT size: power of two ≥ max(palette size, 4); field stores log2-1.
+    ct_bits = max(2, int(np.ceil(np.log2(len(palette)))))
+    ct_size = 1 << ct_bits
+    out = bytearray(version)
+    out += struct.pack("<HHBBB", w, h, 0x80 | (ct_bits - 1), 0, 0)
+    table = np.zeros((ct_size, 3), np.uint8)
+    table[: len(palette)] = palette
+    out += table.tobytes()
+    return out, ct_bits
+
+
+def _check_frame(indices: np.ndarray, palette: np.ndarray) -> np.ndarray:
+    indices = np.asarray(indices, np.uint8)
+    if indices.ndim != 2:
+        raise ValueError("indices must be HxW")
+    if int(indices.max(initial=0)) >= len(palette):
+        raise ValueError("index exceeds palette")
+    return indices
 
 
 def encode_gif(
@@ -252,37 +339,49 @@ def encode_gif(
     """Single-frame GIF writer: HxW uint8 palette indices + Nx3 palette
     → a real GIF payload (global color table, one image descriptor,
     dictionary-LZW pixel data in ≤255-byte sub-blocks)."""
-    indices = np.asarray(indices, np.uint8)
     palette = np.asarray(palette, np.uint8)
-    if indices.ndim != 2:
-        raise ValueError("indices must be HxW")
     if palette.ndim != 2 or palette.shape[1] != 3 or not len(palette):
         raise ValueError("palette must be Nx3")
+    indices = _check_frame(indices, palette)
     h, w = indices.shape
-    # GCT size: power of two ≥ max(palette size, 4); field stores log2-1.
-    ct_bits = max(2, int(np.ceil(np.log2(len(palette)))))
-    ct_size = 1 << ct_bits
-    if int(indices.max(initial=0)) >= len(palette):
-        raise ValueError("index exceeds palette")
-    out = bytearray(version)
-    out += struct.pack("<HHBBB", w, h, 0x80 | (ct_bits - 1), 0, 0)
-    table = np.zeros((ct_size, 3), np.uint8)
-    table[: len(palette)] = palette
-    out += table.tobytes()
+    out, ct_bits = _header(w, h, palette, version)
     if transparent is not None:
-        # graphic control extension: transparency flag + index
-        out += bytes([0x21, 0xF9, 0x04, 0x01, 0x00, 0x00, transparent & 0xFF, 0x00])
-    iflags = 0x40 if interlace else 0x00
-    out += bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, w, h, iflags)
-    rows = indices[_interlace_order(h)] if interlace else indices
-    min_code_size = max(2, ct_bits)
-    out.append(min_code_size)
-    compressed = lzw_encode(rows.tobytes(), min_code_size)
-    for i in range(0, len(compressed), 255):
-        chunk = compressed[i : i + 255]
-        out.append(len(chunk))
-        out += chunk
-    out += bytes([0x00, 0x3B])
+        out += _gce(0, 0, transparent)
+    out += _frame_block(indices, ct_bits, interlace=interlace)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def encode_gif_animation(
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    *,
+    delays_cs: list[int] | None = None,
+    disposals: list[int] | None = None,
+    transparents: list[int | None] | None = None,
+    interlace: bool = False,
+    version: bytes = b"GIF89a",
+) -> bytes:
+    """Animated GIF writer: each frame is HxW palette indices rendered
+    full-screen with its own graphic control extension (delay in
+    centiseconds, disposal method, optional transparency index)."""
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    palette = np.asarray(palette, np.uint8)
+    if palette.ndim != 2 or palette.shape[1] != 3 or not len(palette):
+        raise ValueError("palette must be Nx3")
+    checked = [_check_frame(f, palette) for f in frames]
+    h, w = checked[0].shape
+    if any(f.shape != (h, w) for f in checked):
+        raise ValueError("all frames must share one geometry")
+    out, ct_bits = _header(w, h, palette, version)
+    for k, frame in enumerate(checked):
+        delay = delays_cs[k] if delays_cs else 4
+        disposal = disposals[k] if disposals else 1
+        transparent = transparents[k] if transparents else None
+        out += _gce(disposal, delay, transparent)
+        out += _frame_block(frame, ct_bits, interlace=interlace)
+    out.append(0x3B)
     return bytes(out)
 
 

@@ -41,7 +41,9 @@ from pyspark.sql.types import (
 
 from ..plans.registry import query
 from .gif import decode_gif as decode_gif_payload
+from .gif import decode_gif_frames as decode_gif_frames_payload
 from .gif import encode_gif as encode_gif_payload
+from .gif import encode_gif_animation
 from .jpeg import decode_baseline_jpeg, encode_gray_baseline
 from .png import decode_png
 from ..sources.io import load_table
@@ -621,7 +623,8 @@ _GIF_W, _GIF_H = 16, 8
     SELECT doc_id, {_GIF_W} AS width, {_GIF_H} AS height,
            TRUE AS lossless_ok,
            CAST(COALESCE(list_sum(list_transform(
-                    split(substr(text, 1, {_GIF_W * _GIF_H}), ''),
+                    list_filter(split(substr(text, 1, {_GIF_W * _GIF_H}), ''),
+                                c -> c <> ''),
                     c -> unicode(c))), 0) AS BIGINT) AS sum_red
     FROM documents
     """,
@@ -663,6 +666,73 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         _roundtrip,
         schema="doc_id long, width int, height int, lossless_ok boolean, sum_red long",
+    )
+
+
+#: Geometry for the animated-GIF "video" query: 6 frames of 8x8 = 64
+#: bytes each, sampled every 2nd frame.
+_VID_W = _VID_H = 8
+_VID_FRAMES, _VID_STEP = 6, 2
+
+
+@query(
+    "multimodal_video_frames",
+    oracle=f"""
+    SELECT d.doc_id, {_VID_FRAMES} AS n_frames,
+           CAST(k.k AS INT) AS frame_idx,
+           -- list_filter drops the '' that split('') yields on docs
+           -- shorter than the frame offset (unicode('') is -1 in DuckDB)
+           CAST(COALESCE(list_sum(list_transform(
+                    list_filter(split(substr(d.text, {_VID_W * _VID_H} * k.k + 1,
+                                             {_VID_W * _VID_H}), ''),
+                                c -> c <> ''),
+                    c -> unicode(c))), 0) AS BIGINT) AS frame_sum
+    FROM documents d, (SELECT unnest(range(0, {_VID_FRAMES}, {_VID_STEP})) AS k) k
+    """,
+)
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 VIDEO-style modality end-to-end on the one multi-frame format
+    decodable without codec libraries: per document, build a 6-frame
+    animated GIF (frame k = the text's bytes [64k, 64k+64) over an
+    identity gray palette), ENCODE it with per-frame graphic control
+    extensions, DECODE the whole animation back (full disposal/GCE
+    semantics in ``gif.decode_gif_frames``), then FRAME-SAMPLE every
+    2nd decoded frame — the classic video ingest shape (decode →
+    temporal subsample → per-frame features), all inside one Arrow
+    batch pass so frame pixels never shuffle. The oracle recomputes
+    each sampled frame's exact pixel sum from the text code points."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fbytes = _VID_W * _VID_H
+    total = fbytes * _VID_FRAMES
+
+    def _video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gray = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "frame_idx": [], "frame_sum": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")[:total]
+                buf = np.zeros(total, np.uint8)
+                buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+                frames = [
+                    buf[k * fbytes : (k + 1) * fbytes].reshape(_VID_H, _VID_W)
+                    for k in range(_VID_FRAMES)
+                ]
+                payload = encode_gif_animation(frames, gray)
+                decoded = decode_gif_frames_payload(payload)
+                assert len(decoded) == _VID_FRAMES
+                for k in range(0, _VID_FRAMES, _VID_STEP):
+                    out["doc_id"].append(doc_id)
+                    out["n_frames"].append(len(decoded))
+                    out["frame_idx"].append(k)
+                    out["frame_sum"].append(
+                        int(decoded[k][:, :, 0].sum(dtype=np.int64))
+                    )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        _video, schema="doc_id long, n_frames int, frame_idx int, frame_sum long"
     )
 
 

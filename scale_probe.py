@@ -48,6 +48,8 @@ QUERIES = [
     "events_pii_scrub", "docs_pii_clean_ratio",
     "events_funnel_conversion", "agg_trimmed_mean", "text_token_budget_sample",
     "dedup_semdedup_purge",
+    "embed_pca_gramian", "embed_int8_quantize", "multimodal_decode_gif",
+    "multimodal_video_frames",
     # multi-table joins (consistent per-copy key remaps keep 1:1 fan-out)
     "report_sales_by_customer", "report_sales_by_supplier",
     "join_asof_last_view", "tpch_q3_shipping_priority",

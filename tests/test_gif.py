@@ -235,3 +235,78 @@ def test_gif_rejects_bad_magic_and_truncation():
 def test_gif_rejects_index_beyond_palette():
     with pytest.raises(ValueError, match="exceeds palette"):
         encode_gif(np.full((2, 2), 5, np.uint8), np.zeros((3, 3), np.uint8))
+
+
+# ---- animation / multi-frame decode ----
+
+from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.gif import (  # noqa: E402
+    decode_gif_frames,
+    encode_gif_animation,
+)
+
+
+def test_animation_full_frames_roundtrip():
+    rng = _rng(41)
+    palette = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    frames = [rng.integers(0, 256, (5, 9), dtype=np.uint8) for _ in range(4)]
+    decoded = decode_gif_frames(encode_gif_animation(frames, palette))
+    assert len(decoded) == 4
+    for idx, out in zip(frames, decoded):
+        np.testing.assert_array_equal(out, palette[idx])
+
+
+def test_animation_disposal_none_composites_transparency():
+    # disposal 1 + transparency: frame 2's transparent pixels must show
+    # frame 1's pixels (not the background).
+    palette = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0]], np.uint8)
+    f1 = np.full((2, 2), 1, np.uint8)  # all red
+    f2 = np.array([[0, 2], [2, 0]], np.uint8)  # 0 = transparent
+    payload = encode_gif_animation(
+        [f1, f2], palette, disposals=[1, 1], transparents=[None, 0]
+    )
+    decoded = decode_gif_frames(payload)
+    red, green = palette[1], palette[2]
+    np.testing.assert_array_equal(decoded[0], palette[f1])
+    expected = np.array([[red, green], [green, red]], np.uint8)
+    np.testing.assert_array_equal(decoded[1], expected)
+
+
+def test_animation_disposal_background_resets_rect():
+    # disposal 2 after frame 1: frame 2's transparent pixels show the
+    # BACKGROUND color (palette[0]), not frame 1's pixels.
+    palette = np.array([[9, 9, 9], [255, 0, 0], [0, 255, 0]], np.uint8)
+    f1 = np.full((2, 2), 1, np.uint8)
+    f2 = np.array([[0, 2], [2, 0]], np.uint8)
+    payload = encode_gif_animation(
+        [f1, f2], palette, disposals=[2, 1], transparents=[None, 0]
+    )
+    decoded = decode_gif_frames(payload)
+    bg, green = palette[0], palette[2]
+    expected = np.array([[bg, green], [green, bg]], np.uint8)
+    np.testing.assert_array_equal(decoded[1], expected)
+
+
+def test_animation_disposal_previous_restores_canvas():
+    # disposal 3 on frame 2: frame 3's transparent pixels must show
+    # frame 1's pixels again (frame 2 was reverted).
+    palette = np.array([[9, 9, 9], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    f1 = np.full((2, 2), 1, np.uint8)  # red
+    f2 = np.full((2, 2), 2, np.uint8)  # green, disposal=previous
+    f3 = np.array([[0, 3], [3, 0]], np.uint8)  # 0 transparent
+    payload = encode_gif_animation(
+        [f1, f2, f3], palette, disposals=[1, 3, 1], transparents=[None, None, 0]
+    )
+    decoded = decode_gif_frames(payload)
+    np.testing.assert_array_equal(decoded[1], palette[f2])
+    red, blue = palette[1], palette[3]
+    expected = np.array([[red, blue], [blue, red]], np.uint8)
+    np.testing.assert_array_equal(decoded[2], expected)
+
+
+def test_animation_max_frames_stops_early():
+    rng = _rng(43)
+    palette = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    frames = [rng.integers(0, 16, (3, 3), dtype=np.uint8) for _ in range(5)]
+    decoded = decode_gif_frames(encode_gif_animation(frames, palette), max_frames=2)
+    assert len(decoded) == 2
+    np.testing.assert_array_equal(decoded[0], palette[frames[0]])
