@@ -6,12 +6,13 @@ and extracts the features a training-data pipeline filters on
 (duration, RMS loudness, clipping peak) inside the same Arrow batch
 pass the image paths use — payload bytes never cross a shuffle.
 
-Supported: canonical PCM WAV — format tag 1 (integer PCM), 16-bit
-samples, any channel count/sample rate, ``fmt ``/``data`` chunks in
-any order with unknown chunks skipped. Non-goals raise
-``NotImplementedError`` naming the feature: float PCM (tag 3), ADPCM/
-mu-law, 8/24/32-bit sample widths. Corrupt payloads raise
-``ValueError``.
+Supported: canonical PCM WAV — format tag 1 (integer PCM), 8/16/24/32
+bit sample widths (8-bit unsigned recentred, 24-bit sign-extended; all
+returned as int32 "as stored"), any channel count/sample rate,
+``fmt ``/``data`` chunks in any order with unknown chunks skipped.
+Non-goals raise ``NotImplementedError`` naming the feature: float PCM
+(tag 3 — features would lose the exact-integer RMS contract), ADPCM/
+mu-law. Corrupt payloads raise ``ValueError``.
 """
 
 from __future__ import annotations
@@ -22,7 +23,8 @@ import numpy as np
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
-    """RIFF/WAVE PCM payload → (sample_rate, samples[n, channels] int16)."""
+    """RIFF/WAVE PCM payload → (sample_rate, samples[n, channels] int32,
+    values as stored: ±2^(bits-1) full scale, 8-bit recentred to ±128)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
@@ -47,12 +49,23 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         raise NotImplementedError(
             f"WAV format tag {fmt_tag}: only integer PCM (tag 1) is supported"
         )
-    if bits != 16:
-        raise NotImplementedError(f"{bits}-bit WAV: only 16-bit PCM is supported")
-    frame = 2 * channels
+    if bits not in (8, 16, 24, 32):
+        raise NotImplementedError(f"{bits}-bit WAV: only 8/16/24/32-bit PCM")
+    if channels == 0:
+        raise ValueError("WAV declares zero channels")
+    frame = (bits // 8) * channels
     usable = (len(data) // frame) * frame
-    samples = np.frombuffer(data, "<i2", count=usable // 2).reshape(-1, channels)
-    return sample_rate, samples
+    if bits == 8:  # 8-bit WAV is unsigned, midpoint 128
+        samples = np.frombuffer(data, np.uint8, count=usable).astype(np.int32) - 128
+    elif bits == 16:
+        samples = np.frombuffer(data, "<i2", count=usable // 2).astype(np.int32)
+    elif bits == 32:
+        samples = np.frombuffer(data, "<i4", count=usable // 4).astype(np.int32)
+    else:  # 24-bit: 3-byte little-endian two's complement
+        raw = np.frombuffer(data, np.uint8, count=usable).reshape(-1, 3).astype(np.int32)
+        val = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        samples = val - ((val & 0x800000) << 1)
+    return sample_rate, samples.reshape(-1, channels)
 
 
 def wav_features(payload: bytes) -> dict:
@@ -65,7 +78,9 @@ def wav_features(payload: bytes) -> dict:
     if n == 0:
         return {"sample_rate": sr, "n_samples": 0, "duration_sec": 0.0,
                 "rms": 0.0, "peak": 0}
-    ss = int((mono * mono).sum())
+    # Python-int accumulation: a 32-bit sample squares to ~4.6e18, so an
+    # int64 sum could overflow after two full-scale samples.
+    ss = int((mono.astype(object) * mono.astype(object)).sum())
     rms = float(np.sqrt(float(ss) / float(n)))
     return {
         "sample_rate": sr,
@@ -76,19 +91,41 @@ def wav_features(payload: bytes) -> dict:
     }
 
 
-def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
-    """Minimal canonical PCM16 WAV writer (mono or (n, ch)). Exists so
-    pipelines can materialize audio fixtures/sidecars without codec
-    libraries — the audio twin of ``jpeg.encode_gray_baseline``."""
+def encode_wav_pcm(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
+    """Minimal canonical PCM WAV writer (mono or (n, ch); 8/16/24/32-bit
+    widths, 8-bit stored unsigned per spec). Exists so pipelines can
+    materialize audio fixtures/sidecars without codec libraries — the
+    audio twin of ``jpeg.encode_gray_baseline``."""
+    if bits not in (8, 16, 24, 32):
+        raise ValueError(f"unsupported PCM width {bits}")
     if samples.ndim == 1:
         samples = samples[:, None]
     ch = samples.shape[1]
-    data = samples.astype("<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * 2 * ch, 2 * ch, 16)
+    if bits == 8:
+        data = (samples.astype(np.int32) + 128).astype(np.uint8).tobytes()
+    elif bits == 16:
+        data = samples.astype("<i2").tobytes()
+    elif bits == 32:
+        data = samples.astype("<i4").tobytes()
+    else:  # 24-bit: low/mid/high bytes of the two's-complement value
+        v = samples.astype(np.int64).reshape(-1) & 0xFFFFFF
+        triples = np.empty((len(v), 3), np.uint8)
+        triples[:, 0] = v & 0xFF
+        triples[:, 1] = (v >> 8) & 0xFF
+        triples[:, 2] = (v >> 16) & 0xFF
+        data = triples.tobytes()
+    bpf = (bits // 8) * ch
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * bpf, bpf, bits)
     out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
     out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
     out += b"data" + struct.pack("<I", len(data)) + data
     return out
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Canonical PCM16 writer (the common case; kept as the stable name
+    the queries and tests use)."""
+    return encode_wav_pcm(samples, sample_rate, bits=16)
 
 
 from ..session import pickle_module_by_value  # noqa: E402
