@@ -122,6 +122,40 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str = "row", schema=None
+) -> DataFrame:
+    """XML source (built into Spark 4: the former spark-xml package).
+    ``rowTag`` names the repeated element that becomes one row; pass an
+    explicit schema at scale for the same no-infer rule as CSV/JSON —
+    inference reads the data twice. Unlike the columnar formats there
+    is no predicate pushdown (XML is a row-oriented text format); treat
+    it as an INGEST format: land → convert to parquet → query, so only
+    one pass ever pays the parse cost."""
+    reader = spark.read.option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format("xml").load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink — for the interchange/sidecar files some catalogs and
+    feeds still require; one file per partition, same as any text sink."""
+    (
+        df.write.mode(mode)
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .format("xml")
+        .save(path)
+    )
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -194,3 +194,35 @@ class TestBinaryFileSource:
         by_name = {r.path.rsplit("/", 1)[-1]: r for r in feats}
         assert by_name["a.png"].n_bytes == len(png)
         assert by_name["a.png"].payload_crc32 == expected_crc
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """XML source/sink (built into Spark 4): lossless round-trip with an
+    explicit schema, and the custom rowTag is honored."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import (
+        read_xml,
+        write_xml,
+    )
+
+    nation = load_table(spark, SF_SMALL, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = str(tmp_path / "nation_xml")
+    write_xml(nation, path, row_tag="nation", root_tag="nations")
+    back = read_xml(spark, path, row_tag="nation", schema=nation.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+    # the files really are XML with the requested tags
+    import glob
+
+    part = sorted(glob.glob(f"{path}/part-*"))[0]
+    body = open(part).read()
+    assert "<nations>" in body and "<nation>" in body
+    # schema-pinned read composes with filters (no pushdown claim: XML
+    # is a row text format — the filter runs post-parse)
+    q = read_xml(spark, path, row_tag="nation", schema=nation.schema).filter(
+        F.col("n_regionkey") == 0
+    )
+    expected = nation.filter(F.col("n_regionkey") == 0)
+    assert sorted(map(tuple, q.collect())) == sorted(map(tuple, expected.collect()))
