@@ -44,3 +44,50 @@ def test_upsert_idempotent(spark, tmp_path):
     after = spark.read.parquet(target)
     assert after.count() == base.count()
     assert sorted(map(tuple, after.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_cdc_apply_insert_update_delete(spark, tmp_path):
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.upsert import (
+        apply_cdc_parquet,
+        upsert_parquet,
+    )
+
+    target = str(tmp_path / "cdc_target")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, v long"
+    )
+    upsert_parquet(spark, target, base, ["id"])
+
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21, "U", 100),
+            (3, None, None, "D", 101),
+            (4, "d", 40, "I", 102),
+        ],
+        "id long, name string, v long, op string, seq long",
+    )
+    apply_cdc_parquet(spark, target, changes, ["id"], op_col="op", seq_col="seq")
+    got = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert got == [(1, "a", 10), (2, "b2", 21), (4, "d", 40)]
+
+
+def test_cdc_last_change_per_key_wins(spark, tmp_path):
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.upsert import (
+        apply_cdc_parquet,
+    )
+
+    target = str(tmp_path / "cdc_target2")
+    # one batch holds the key's full lifecycle: insert -> update -> delete
+    changes = spark.createDataFrame(
+        [
+            (1, "born", 1, "I", 1),
+            (1, "grew", 2, "U", 2),
+            (1, None, None, "D", 3),
+            (2, "x", 9, "I", 4),
+            (2, "y", 10, "U", 5),
+        ],
+        "id long, name string, v long, op string, seq long",
+    )
+    apply_cdc_parquet(spark, target, changes, ["id"], op_col="op", seq_col="seq")
+    got = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert got == [(2, "y", 10)]
