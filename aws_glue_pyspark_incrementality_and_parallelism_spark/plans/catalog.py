@@ -3,26 +3,26 @@
 Importing this module imports every operator module, which registers its
 queries into ``REGISTRY`` via the ``@query`` decorator.
 
-Driver-facing ordering policy (round 4): the driver's correctness pass
-walks ``queries()`` in dict order and adjudicates a bounded window
-(~50 queries per round), so ``all_queries``/``all_oracles`` emit an
-explicit priority order instead of raw registration order:
+Driver-facing ordering policy: the driver's correctness pass walks
+``queries()`` in dict order and adjudicates a bounded window (~50
+queries per round), so ``all_queries``/``all_oracles`` emit an
+explicit priority order instead of raw registration order.
 
-1. ``_DRIVER_PENDING`` — queries with no driver verdict yet. Round 4
-   fronts the back half of the round-3 pending list (the round-3
-   window should have cleared the front ~50) plus the five queries
-   registered late in round 3 (``join_interval_binned``,
-   ``sample_weighted_reservoir_per_key``, ``multimodal_mixed_routing``,
-   ``multimodal_decode_jpeg``, ``multimodal_audio_wav``).
-2. Any query registered after this list was frozen (new this round) —
-   appended right after the pending block, before already-verified.
-3. ``_DRIVER_PRESUMED`` — the round-3 front window (presumed
-   adjudicated in CORRECTNESS_r03; re-front any that come back
-   non-green once the file lands).
+The driver RESTARTED round 3 (no CORRECTNESS_r03.json ever landed),
+so the round-3 front window was never adjudicated. Order for the
+restarted round-3 window:
+
+1. ``_DRIVER_FRONT`` — the designed round-3 front-50: the 8 round-1
+   non-green queries first (all fixed + judge-verified, need a green
+   driver row on record), then never-driver-checked queries
+   cheapest-first by measured sf0.01 cost.
+2. ``_DRIVER_PENDING`` — the remaining never-driver-checked queries
+   (back half of the pending list + late round-3 registrations).
+3. Any query registered after these lists were frozen.
 4. ``_DRIVER_VERIFIED`` — the 92 queries driver-green in rounds 1+2,
    in original registration order.
 
-Rotate (1) each round until every query has a recorded driver verdict.
+Rotate (1)/(2) each round until every query has a driver verdict.
 """
 
 from __future__ import annotations
@@ -49,6 +49,8 @@ from ..operators import (  # noqa: F401
     multimodal,
     queries_scrub,
     embeddings,
+    queries_streaming,
+    maintenance,
 )
 
 from .registry import REGISTRY, QuerySpec  # noqa: F401
@@ -113,8 +115,10 @@ _DRIVER_PENDING = [
     "multimodal_audio_wav",
 ]
 
-# Round-3 front window — presumed adjudicated in CORRECTNESS_r03.
-_DRIVER_PRESUMED = [
+# The designed round-3 front window (never adjudicated — the driver
+# restarted round 3 before recording CORRECTNESS_r03). Leads with the 8
+# round-1 non-green queries, then cheapest-first never-checked entries.
+_DRIVER_FRONT = [
     "dedup_minhash_lsh",
     "dedup_winnow_fingerprints",
     "dedup_simhash",
@@ -265,12 +269,12 @@ _DRIVER_VERIFIED = [
 
 
 def _ordered_names() -> list[str]:
-    listed = set(_DRIVER_PENDING) | set(_DRIVER_PRESUMED) | set(_DRIVER_VERIFIED)
+    listed = set(_DRIVER_PENDING) | set(_DRIVER_FRONT) | set(_DRIVER_VERIFIED)
     new = [n for n in REGISTRY if n not in listed]
     return (
-        [n for n in _DRIVER_PENDING if n in REGISTRY]
+        [n for n in _DRIVER_FRONT if n in REGISTRY]
+        + [n for n in _DRIVER_PENDING if n in REGISTRY]
         + new
-        + [n for n in _DRIVER_PRESUMED if n in REGISTRY]
         + [n for n in _DRIVER_VERIFIED if n in REGISTRY]
     )
 
