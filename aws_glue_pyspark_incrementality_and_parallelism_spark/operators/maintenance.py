@@ -1,0 +1,220 @@
+"""Table-maintenance operators: small-file compaction and zone-map
+partition pruning.
+
+The two jobs every 100 TB parquet lake runs nightly:
+
+* **Compaction** — streaming/CDC ingest (queries_streaming.py,
+  upsert.py) lands many small files; small files destroy scan
+  throughput (per-file open/footer cost, tiny row groups defeat
+  vectorized reads) and bloat the driver's file index. Compaction
+  bin-packs them back to target-size files. Plain parquet gets the
+  copy-on-write staging-swap used by upsert.py; table formats (Delta
+  OPTIMIZE, Iceberg rewrite_data_files) add snapshot isolation on top.
+
+* **Zone maps** — per-partition (or per-file) min/max statistics let
+  the planner skip data that cannot match a predicate. Hive-style
+  ``dt=`` partitioning is the coarse form Spark prunes natively
+  (PartitionFilters); the index DF built here is the engine-level form
+  (what Delta/Iceberg keep in their manifests) and shows exactly which
+  fraction of the lake a time-range query touches.
+
+The reference job rewrites its whole output every run
+(glue_rds_to_redshift.py:66-74 — full-table overwrite to S3); these
+operators are what replace that pattern once outputs become
+incremental appends.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.io import load_table
+
+
+def parquet_files(target_dir: str) -> list[str]:
+    """Data files under a parquet output dir (recursive — partitioned
+    layouts nest files under key=value dirs)."""
+    out = []
+    for root, _dirs, files in os.walk(target_dir):
+        out.extend(
+            os.path.join(root, f) for f in files if f.endswith(".parquet")
+        )
+    return out
+
+
+def compact_parquet(
+    spark: SparkSession,
+    target_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Bin-pack the files under ``target_dir`` into ~``target_file_bytes``
+    outputs. Copy-on-write with an atomic staging swap (same commit
+    protocol as upsert.py:26).
+
+    File count is computed from on-disk bytes, not row counts, so the
+    result respects the scan-side ``files.maxPartitionBytes`` sizing
+    regardless of row width. ``repartition`` (round-robin) distributes
+    rows evenly across output files — no shuffle key needed because
+    compaction preserves content, not order. At 100 TB this runs
+    per-partition (compact only partitions whose small-file count
+    crossed a threshold), never whole-table.
+
+    Returns driver-side stats {files_before, files_after, bytes_total}.
+    """
+    files = parquet_files(target_dir)
+    bytes_total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(bytes_total / target_file_bytes))
+    merged = spark.read.parquet(target_dir).repartition(n_out)
+
+    staging = f"{target_dir}__staging_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(staging)
+    backup = f"{target_dir}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(target_dir, backup)
+    os.rename(staging, target_dir)
+    shutil.rmtree(backup)
+    return {
+        "files_before": len(files),
+        "files_after": len(parquet_files(target_dir)),
+        "bytes_total": bytes_total,
+    }
+
+
+@query(
+    "maintenance_compact_small_files",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           TRUE AS files_reduced,
+           TRUE AS files_at_most_target
+    FROM lineitem
+    """,
+)
+def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment lineitem into 64 small files (simulating streaming
+    ingest), compact back to byte-sized outputs, and verify the
+    compaction is content-preserving.
+
+    Oracle pattern for operators whose effect lives in the FILESYSTEM,
+    not the rows (same trick as the approx-aggregate oracles): emit the
+    content invariants (row count, exact-decimal checksum aggregate,
+    key cardinality) for DuckDB to recompute from the source table,
+    plus the file-count assertions as pinned-TRUE booleans computed
+    from the real before/after listings.
+    """
+    frag_dir = os.path.join(tempfile.mkdtemp(prefix="sgq_compact_"), "lineitem")
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(frag_dir)
+    )
+    before = len(parquet_files(frag_dir))
+    # target sized so the compacted table lands in a handful of files
+    bytes_total = sum(os.path.getsize(f) for f in parquet_files(frag_dir))
+    target = max(1, bytes_total // 4)
+    stats = compact_parquet(spark, frag_dir, target_file_bytes=target)
+    expected_out = max(1, math.ceil(bytes_total / target))
+
+    return (
+        spark.read.parquet(frag_dir)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .withColumn("files_reduced", F.lit(stats["files_after"] < before))
+        .withColumn(
+            "files_at_most_target", F.lit(stats["files_after"] <= expected_out)
+        )
+    )
+
+
+@query(
+    "maintenance_zone_map_prune",
+    oracle="""
+    WITH e AS (
+        SELECT epoch_us(ts) AS us FROM events
+    ), zones AS (
+        SELECT us // 86400000000 AS zone_day,
+               MIN(us) AS us_min, MAX(us) AS us_max, COUNT(*) AS n_rows
+        FROM e
+        GROUP BY 1
+    ), probe AS (
+        -- central 20% of the timespan; exact integer arithmetic so both
+        -- engines compute the identical boundary microsecond
+        SELECT MIN(us) + ((MAX(us) - MIN(us)) * 2) // 5 AS lo,
+               MIN(us) + ((MAX(us) - MIN(us)) * 3) // 5 AS hi
+        FROM e
+    )
+    SELECT (SELECT COUNT(*) FROM zones) AS n_zones,
+           (SELECT COUNT(*) FROM zones, probe
+             WHERE us_max >= lo AND us_min <= hi) AS n_zones_scanned,
+           (SELECT CAST(SUM(n_rows) AS BIGINT) FROM zones, probe
+             WHERE us_max >= lo AND us_min <= hi) AS rows_in_scanned_zones,
+           (SELECT COUNT(*) FROM e, probe
+             WHERE us >= lo AND us <= hi) AS rows_matching,
+           TRUE AS pruning_effective
+    """,
+)
+def maintenance_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a day-granularity zone map (min/max ts + row count per
+    zone) over events and measure how much a centered 20%-of-timespan
+    range probe prunes.
+
+    This is the manifest-level data-skipping structure of
+    Delta/Iceberg: the zone map is a tiny aggregate DF (one row per
+    day — O(partitions), not O(data)); a range predicate consults it to
+    decide which zones to scan at all. The emitted counts quantify the
+    win: ``n_zones_scanned``/``n_zones`` is the fraction of the lake
+    touched, and ``rows_matching``/``rows_in_scanned_zones`` the
+    residual filter selectivity inside scanned zones. Hive-style
+    ``dt=`` partition pruning (PartitionFilters) is the same mechanism
+    enforced by directory layout — pinned at plan level in
+    tests/test_plans.py.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts")).alias("us")
+    )
+    zones = events.groupBy(
+        F.expr("us div 86400000000").alias("zone_day")
+    ).agg(
+        F.min("us").alias("us_min"),
+        F.max("us").alias("us_max"),
+        F.count("*").alias("n_rows"),
+    )
+    # exact integer probe boundaries — identical on both engines
+    probe = events.agg(
+        F.expr("min(us) + (max(us) - min(us)) * 2 div 5").alias("lo"),
+        F.expr("min(us) + (max(us) - min(us)) * 3 div 5").alias("hi"),
+    )
+    scanned = zones.crossJoin(F.broadcast(probe)).filter(
+        (F.col("us_max") >= F.col("lo")) & (F.col("us_min") <= F.col("hi"))
+    )
+    matching = events.crossJoin(F.broadcast(probe)).filter(
+        (F.col("us") >= F.col("lo")) & (F.col("us") <= F.col("hi"))
+    )
+    n_zones = zones.agg(F.count("*").alias("c"))
+    stats = (
+        scanned.agg(
+            F.count("*").alias("n_zones_scanned"),
+            F.sum("n_rows").alias("rows_in_scanned_zones"),
+        )
+        .crossJoin(n_zones.select(F.col("c").alias("n_zones")))
+        .crossJoin(matching.agg(F.count("*").alias("rows_matching")))
+    )
+    return stats.select(
+        "n_zones",
+        "n_zones_scanned",
+        "rows_in_scanned_zones",
+        "rows_matching",
+        (F.col("n_zones_scanned") < F.col("n_zones")).alias("pruning_effective"),
+    )

@@ -1,0 +1,300 @@
+"""Driver-oracled Structured Streaming + CDC queries.
+
+Round 3 gap: the streaming machinery (``streaming/incremental.py``,
+``streaming/stateful.py``, ``operators/upsert.py``) was pytest-only —
+no entry on the driver-verified surface. These queries run REAL
+streaming jobs to completion (``availableNow`` trigger + checkpoint)
+against the sf_dir events parquet and return the final materialized
+result, so the driver's DuckDB comparator adjudicates streaming
+semantics against the equivalent batch SQL.
+
+Determinism contract (what makes a streaming job oracle-able):
+
+* The source is finite and the trigger is ``availableNow`` — the job
+  processes everything and stops.
+* Watermarks are set far beyond the data's time span ("365 days"), so
+  no row is ever late-dropped regardless of how the file source splits
+  micro-batches. State stays O(data) at test SF; production jobs use
+  the tight watermarks exercised in tests/test_streaming.py, trading
+  replay-exactness for bounded state.
+* Sinks are either keyed MERGEs (idempotent last-writer-wins — final
+  table is batch-equivalent no matter the batch split) or append sinks
+  whose rows are emitted exactly once for inner joins / first-seen
+  dedup.
+
+Each run uses a fresh tmp checkpoint + output dir, so repeated driver
+invocations reprocess from scratch instead of replaying a foreign
+checkpoint.
+
+Reference anchor: the bookmarked incremental scan in
+glue_rds_to_redshift.py:31,35,40 — these are its streaming twins with
+the update/delete gap (SURVEY §7) closed by the CDC apply step.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.io import load_table
+
+
+def _stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Copy the events parquet into a fresh tmp dir.
+
+    The streaming file source tracks *directories*; staging gives each
+    run an isolated append-only source dir (and mirrors how log/CDC
+    drops arrive in production: files landing in a watched prefix).
+    """
+    src = os.path.join(sf_dir, "events.parquet")
+    d = tempfile.mkdtemp(prefix="sgq_stream_src_")
+    if os.path.isdir(src):
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(src, f), os.path.join(d, f))
+    else:
+        shutil.copy(src, os.path.join(d, "events.parquet"))
+    return d
+
+
+@query(
+    "stream_hourly_rollup_merge",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_hourly_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed availableNow stream → watermarked 1h tumbling window
+    → foreachBatch keyed MERGE into a standing parquet report.
+
+    The sink-side MERGE (``operators.upsert.upsert_parquet``) makes the
+    pipeline batch-equivalent by construction: update-mode re-emits a
+    (window, event_type) row with its *current cumulative* aggregate
+    whenever a micro-batch touches it, and last-writer-wins per key
+    folds those re-emissions into exactly the batch GROUP BY — however
+    the file source happened to split batches, and idempotently under
+    crash-replay. This is the production shape for incremental report
+    maintenance (streaming/incremental.py:run_incremental_merge_stream);
+    the driver adjudicates its final state against plain batch SQL.
+
+    Scale: state is O(active windows) once the watermark is tightened;
+    the MERGE rewrites only partitions containing touched keys when the
+    target is partitioned (upsert.py docstring).
+    """
+    from ..streaming.incremental import hourly_rollup_stream, read_events_stream
+    from .upsert import upsert_parquet
+
+    src = _stage_events_dir(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="sgq_stream_ckpt_")
+    report = os.path.join(tempfile.mkdtemp(prefix="sgq_stream_out_"), "report")
+
+    events = read_events_stream(spark, src)
+    rollup = hourly_rollup_stream(events, watermark="365 days")
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_parquet(spark, report, batch_df, keys=["window_start", "event_type"])
+
+    (
+        rollup.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(report).select(
+        "window_start", "event_type", "n_events", "total_value"
+    )
+
+
+@query(
+    "stream_dedup_first_seen",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` on
+    (user_id, event_type), append sink, then aggregate the deduped feed.
+
+    Append mode emits each key's FIRST arrival immediately; the
+    watermark bounds how long the "seen" state is retained (here longer
+    than the data span, so the dedup is exact and the final feed equals
+    batch DISTINCT). Production tightens the watermark to the maximum
+    duplicate lag — state becomes O(keys per watermark window), the
+    documented trade in streaming/stateful.py:77.
+
+    Only the key columns are projected into the sink: first-arrival
+    payloads depend on micro-batch order, keys do not — that projection
+    is what makes the streaming result deterministic and oracle-able.
+    """
+    from ..streaming.incremental import read_events_stream
+
+    src = _stage_events_dir(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="sgq_dedup_ckpt_")
+    out = os.path.join(tempfile.mkdtemp(prefix="sgq_dedup_out_"), "deduped")
+
+    events = read_events_stream(spark, src)
+    deduped = (
+        events.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "stream_click_attribution_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id AS user_id,
+           CAST(CAST(p.value AS DECIMAL(18,4)) AS DOUBLE) AS purchase_value
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def stream_click_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join run to completion: purchases matched
+    to the same user's clicks in the preceding hour
+    (streaming/incremental.py:click_to_purchase_stream).
+
+    Inner stream-stream joins emit a match in the micro-batch where both
+    sides are buffered — no watermark wait — so the append sink receives
+    each qualifying (purchase, click) pair exactly once and the final
+    feed equals the batch interval join. The watermarks + event-time
+    bound exist to let Spark EVICT buffered state (a click older than
+    watermark − 1h can never match again); at test SF they are wider
+    than the data so eviction never fires, and correctness is unchanged
+    either way for the inner join.
+    """
+    from ..streaming.incremental import click_to_purchase_stream
+
+    src = _stage_events_dir(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="sgq_join_ckpt_")
+    out = os.path.join(tempfile.mkdtemp(prefix="sgq_join_out_"), "attributed")
+
+    joined = click_to_purchase_stream(spark, src).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.col("purchase_value").cast("decimal(18,4)").cast("double").alias("purchase_value"),
+    )
+    (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out).select(
+        "purchase_id", "click_id", "user_id", "purchase_value"
+    )
+
+
+@query(
+    "cdc_apply_changelog",
+    oracle="""
+    WITH log AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value,
+               CASE WHEN event_type = 'signup' THEN 'I'
+                    WHEN event_type = 'error' THEN 'D'
+                    ELSE 'U' END AS op
+        FROM events
+    ), last_per_key AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM log
+    )
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_event_type, value AS last_value
+    FROM last_per_key
+    WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC lifecycle against a parquet target: derive an
+    insert/update/delete changelog from events (signup→I, error→D,
+    else U; event_id is the binlog sequence), split it into two
+    sequential batches, apply each with
+    ``operators.upsert.apply_cdc_parquet``, and return the final table.
+
+    Applying in two batches exercises the property that makes changelog
+    application composable: last-change-per-key within a batch, then
+    keyed replace across batches, equals one global last-change-per-key
+    — the algebra CDC pipelines rely on to replay a day of binlog in
+    bounded passes. The DuckDB oracle computes the global form directly.
+
+    Scale: per batch one key-partitioned window over the (small) change
+    batch + one anti join against the target — the target is never
+    shuffled (upsert.py:56 docstring); deletes are first-class, closing
+    the update/delete gap bookmark-style incrementality leaves open
+    (SURVEY §7, reference glue_rds_to_redshift.py:31).
+    """
+    from .upsert import apply_cdc_parquet
+
+    target = os.path.join(tempfile.mkdtemp(prefix="sgq_cdc_tgt_"), "users")
+
+    log = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").cast("decimal(18,4)").cast("double").alias("last_value"),
+            F.when(F.col("event_type") == "signup", F.lit("I"))
+            .when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        # apply_cdc_parquet consumes (and drops) the sequence column;
+        # duplicate it so last_event_id survives as payload.
+        .withColumn("__seq", F.col("last_event_id"))
+    )
+    mid = log.agg(
+        F.percentile_approx("last_event_id", 0.5, 10000).alias("m")
+    ).collect()[0]["m"]  # control-plane scalar: one split point, not data
+    for part in (
+        log.filter(F.col("last_event_id") <= F.lit(mid)),
+        log.filter(F.col("last_event_id") > F.lit(mid)),
+    ):
+        apply_cdc_parquet(
+            spark, target, part, keys=["user_id"], op_col="op", seq_col="__seq"
+        )
+    return spark.read.parquet(target).select(
+        "user_id", "last_event_id", "last_ts", "last_event_type", "last_value"
+    )
