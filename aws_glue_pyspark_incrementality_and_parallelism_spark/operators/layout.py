@@ -128,3 +128,151 @@ def write_range_sorted(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering
+# ---------------------------------------------------------------------------
+
+HILBERT_BITS = 8  # 256×256 grid → curve index in [0, 65536)
+_HBUCKET_SHIFT = 2 * HILBERT_BITS - 8  # top 8 index bits → 256 buckets
+
+
+def hilbert_steps(bits: int = HILBERT_BITS) -> list[tuple[str, str]]:
+    """Unrolled Hilbert xy→d conversion as (column, expression-text)
+    assignments, one projection chain per curve level.
+
+    The classic iterative algorithm (Hilbert 1891; bit-twiddling form
+    per Warren, *Hacker's Delight* §16) is a per-level quadrant test +
+    conditional flip/swap — data-dependent control flow that would blow
+    up exponentially if substituted inline, so it unrolls into a CHAIN
+    of projections carrying (x, y, d) forward. Emitting the SAME
+    expression text to Spark (``withColumn``+``F.expr``) and DuckDB
+    (CTE chain) makes cross-engine parity structural, the
+    zorder_key/zorder_key_sql trick extended to stateful unrolls.
+
+    The XOR in the step value ``(3·rx) ⊕ ry`` is folded to arithmetic
+    (``rx=0 → ry; rx=1 → 3−ry``) because ``^`` means power in DuckDB
+    but XOR in Spark SQL — the one operator the engines disagree on.
+
+    Starts from columns ``x0``/``y0`` (ints in [0, 2^bits)) and a level
+    counter; finishes with ``hd`` = Hilbert index.
+    """
+    steps: list[tuple[str, str]] = []
+    first = True
+    for i, shift in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << shift
+        x, y, d = f"hx{i}", f"hy{i}", f"hd{i}"
+        px, py, pd = (f"hx{i-1}", f"hy{i-1}", f"hd{i-1}") if not first else ("x0", "y0", "0")
+        rx = f"(CASE WHEN ({px} & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN ({py} & {s}) > 0 THEN 1 ELSE 0 END)"
+        steps.append((f"hrx{i}", rx))
+        steps.append((f"hry{i}", ry))
+        steps.append(
+            (
+                d,
+                f"{pd} + {s * s} * (CASE WHEN hrx{i} = 0 THEN hry{i} "
+                f"ELSE 3 - hry{i} END)",
+            )
+        )
+        steps.append(
+            (
+                x,
+                f"CASE WHEN hry{i} = 1 THEN {px} "
+                f"WHEN hrx{i} = 1 THEN {s - 1} - {py} ELSE {py} END",
+            )
+        )
+        steps.append(
+            (
+                y,
+                f"CASE WHEN hry{i} = 1 THEN {py} "
+                f"WHEN hrx{i} = 1 THEN {s - 1} - {px} ELSE {px} END",
+            )
+        )
+        first = False
+    steps.append(("hd", f"hd{bits - 1}"))
+    return steps
+
+
+def hilbert_index(df: DataFrame, bits: int = HILBERT_BITS) -> DataFrame:
+    """Append the Hilbert index column ``hd`` for (x0, y0). Pure
+    shift/mask/CASE projections — whole-stage codegen, no UDF, and the
+    chain collapses into a single codegen stage (each step is a
+    narrow projection, not a shuffle)."""
+    for col, expr in hilbert_steps(bits):
+        df = df.withColumn(col, F.expr(expr))
+    return df
+
+
+def hilbert_sql(source: str, bits: int = HILBERT_BITS) -> str:
+    """The same unrolled conversion as a DuckDB CTE chain over
+    ``source`` (which must provide x0/y0)."""
+    cte = f"h_src AS ({source})"
+    prev = "h_src"
+    parts = [cte]
+    # group the per-level assignments into one CTE per level (rx/ry
+    # must be defined before the columns that consume them — two CTEs
+    # per level keeps each SELECT dependency-free)
+    steps = hilbert_steps(bits)
+    for j in range(0, len(steps), 5):
+        level = steps[j : j + 5]
+        rxry, rest = level[:2], level[2:]
+        nm1 = f"h_a{j // 5}"
+        parts.append(
+            f"{nm1} AS (SELECT *, "
+            + ", ".join(f"{e} AS {c}" for c, e in rxry)
+            + f" FROM {prev})"
+        )
+        nm2 = f"h_b{j // 5}"
+        parts.append(
+            f"{nm2} AS (SELECT *, "
+            + ", ".join(f"{e} AS {c}" for c, e in rest)
+            + f" FROM {nm1})"
+        )
+        prev = nm2
+    return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM {prev}"
+
+
+@query(
+    "layout_hilbert_buckets",
+    oracle=f"""
+    {hilbert_sql(
+        "SELECT ((l_partkey * " + str(_SPREAD) + ") % 256) AS x0, "
+        "((l_suppkey * " + str(_SPREAD) + ") % 256) AS y0 FROM lineitem"
+    ).replace("SELECT * FROM", "SELECT CAST(hd >> " + str(_HBUCKET_SHIFT) + " AS BIGINT) AS hbucket, COUNT(*) AS n_rows, MIN(x0) AS min_x, MAX(x0) AS max_x, MIN(y0) AS min_y, MAX(y0) AS max_y FROM")}
+    GROUP BY 1
+    """,
+)
+def q_layout_hilbert_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering statistics: per-bucket row count and
+    min/max of both dimensions for a 256-way bucketing of the 16-bit
+    Hilbert index over (partkey, suppkey).
+
+    Hilbert ordering is what Delta liquid clustering and Iceberg's
+    hilbert-sorted rewrites use instead of Z-order: consecutive curve
+    positions are always grid-adjacent (no Z-shape jumps), so a bucket
+    of contiguous curve positions has a tighter bounding box → tighter
+    file min/max stats → better multi-dimension pruning. The
+    locality advantage over Z-order is asserted in pytest
+    (test_layout.py) as mean bounding-box perimeter."""
+    l = load_table(spark, sf_dir, "lineitem")
+    base = l.select(
+        ((F.col("l_partkey") * _SPREAD) % 256).alias("x0"),
+        ((F.col("l_suppkey") * _SPREAD) % 256).alias("y0"),
+    )
+    hil = hilbert_index(base)
+    return (
+        hil.select(
+            F.shiftright(F.col("hd"), _HBUCKET_SHIFT).cast("bigint").alias("hbucket"),
+            "x0",
+            "y0",
+        )
+        .groupBy("hbucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("x0").alias("min_x"),
+            F.max("x0").alias("max_x"),
+            F.min("y0").alias("min_y"),
+            F.max("y0").alias("max_y"),
+        )
+    )

@@ -99,3 +99,74 @@ def test_range_sorted_write_produces_disjoint_file_ranges(spark, tmp_path):
 
     # data intact
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_hilbert_locality_beats_zorder(spark):
+    """Mean bounding-box perimeter of 256 contiguous curve buckets:
+    Hilbert must be at least as tight as Z-order on the same uniform
+    point set (the reason liquid clustering uses Hilbert). Both curves
+    run on the identical 8-bit spread grid."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.layout import (
+        hilbert_index,
+        zorder_key,
+    )
+
+    pts = load_table(spark, SF_MEDIUM, "lineitem").select(
+        ((F.col("l_partkey") * _SPREAD) % 256).alias("x0"),
+        ((F.col("l_suppkey") * _SPREAD) % 256).alias("y0"),
+    )
+
+    def mean_perimeter(bucket_col_df):
+        rows = (
+            bucket_col_df.groupBy("bucket")
+            .agg(
+                (F.max("x0") - F.min("x0")).alias("dx"),
+                (F.max("y0") - F.min("y0")).alias("dy"),
+            )
+            .agg(F.avg(F.col("dx") + F.col("dy")).alias("p"))
+            .collect()
+        )
+        return rows[0]["p"]
+
+    hil = hilbert_index(pts, bits=8).select(
+        F.shiftright(F.col("hd"), 8).alias("bucket"), "x0", "y0"
+    )
+    # zorder_key interleaves 16-bit inputs; an 8-bit grid fills bits
+    # 0..15 of the Morton code, so >> 8 yields the same 256-way split
+    zor = pts.select(
+        F.shiftright(zorder_key(F.col("x0"), F.col("y0"), bits=8), 8).alias("bucket"),
+        "x0",
+        "y0",
+    )
+    p_h, p_z = mean_perimeter(hil), mean_perimeter(zor)
+    assert p_h <= p_z * 1.01, (p_h, p_z)
+
+
+def test_compact_parquet_binpacks_and_preserves_content(spark, tmp_path):
+    """compact_parquet: file count drops to the byte-derived target and
+    content (count + checksum) is unchanged."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.maintenance import (
+        compact_parquet,
+        parquet_files,
+    )
+
+    target = str(tmp_path / "frag")
+    df = load_table(spark, SF_MEDIUM, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    df.repartition(32).write.parquet(target)
+    before_files = len(parquet_files(target))
+    before = spark.read.parquet(target).agg(
+        F.count("*").alias("n"), F.sum("l_orderkey").alias("s")
+    ).collect()[0]
+
+    total = sum(__import__("os").path.getsize(f) for f in parquet_files(target))
+    stats = compact_parquet(spark, target, target_file_bytes=max(1, total // 3))
+
+    assert stats["files_before"] == before_files
+    assert stats["files_after"] < before_files
+    assert stats["files_after"] <= 4  # ceil(total / (total//3)) ≤ 4
+    after = spark.read.parquet(target).agg(
+        F.count("*").alias("n"), F.sum("l_orderkey").alias("s")
+    ).collect()[0]
+    assert (before["n"], before["s"]) == (after["n"], after["s"])
