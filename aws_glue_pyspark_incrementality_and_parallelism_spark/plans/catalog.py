@@ -51,6 +51,7 @@ from ..operators import (  # noqa: F401
     embeddings,
     queries_streaming,
     maintenance,
+    pq,
 )
 
 from .registry import REGISTRY, QuerySpec  # noqa: F401

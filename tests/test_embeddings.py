@@ -138,3 +138,38 @@ def test_gramian_shuffle_is_dimension_bounded(spark):
     assert plan.count("Exchange hashpartitioning") <= 1
     # partial aggregation below the exchange
     assert "partial_sum" in plan or "Partial" in plan
+
+
+def test_pq_codes_compress_and_recall(spark):
+    """PQ: every vector compresses to M_SUB codes in [0, K_CODES);
+    ADC+rerank recall vs exact brute force clears the driver floor
+    with margin (measured 0.58-0.64 at sf0.001/0.01)."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.pq import (
+        K_CODES,
+        M_SUB,
+        PQ_RECALL_FLOOR,
+        encode_codes,
+        pq_adc_topk_pairs,
+        train_codebooks,
+    )
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.similarity import (
+        q_sim_brute_force_topk,
+    )
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import load_table
+
+    from .conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    books = train_codebooks(spark, SF_SMALL)
+    assert books.shape == (M_SUB, K_CODES, 64 // M_SUB)
+
+    codes = encode_codes(emb, books).collect()
+    assert len(codes) == emb.count()
+    for r in codes[:50]:
+        assert len(r["codes"]) == M_SUB
+        assert all(0 <= c < K_CODES for c in r["codes"])
+
+    exact = {(r["query_id"], r["vec_id"]) for r in q_sim_brute_force_topk(spark, SF_SMALL).collect()}
+    ann = {(r["query_id"], r["vec_id"]) for r in pq_adc_topk_pairs(spark, SF_SMALL).collect()}
+    recall = len(exact & ann) / len(exact)
+    assert recall >= PQ_RECALL_FLOOR + 0.1, recall
