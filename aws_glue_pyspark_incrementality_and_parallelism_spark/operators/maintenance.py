@@ -184,33 +184,40 @@ def maintenance_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         F.unix_micros(F.col("ts")).alias("us")
     )
-    zones = events.groupBy(
-        F.expr("us div 86400000000").alias("zone_day")
-    ).agg(
-        F.min("us").alias("us_min"),
-        F.max("us").alias("us_max"),
-        F.count("*").alias("n_rows"),
+    # ONE fact scan builds the zone map; the probe boundaries and every
+    # zone-level statistic derive from the zone map itself (global
+    # min/max = min/max over zone bounds), so the only other fact scan
+    # is the residual row count — which IS the pruned scan this
+    # operator exists to size. Exact integer arithmetic throughout.
+    zones = (
+        events.groupBy(F.expr("us div 86400000000").alias("zone_day"))
+        .agg(
+            F.min("us").alias("us_min"),
+            F.max("us").alias("us_max"),
+            F.count("*").alias("n_rows"),
+        )
+        # the zone map IS materialized state in a real lake (manifest
+        # files); persisting it here keeps the fact table at exactly
+        # two scans — map build + the residual pruned scan — instead
+        # of re-deriving the map for each consumer
+        .persist()
     )
-    # exact integer probe boundaries — identical on both engines
-    probe = events.agg(
-        F.expr("min(us) + (max(us) - min(us)) * 2 div 5").alias("lo"),
-        F.expr("min(us) + (max(us) - min(us)) * 3 div 5").alias("hi"),
+    probe = zones.agg(
+        F.expr("min(us_min) + (max(us_max) - min(us_min)) * 2 div 5").alias("lo"),
+        F.expr("min(us_min) + (max(us_max) - min(us_min)) * 3 div 5").alias("hi"),
     )
-    scanned = zones.crossJoin(F.broadcast(probe)).filter(
-        (F.col("us_max") >= F.col("lo")) & (F.col("us_min") <= F.col("hi"))
+    hit = (F.col("us_max") >= F.col("lo")) & (F.col("us_min") <= F.col("hi"))
+    zone_stats = zones.crossJoin(F.broadcast(probe)).agg(
+        F.count("*").alias("n_zones"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("n_zones_scanned"),
+        F.sum(F.when(hit, F.col("n_rows")).otherwise(0)).cast("bigint").alias(
+            "rows_in_scanned_zones"
+        ),
     )
     matching = events.crossJoin(F.broadcast(probe)).filter(
         (F.col("us") >= F.col("lo")) & (F.col("us") <= F.col("hi"))
     )
-    n_zones = zones.agg(F.count("*").alias("c"))
-    stats = (
-        scanned.agg(
-            F.count("*").alias("n_zones_scanned"),
-            F.sum("n_rows").alias("rows_in_scanned_zones"),
-        )
-        .crossJoin(n_zones.select(F.col("c").alias("n_zones")))
-        .crossJoin(matching.agg(F.count("*").alias("rows_matching")))
-    )
+    stats = zone_stats.crossJoin(matching.agg(F.count("*").alias("rows_matching")))
     return stats.select(
         "n_zones",
         "n_zones_scanned",
