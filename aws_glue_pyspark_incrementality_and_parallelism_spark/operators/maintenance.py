@@ -225,3 +225,85 @@ def maintenance_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_matching",
         (F.col("n_zones_scanned") < F.col("n_zones")).alias("pruning_effective"),
     )
+
+
+@query(
+    "maintenance_snapshot_diff",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        FROM orders
+    ), b AS (
+        -- deterministic mutation of snapshot A: %97 keys deleted,
+        -- %89==1 keys repriced, %83==2 keys re-inserted shifted past
+        -- the key domain (new keys)
+        SELECT k, CASE WHEN k % 89 = 1 THEN v + 1 ELSE v END AS v
+        FROM a WHERE k % 97 <> 0
+        UNION ALL
+        SELECT k + (SELECT MAX(o_orderkey) FROM orders) + 1 AS k, v
+        FROM a WHERE k % 83 = 2
+    ), d AS (
+        SELECT COALESCE(a.k, b.k) AS k,
+               CASE WHEN a.k IS NULL THEN 'added'
+                    WHEN b.k IS NULL THEN 'removed'
+                    WHEN a.v <> b.v THEN 'changed'
+                    ELSE 'unchanged' END AS cls
+        FROM a FULL OUTER JOIN b ON a.k = b.k
+    )
+    SELECT cls, COUNT(*) AS n_keys, CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM d GROUP BY cls
+    """,
+)
+def maintenance_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (table diff): classify every key across
+    two table versions as added / removed / changed / unchanged and
+    emit per-class counts + key checksums.
+
+    The anti-entropy job every replicated lake runs: one full outer
+    join hash-partitioned on the key (both sides shuffle once, no
+    broadcast — snapshots are the same size by construction), equality
+    on the compared column set, and a tiny per-class aggregate.
+    Snapshot B is derived from A with deterministic arithmetic rules so
+    the DuckDB oracle constructs the identical pair — the diff logic
+    itself is what's under test. At 100 TB both snapshots would be
+    bucketed on the key so the join is shuffle-free, and the compare
+    column set would be a row hash computed at write time.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    max_k = orders.agg(F.max("o_orderkey")).collect()[0][0]  # control-plane scalar
+    b = (
+        a.filter(F.col("k") % 97 != 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 89 == 1, F.col("v") + 1).otherwise(F.col("v")).alias("v"),
+        )
+        .unionByName(
+            a.filter(F.col("k") % 83 == 2).select(
+                (F.col("k") + F.lit(max_k) + 1).alias("k"), "v"
+            )
+        )
+    )
+    d = (
+        a.select(F.col("k").alias("ak"), F.col("v").alias("av"))
+        .join(
+            b.select(F.col("k").alias("bk"), F.col("v").alias("bv")),
+            F.col("ak") == F.col("bk"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("ak"), F.col("bk")).alias("k"),
+            F.when(F.col("ak").isNull(), F.lit("added"))
+            .when(F.col("bk").isNull(), F.lit("removed"))
+            .when(F.col("av") != F.col("bv"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("cls"),
+        )
+    )
+    return d.groupBy("cls").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+    )

@@ -298,3 +298,91 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(target).select(
         "user_id", "last_event_id", "last_ts", "last_event_type", "last_value"
     )
+
+
+@query(
+    "stream_session_windows_final",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us, value FROM events
+    ), marked AS (
+        SELECT user_id, us, value,
+               CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ), sess AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    ), agg AS (
+        SELECT user_id, sid,
+               MIN(us) AS s_us,
+               MAX(us) + 1800000000 AS e_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM sess GROUP BY 1, 2
+    ), wm AS (
+        -- Spark tracks watermarks in MILLISECONDS: truncate max event
+        -- time to ms before subtracting the delay (probed empirically;
+        -- a session ending inside the truncated sub-ms slice is NOT
+        -- emitted)
+        SELECT (MAX(us) // 1000) * 1000 - 3600000000 AS w FROM e
+    )
+    SELECT make_timestamp(s_us) AS session_start,
+           make_timestamp(e_us) AS session_end,
+           user_id, n_events, total_value
+    FROM agg, wm
+    WHERE e_us <= w
+    """,
+)
+def stream_session_windows_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization run to completion: native
+    ``session_window`` grouping (30 min gap), 1 h watermark, APPEND
+    mode — only sessions the final watermark has CLOSED are emitted,
+    exactly Spark's production late-data contract.
+
+    This is the one streaming query whose oracle must reproduce the
+    engine's finalization rule, pinned here from boundary probes:
+    events exactly ``gap`` apart MERGE (session end = last ts + gap,
+    merge while inter-event gap ≤ gap); a session is emitted iff
+    ``session_end <= watermark`` with ``watermark = ms_trunc(max ts) −
+    delay`` (Spark tracks event-time watermarks in milliseconds). The
+    DuckDB oracle computes the identical gaps-and-islands + watermark
+    cutoff in exact integer microseconds. Sessions still open at the
+    final watermark (the last hour of the feed) are deliberately
+    absent from BOTH sides — replaying tomorrow's run emits them once
+    their sessions close, the exactly-once property append mode
+    exists for.
+
+    Scale: state is O(open sessions) (the watermark evicts closed
+    ones); the same expression runs in batch (events_sessionization).
+    """
+    from ..streaming.incremental import read_events_stream, session_rollup_stream
+
+    src = _stage_events_dir(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="sgq_sess_ckpt_")
+    out = os.path.join(tempfile.mkdtemp(prefix="sgq_sess_out_"), "sessions")
+
+    events = read_events_stream(spark, src)
+    sess = session_rollup_stream(events, gap="30 minutes", watermark="1 hour")
+    (
+        sess.select(
+            "session_start",
+            "session_end",
+            "user_id",
+            "n_events",
+            F.col("total_value").cast("decimal(18,4)").cast("double").alias("total_value"),
+        )
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out).select(
+        "session_start", "session_end", "user_id", "n_events", "total_value"
+    )

@@ -358,3 +358,52 @@ def test_interval_join_binned_no_nested_loop(spark):
     plan = _plan(spark, "join_interval_binned")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hilbert_chain_is_narrow_single_exchange(spark):
+    """The unrolled Hilbert conversion must stay a chain of narrow
+    projections: no join, no window, and only the final aggregate's
+    exchange — the shape that keeps the 100 TB clustering write a
+    single shuffle."""
+    plan = _plan(spark, "layout_hilbert_buckets")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2  # agg exchange (+ AQE read)
+    # column pruning reaches the scan: only the two cluster keys read
+    assert "l_partkey" in plan and "l_suppkey" in plan
+    assert "l_quantity" not in plan
+
+
+def test_pq_adc_scan_stays_compressed_domain(spark):
+    """PQ search plan invariants: the corpus flows scan → encode →
+    ADC (two fused Arrow passes, NO shuffle of embeddings); the
+    shortlist is pruned per-partition BEFORE its exchange
+    (WindowGroupLimit Partial); the rerank joins broadcast — the
+    corpus is never sort-merge shuffled."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.pq import (
+        pq_adc_topk_pairs,
+    )
+
+    df = pq_adc_topk_pairs(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # per-partition top-k pruning before the shortlist shuffle
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    # the encode→ADC chain has no exchange between the two Arrow passes
+    encode_idx = plan.index("_encode")
+    scan_idx = plan.index("_scan")
+    assert "Exchange" not in plan[min(scan_idx, encode_idx): max(scan_idx, encode_idx)]
+    # query-side filter pushed into the parquet scan
+    assert "vec_id" in plan
+
+
+def test_snapshot_diff_is_partitioned_join(spark):
+    """The reconciliation diff must plan as a hash-partitioned equi
+    full-outer join (both snapshots same size — broadcast or nested
+    loop would be wrong at scale)."""
+    plan = _plan(spark, "maintenance_snapshot_diff")
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
