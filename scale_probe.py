@@ -54,6 +54,10 @@ QUERIES = [
     "report_sales_by_customer", "report_sales_by_supplier",
     "join_asof_last_view", "tpch_q3_shipping_priority",
     "join3_projection",
+    # restart-session additions: layout, maintenance, PQ, streaming/CDC
+    "layout_hilbert_buckets", "maintenance_zone_map_prune",
+    "maintenance_snapshot_diff", "sim_pq_adc_topk",
+    "cdc_apply_changelog", "stream_hourly_rollup_merge",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
