@@ -386,3 +386,48 @@ def stream_session_windows_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "session_start", "session_end", "user_id", "n_events", "total_value"
     )
+
+
+@query(
+    "stream_static_enrichment",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           c.c_name, c.c_mktsegment
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join run to completion: the streaming
+    events feed joined to the static customer dimension
+    (streaming/incremental.py:enriched_events_stream).
+
+    The static side is re-planned per micro-batch (dimension updates
+    between batches are picked up automatically) and BROADCAST, so the
+    stream side never shuffles — the standard streaming enrichment
+    topology. Stateless inner join ⇒ each event emits exactly once in
+    its arrival batch, so the completed feed equals the batch join;
+    only stable columns are projected into the sink (event payload
+    joins are order-free by construction).
+    """
+    from ..streaming.incremental import enriched_events_stream
+
+    src = _stage_events_dir(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="sgq_enrich_ckpt_")
+    out = os.path.join(tempfile.mkdtemp(prefix="sgq_enrich_out_"), "enriched")
+
+    enriched = enriched_events_stream(spark, src, sf_dir).select(
+        "event_id", "user_id", "event_type", "c_name", "c_mktsegment"
+    )
+    (
+        enriched.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out).select(
+        "event_id", "user_id", "event_type", "c_name", "c_mktsegment"
+    )
