@@ -1,0 +1,203 @@
+"""Data-governance operators: k-anonymity / l-diversity privacy audits
+and deterministic stratified train/val/test splitting.
+
+None of these exist in the reference (its whole surface is the scan →
+join → grouped-sum ETL of glue_rds_to_redshift.py:44-74); they are the
+governance gates a team runs over exactly this kind of warehouse load
+before the data may leave the boundary (privacy audit) or enter a
+training mix (split assignment).
+
+Scale stance shared by all three: each is ONE hash-partitioned
+aggregate over the fact table — no joins, no windows, no driver state.
+The privacy audits group by the quasi-identifier tuple (the class count
+is bounded by the QI domain product, not the row count) and re-group to
+the report grain; the split assignment is a stateless per-row hash, so
+it needs no shuffle at all until the per-stratum count. All verdicts
+are exact integers — nothing float-threshold-y for engines to disagree
+on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.io import load_table
+
+#: k-anonymity threshold: an equivalence class with fewer than K members
+#: identifies its rows too precisely to release.
+K_ANON = 5
+
+# Deterministic hash-split thresholds over the md5-derived u32 lane
+# (see ``_split_u32``): train = [0, TRAIN_MAX), val = [TRAIN_MAX,
+# VAL_MAX), test = [VAL_MAX, 2^32). Both engines compare the SAME
+# integer literals, so the assignment is bit-identical cross-engine.
+TRAIN_MAX = 3435973836  # ~0.80 * 2^32
+VAL_MAX = 3865470566  # ~0.90 * 2^32
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle=f"""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+             COUNT(*) AS n
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_classes,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unsafe_classes,
+           CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT)
+             AS n_unsafe_rows,
+           CAST(MIN(n) AS BIGINT) AS k_anonymity
+    FROM classes
+    GROUP BY c_nationkey
+    """,
+)
+def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer table: the quasi-identifier
+    tuple (nation, market segment, account-balance bucket) partitions
+    rows into equivalence classes; any class smaller than ``K_ANON``
+    makes its members re-identifiable by an attacker who knows the QI
+    values. Reports, per nation: class count, row count, unsafe classes
+    / rows, and the realized k (the minimum class size — the table "is
+    k-anonymous" for exactly that k).
+
+    Plan: two stacked hash aggregates (QI grain, then nation grain)
+    with map-side partial combine — the first shuffle's cardinality is
+    the QI class count (domain-bounded: |nations|×|segments|×|buckets|),
+    NOT the customer row count, so at 100 TB the second aggregate's
+    input is tiny regardless of fact size. All counters exact integers.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    classes = (
+        cust.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    unsafe = F.col("n") < K_ANON
+    return classes.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.sum(unsafe.cast("int")).cast("bigint").alias("n_unsafe_classes"),
+        F.sum(F.when(unsafe, F.col("n")).otherwise(0)).cast("bigint").alias("n_unsafe_rows"),
+        F.min("n").cast("bigint").alias("k_anonymity"),
+    )
+
+
+@query(
+    "privacy_l_diversity",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+             COUNT(DISTINCT c_mktsegment) AS l_div,
+             COUNT(*) AS n
+      FROM customer
+      GROUP BY 1, 2
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_classes,
+           CAST(MIN(l_div) AS BIGINT) AS l_diversity,
+           CAST(SUM(CASE WHEN l_div < 2 THEN n ELSE 0 END) AS BIGINT)
+             AS n_homogeneous_rows
+    FROM classes
+    GROUP BY c_nationkey
+    """,
+)
+def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE '06): k-anonymity
+    alone fails under the homogeneity attack — if every member of an
+    equivalence class shares one sensitive value, class size protects
+    nothing. Here QI = (nation, balance bucket), sensitive attribute =
+    market segment; a class is l-diverse if it contains ≥ l distinct
+    sensitive values. Reports per nation the realized l (minimum
+    distinct-sensitive count over classes) and how many rows sit in
+    fully homogeneous (l = 1) classes.
+
+    Plan: COUNT(DISTINCT) at the QI grain is Spark's standard two-phase
+    expand-free rewrite (partial distinct inside each partition keyed by
+    QI+sensitive, then merge); the second aggregate again runs over
+    domain-bounded class rows. Exact integers end to end."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = (
+        cust.groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_bucket"),
+        )
+        .agg(
+            F.countDistinct("c_mktsegment").alias("l_div"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return classes.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("l_div").cast("bigint").alias("l_diversity"),
+        F.sum(F.when(F.col("l_div") < 2, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_homogeneous_rows"),
+    )
+
+
+@query(
+    "sample_stratified_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))
+                  AS BIGINT) AS u32
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN u32 < {TRAIN_MAX} THEN 'train'
+                WHEN u32 < {VAL_MAX} THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+)
+def q_sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split with per-stratum
+    accounting — the assignment step every training-data pipeline runs
+    before mixing corpora. Each document's lane is a pure function of
+    its id (md5 of ``doc_id || ':split'`` → first 8 hex digits → u32 →
+    compare against fixed integer thresholds ≈ 80/10/10), so the split
+    is reproducible across runs, engines, and cluster sizes, stable
+    under corpus growth (existing docs never migrate lanes when new
+    docs arrive — the property RNG-based ``randomSplit`` lacks), and
+    needs no shuffle to assign. The ':split' salt decorrelates this
+    lane from every other md5-derived lane in the repo (e.g. the
+    sampling hash in text.py) so downstream joins don't accidentally
+    condition on the split.
+
+    Output is the per-(stratum, lane) count table used to verify the
+    split respects stratum proportions. Plan: stateless row map + ONE
+    hash aggregate at (lang, split) grain; at 100 TB the assignment
+    rides the scan (whole-stage codegen) and the aggregate's key space
+    is |langs|×3."""
+    docs = load_table(spark, sf_dir, "documents")
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.select(
+            "lang",
+            F.when(u32 < TRAIN_MAX, "train")
+            .when(u32 < VAL_MAX, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -52,6 +52,7 @@ from ..operators import (  # noqa: F401
     queries_streaming,
     maintenance,
     pq,
+    governance,
 )
 
 from .registry import REGISTRY, QuerySpec  # noqa: F401
