@@ -53,6 +53,7 @@ from ..operators import (  # noqa: F401
     maintenance,
     pq,
     governance,
+    entity,
 )
 
 from .registry import REGISTRY, QuerySpec  # noqa: F401
