@@ -54,6 +54,7 @@ from ..operators import (  # noqa: F401
     pq,
     governance,
     entity,
+    geo,
 )
 
 from .registry import REGISTRY, QuerySpec  # noqa: F401

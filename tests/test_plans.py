@@ -407,3 +407,14 @@ def test_snapshot_diff_is_partitioned_join(spark):
     assert "FullOuter" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_geo_grid_nn_join_is_equi_hash_join(spark):
+    """The spatial join must stay a hash EQUI-join on the grid cell —
+    grid blocking exists precisely so the distance predicate never
+    plans as a nested-loop/cartesian — with the dim-sized supplier
+    side broadcast."""
+    plan = _plan(spark, "geo_grid_nn_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
