@@ -252,3 +252,83 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_e = e.agg(F.count(F.lit(1)).alias("n_edges"))
     n_t = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
     return n_e.crossJoin(n_t)
+
+
+#: BFS depth cap — both the Spark loop and the oracle's recursive CTE
+#: stop here, so "unreached within 8 hops" means the same on both sides.
+BFS_MAX_LEVELS = 8
+
+
+@query(
+    "graph_bfs_levels",
+    oracle=f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
+      FROM documents WHERE doc_id < 100
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT i.doc_a, i.doc_b FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.5
+    ), sym AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), walk(node, lvl) AS (
+      SELECT doc_id, 0 FROM documents WHERE doc_id < 100 AND doc_id % 10 = 0
+      UNION
+      SELECT s.doc_b, w.lvl + 1
+      FROM walk w JOIN sym s ON w.node = s.doc_a
+      WHERE w.lvl < {BFS_MAX_LEVELS}
+    )
+    SELECT node AS doc_id, CAST(MIN(lvl) AS INT) AS level
+    FROM walk GROUP BY node
+    """,
+)
+def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (frontier expansion): shortest hop-distance from
+    the seed set (doc_id % 10 = 0) to every reachable node of the
+    near-dup graph, capped at ``BFS_MAX_LEVELS``. The third member of
+    the iterative-graph family — PageRank re-aggregates the WHOLE rank
+    vector per pass and connected components relabels every active
+    node, but BFS's loop state is only the FRONTIER: per level one
+    edge⋈frontier join, one distinct, one anti-join against the
+    visited set, each relation localCheckpoint'ed so lineage stays
+    flat. At 100 TB the frontier join shuffles O(frontier boundary)
+    rows per level, not O(graph) — the property that makes
+    landmark-distance / k-hop-neighborhood features computable on
+    web-scale graphs. Early exit when a level's frontier is empty (the
+    count is the same action that materializes the checkpoint).
+    Oracle: DuckDB recursive CTE over the identical Jaccard≥0.5 edge
+    set with the same level cap."""
+    from .dedup import q_dedup_ngram_jaccard
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sources = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id").distinct()
+
+    levels = sources.withColumn("level", F.lit(0)).localCheckpoint(eager=True)
+    frontier = levels.select("doc_id")
+    for lvl in range(1, BFS_MAX_LEVELS + 1):
+        nxt = (
+            sym.join(frontier, sym.doc_a == frontier.doc_id)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+            .join(levels, "doc_id", "left_anti")
+            .withColumn("level", F.lit(lvl))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels = levels.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("doc_id")
+    return levels
