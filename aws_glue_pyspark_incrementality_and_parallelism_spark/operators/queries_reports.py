@@ -134,3 +134,68 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "l_suppkey", "n_items", F.col("total_dec").cast("double").alias("total")
     )
+
+
+#: Orders-side HWM for incremental JOIN maintenance: rows on or after
+#: this date are "the new order batch". Mid-range of the synthetic
+#: 1995-2001 o_orderdate span, so both halves are non-trivial.
+_ORDERS_HWM_DATE = "1998-01-01"
+
+
+@query(
+    "incremental_join_merge",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-JOIN maintenance — the delta-join
+    algebra (Δ(L⋈O) = ΔL⋈O ∪ L_old⋈ΔO, with ΔL⋈ΔO inside the first
+    term) that view-maintenance engines apply to a binlog. Each side
+    has its OWN independent high-water mark (lineitem by l_orderkey,
+    orders by o_orderdate), so all three delta quadrants are
+    non-trivial: an old lineitem can join a new order and vice versa —
+    the case naive "join only the new rows" incremental jobs silently
+    drop. The standing result (old⋈old) plus the two delta terms are
+    unioned and aggregated; the oracle recomputes the aggregate from
+    the FULL join, so merged-deltas must equal recompute-from-scratch
+    exactly (decimal-carried sums: associative, bit-identical under
+    any split).
+
+    At 100 TB: the standing result is the stored view; each run joins
+    only increment-sized inputs against the other side (with the join
+    key co-partitioned, ΔL⋈O prunes to the matching key range via the
+    same pushed-down HWM predicates this query uses). The reference's
+    bookmark job (glue_rds_to_redshift.py:44-74) rescans and rejoins
+    everything every run; this is the operator that makes its re-run
+    increment-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    hwm_date = F.lit(_ORDERS_HWM_DATE).cast("timestamp")
+
+    old_l = li.filter(F.col("l_orderkey") <= _BOOKMARK_HWM)
+    new_l = li.filter(F.col("l_orderkey") > _BOOKMARK_HWM)
+    old_o = od.filter(F.col("o_orderdate") < hwm_date)
+    new_o = od.filter(F.col("o_orderdate") >= hwm_date)
+
+    cols = [
+        F.col("o_orderstatus"),
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("price_dec"),
+    ]
+    standing = old_l.join(old_o, old_l.l_orderkey == old_o.o_orderkey).select(*cols)
+    delta_l = new_l.join(od, new_l.l_orderkey == od.o_orderkey).select(*cols)
+    delta_o = old_l.join(new_o, old_l.l_orderkey == new_o.o_orderkey).select(*cols)
+
+    return (
+        standing.unionByName(delta_l)
+        .unionByName(delta_o)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("price_dec").cast("double").alias("total"),
+        )
+    )
