@@ -219,6 +219,107 @@ def q_pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-language token budget for the training-mix capstone. Small enough
+#: to bind at every SF (sf0.001 has ~20k tokens/lang), so the budget
+#: boundary logic is exercised everywhere.
+_MIX_TOKEN_BUDGET = 3000
+#: Same u32 train-lane threshold as governance.sample_stratified_split.
+_MIX_TRAIN_MAX = 3435973836
+
+
+@query(
+    "pipeline_training_mix",
+    oracle=f"""
+    WITH lane AS (
+      SELECT doc_id, lang, text
+      FROM documents
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))
+                 AS BIGINT) < {_MIX_TRAIN_MAX}
+    ), scored AS (
+      SELECT doc_id, lang,
+             md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) * 1.0 /
+               len(string_split_regex(trim(text), '\\s+')) AS unique_ratio
+      FROM lane
+    ), keepers AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS copy_rank
+      FROM scored
+      WHERE n_tokens >= 20 AND unique_ratio >= 0.2
+    ), budgeted AS (
+      SELECT lang, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM keepers WHERE copy_rank = 1
+    )
+    SELECT lang,
+           COUNT(*) AS docs_selected,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected,
+           CAST(MAX(cum_tokens) AS BIGINT) >= {_MIX_TOKEN_BUDGET} AS budget_bound
+    FROM budgeted
+    WHERE cum_tokens - n_tokens < {_MIX_TOKEN_BUDGET}
+    GROUP BY lang
+    """,
+)
+def q_pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-MIX assembly capstone — the stage after
+    ``pipeline_corpus_clean``: deterministic hash split (train lane
+    only, same md5-lane rule as ``sample_stratified_split``) → quality
+    gate → exact dedup → per-language TOKEN BUDGET cap (docs admitted
+    in doc_id order until the language's running token sum crosses the
+    budget — the Pile/Dolma mixture-weighting step), reporting per
+    language the selected doc/token counts and whether the budget
+    actually bound (pinned observable so a silently-undershooting
+    budget shows up as a value mismatch, not a guess).
+
+    One declarative plan: scan → hash-lane filter (rides the scan) →
+    project/filter → dedup window (fp) → budget window (lang) →
+    aggregate; three keyed shuffles, no driver state, no global sort —
+    the per-language cumsum is a partitioned window, so at 100 TB each
+    language's admission scan is one partition-local pass (hot
+    languages would use the same distributed-prefix-sum rewrite as
+    ``text_sequence_pack``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    lane = docs.filter(u32 < _MIX_TRAIN_MAX)
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    unique_ratio = F.size(F.array_distinct(_tokens(F.col("text")))) * F.lit(1.0) / n_tokens
+    scored = lane.select(
+        "doc_id",
+        "lang",
+        normalized_fingerprint(F.col("text")).alias("fp"),
+        n_tokens.alias("n_tokens"),
+        unique_ratio.alias("unique_ratio"),
+    ).filter((F.col("n_tokens") >= 20) & (F.col("unique_ratio") >= 0.2))
+
+    dedup_w = Window.partitionBy("fp").orderBy("doc_id")
+    keepers = (
+        scored.withColumn("copy_rank", F.row_number().over(dedup_w))
+        .filter(F.col("copy_rank") == 1)
+        .select("lang", "doc_id", "n_tokens")
+    )
+
+    cum_w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budgeted = keepers.withColumn("cum_tokens", F.sum("n_tokens").over(cum_w)).filter(
+        F.col("cum_tokens") - F.col("n_tokens") < _MIX_TOKEN_BUDGET
+    )
+    return budgeted.groupBy("lang").agg(
+        F.count("*").alias("docs_selected"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_selected"),
+        (F.max("cum_tokens") >= _MIX_TOKEN_BUDGET).alias("budget_bound"),
+    )
+
+
 @query(
     "text_tfidf_top3",
     oracle="""
