@@ -161,6 +161,40 @@ class TestPythonDataSource:
         assert agg.count() == 4
         assert df.filter(F.col("user_id") < 5).count() > 0
 
+    def test_stream_reader_exactly_once_and_matches_batch(self, spark, tmp_path):
+        """Streaming half of the connector: micro-batched offsets cover
+        [0, max_rows) exactly once, rows are identical to the batch
+        reader's universe (same seed ⇒ same _mix values), and the
+        stream goes idle at the cap so processAllAvailable terminates."""
+        from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.pysource import (
+            register_python_sources,
+        )
+
+        register_python_sources(spark)
+        q = (
+            spark.readStream.format("synthetic_events")
+            .option("rows_per_batch", 70)
+            .option("max_rows", 300)
+            .option("partitions", 3)
+            .option("seed", 7)
+            .load()
+            .writeStream.format("memory")
+            .queryName("synth_stream")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(map(tuple, spark.sql("select * from synth_stream").collect()))
+        assert len(got) == 300, "each row exactly once across micro-batches"
+        assert [r[0] for r in got] == list(range(300))
+        batch = sorted(
+            map(tuple, self._df(spark, partitions=3, rows_per_partition=100, seed=7).collect())
+        )
+        assert got == batch, "stream and batch readers must agree row-for-row"
+
 
 class TestBinaryFileSource:
     def test_binary_dir_ingestion(self, spark, tmp_path):
