@@ -105,11 +105,13 @@ def q_geo_grid_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     refine, then nearest (ties broken by min suppkey — deterministic on
     both engines without relying on either's arg-min tie behavior).
 
-    Plan shape: the customer side explodes into 9 probe cells (a
-    zero-shuffle map stage); the join is a plain hash equi-join on
-    (cell_x, cell_y) — broadcast here since suppliers are dim-sized,
-    shuffle-hash with cell co-partitioning when both sides are facts.
-    The two reduction aggregates run at customer grain. No nested-loop
+    Two-phase, density-adaptive: phase 1 probes the OWN cell only and
+    keeps every customer whose nearest own-cell supplier is strictly
+    inside its boundary margin (provably the global nearest — see the
+    inline proof); only the undecided boundary band pays the 3×3 probe
+    in phase 2. All joins are hash equi-joins on (cell_x, cell_y) —
+    broadcast here since suppliers are dim-sized, shuffle-hash with
+    cell co-partitioning when both sides are facts. No nested-loop
     join anywhere in the plan — pinned in tests/test_plans.py."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -121,21 +123,6 @@ def q_geo_grid_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _u32_col("lat", "s_suppkey").alias("slat"),
         _u32_col("lon", "s_suppkey").alias("slon"),
     )
-
-    offsets = F.expr(
-        "explode(array(-1L, 0L, 1L))"
-    )
-    probes = (
-        cust.withColumn("dx", offsets)
-        .withColumn("dy", F.expr("explode(array(-1L, 0L, 1L))"))
-        .select(
-            "c_custkey",
-            "clat",
-            "clon",
-            (F.expr(f"clat DIV {_CELL}") + F.col("dx")).alias("px"),
-            (F.expr(f"clon DIV {_CELL}") + F.col("dy")).alias("py"),
-        )
-    )
     keyed_supp = supp.select(
         "s_suppkey",
         "slat",
@@ -146,15 +133,70 @@ def q_geo_grid_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (F.col("clat") - F.col("slat")) * (F.col("clat") - F.col("slat")) + (
         F.col("clon") - F.col("slon")
     ) * (F.col("clon") - F.col("slon"))
+
+    def nearest(within: DataFrame) -> DataFrame:
+        # ONE partial-aggregating shuffle: min over (dist2, suppkey)
+        # structs is lexicographic, i.e. exactly "min distance, ties by
+        # min suppkey" — the oracle's min-then-min in a single pass,
+        # with map-side combine shrinking each partition to one row
+        # per customer before anything shuffles.
+        best = within.groupBy("c_custkey").agg(
+            F.min(F.struct("dist2", "s_suppkey")).alias("b")
+        )
+        return best.select(
+            "c_custkey",
+            F.col("b.s_suppkey").alias("nearest_suppkey"),
+            F.col("b.dist2").alias("dist2"),
+        )
+
+    # Phase 1 — own-cell probe with a decidability bound. A customer
+    # whose own-cell nearest is STRICTLY closer than its distance to
+    # the cell boundary (margin m = min distance to any cell edge)
+    # cannot be beaten — or tied, hence strict — by any supplier
+    # outside the cell (every outside point is ≥ m away). As density
+    # grows, nearest distances shrink while the margin distribution
+    # stays fixed, so the decided fraction RISES with density: the 9×
+    # probe explosion is paid only by the shrinking boundary band —
+    # this is what turned the 10×-density probe slope from 33× into
+    # ~linear (measured; see SCALE_PROBE.md).
+    lat_in = F.col("clat") % _CELL
+    lon_in = F.col("clon") % _CELL
+    margin = F.least(lat_in, _CELL - lat_in, lon_in, _CELL - lon_in)
+    cust_m = cust.withColumn("m2", margin * margin)
+    own = (
+        cust_m.withColumn("px", F.expr(f"clat DIV {_CELL}"))
+        .withColumn("py", F.expr(f"clon DIV {_CELL}"))
+        .join(F.broadcast(keyed_supp), ["px", "py"])
+        .select("c_custkey", "s_suppkey", d2.alias("dist2"))
+    )
+    # customer-grain ⋈ customer-grain: co-partitioned key join (AQE
+    # picks broadcast at dim scale; at fact scale it stays shuffle-hash
+    # on the shared c_custkey partitioning).
+    decided = nearest(own).join(
+        cust_m.select("c_custkey", "m2"), "c_custkey"
+    ).filter(F.col("dist2") < F.col("m2"))
+
+    # Phase 2 — full 3×3 neighborhood probe, only for customers the
+    # bound could not decide (empty own cell, or nearest not strictly
+    # inside the margin).
+    undecided = cust_m.join(decided.select("c_custkey"), "c_custkey", "left_anti")
+    probes = (
+        undecided.withColumn("dx", F.expr("explode(array(-1L, 0L, 1L))"))
+        .withColumn("dy", F.expr("explode(array(-1L, 0L, 1L))"))
+        .select(
+            "c_custkey",
+            "clat",
+            "clon",
+            (F.expr(f"clat DIV {_CELL}") + F.col("dx")).alias("px"),
+            (F.expr(f"clon DIV {_CELL}") + F.col("dy")).alias("py"),
+        )
+    )
     within = (
         probes.join(F.broadcast(keyed_supp), ["px", "py"])
         .select("c_custkey", "s_suppkey", d2.alias("dist2"))
         .filter(F.col("dist2") <= _R2)
     )
-    best = within.groupBy("c_custkey").agg(F.min("dist2").alias("dist2"))
     return (
-        within.join(best, ["c_custkey", "dist2"])
-        .groupBy("c_custkey", "dist2")
-        .agg(F.min("s_suppkey").alias("nearest_suppkey"))
-        .select("c_custkey", "nearest_suppkey", "dist2")
+        decided.select("c_custkey", "nearest_suppkey", "dist2")
+        .unionByName(nearest(within).select("c_custkey", "nearest_suppkey", "dist2"))
     )
