@@ -58,6 +58,9 @@ QUERIES = [
     "layout_hilbert_buckets", "maintenance_zone_map_prune",
     "maintenance_snapshot_diff", "sim_pq_adc_topk",
     "cdc_apply_changelog", "stream_hourly_rollup_merge",
+    # governance / ER / video-container / spatial additions
+    "privacy_k_anonymity", "sample_stratified_split",
+    "er_fuzzy_parts", "multimodal_video_avi_mjpeg", "geo_grid_nn_join",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
