@@ -335,3 +335,97 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trimmed_mean"),
     )
+
+
+@query(
+    "quality_expectations",
+    oracle="""
+    SELECT 'orderkey_unique' AS expectation,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
+           COUNT(*) = COUNT(DISTINCT o_orderkey) AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_not_null',
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           COUNT(*) = COUNT(o_custkey)
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_fk_exists',
+           CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'totalprice_non_negative',
+           CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orderstatus_in_domain',
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) = 0
+    FROM orders
+    """,
+)
+def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style expectation suite over the orders drop — the
+    declarative data-validation gate a warehouse runs before publishing
+    a load: primary-key uniqueness, NOT NULL, referential integrity
+    against the customer dim, a value-range check, and a categorical
+    domain check, each reported as (expectation, n_violations, passed).
+
+    Plan economics: the four single-table checks are branch aggregates
+    over ONE cached scan shape (Spark schedules the independent subtrees
+    concurrently; each is a partial+final aggregate with no sort), and
+    referential integrity is a broadcast LEFT-ANTI-shaped join that
+    ships only the key column. At 100 TB the FK check is the only
+    shuffle-bearing branch, and it prunes to (o_custkey) before
+    exchanging — the validation suite costs one fact scan, not five."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return expectation_suite(orders, cust)
+
+
+def expectation_suite(orders: DataFrame, cust: DataFrame) -> DataFrame:
+    """The suite itself, parameterized by input frames so the violation
+    counters are testable on corrupted data (the parquet fixtures are
+    clean, so the driver oracle alone would also pass an always-zero
+    bug — tests/test_quality_expectations.py plants violations of every
+    kind and asserts each counter sees exactly its own)."""
+
+    def check(name, n_violations_col, df) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("expectation"),
+            n_violations_col.cast("bigint").alias("n_violations"),
+            (n_violations_col == 0).alias("passed"),
+        )
+
+    uniq = check(
+        "orderkey_unique",
+        F.count(F.lit(1)) - F.countDistinct("o_orderkey"),
+        orders,
+    )
+    notnull = check(
+        "custkey_not_null", F.count(F.lit(1)) - F.count("o_custkey"), orders
+    )
+    fk_orphans = orders.join(
+        F.broadcast(cust.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    fk = check("custkey_fk_exists", F.count(F.lit(1)), fk_orphans)
+    nonneg = check(
+        "totalprice_non_negative",
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)),
+        orders,
+    )
+    domain = check(
+        "orderstatus_in_domain",
+        F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)),
+        orders,
+    )
+    return (
+        uniq.unionByName(notnull)
+        .unionByName(fk)
+        .unionByName(nonneg)
+        .unionByName(domain)
+    )
