@@ -507,3 +507,88 @@ def q_events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.crossJoin(c)
     return out
+
+
+@query(
+    "agg_market_basket",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), sup AS (
+      SELECT l_partkey, COUNT(*) AS s FROM op GROUP BY 1
+    ), n AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS s_ab
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, s_ab,
+           sa.s AS s_a, sb.s AS s_b,
+           floor(s_ab * 10000.0 / sa.s + 0.5) / 10000.0 AS confidence,
+           floor(s_ab * 10000.0 * n.n_orders / (sa.s * sb.s) + 0.5) / 10000.0
+             AS lift
+    FROM pairs
+    JOIN sup sa ON part_a = sa.l_partkey
+    JOIN sup sb ON part_b = sb.l_partkey
+    CROSS JOIN n
+    ORDER BY s_ab DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (the A-priori support/confidence/
+    lift triple) over order contents: top-20 part pairs by co-occurrence
+    support, with confidence P(b|a) and lift P(ab)/(P(a)P(b)).
+
+    The pair join is keyed by ORDER — candidate pairs are generated
+    only within a basket, so the blow-up is Σ C(basket_size, 2), linear
+    in orders for bounded baskets (the universal case), never the
+    all-parts cross product. Ratios are floor-quantized to 4 decimals
+    (the repo's cross-engine rounding rule) from exact integer counts;
+    the top-20 cut is totally ordered (support desc, then the pair) so
+    the boundary is deterministic on both engines. At 100 TB: distinct
+    → pair-gen → two broadcast joins against the part-support relation
+    (O(|parts|)) and a TakeOrdered top-k — no global sort."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sup = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    n_orders = op.select("l_orderkey").distinct().count()
+
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+    )
+    sa = sup.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("s_a"))
+    sb = sup.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("s_b"))
+    q4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "s_ab",
+            "s_a",
+            "s_b",
+            q4(F.col("s_ab") * F.lit(1.0) / F.col("s_a")).alias("confidence"),
+            q4(
+                F.col("s_ab") * F.lit(float(n_orders)) / (F.col("s_a") * F.col("s_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("s_ab"), "part_a", "part_b")
+        .limit(20)
+    )
