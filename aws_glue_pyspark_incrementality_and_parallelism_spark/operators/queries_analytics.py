@@ -557,7 +557,9 @@ def q_agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sup = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
-    n_orders = op.select("l_orderkey").distinct().count()
+    # order count as a broadcast 1-row relation riding the same plan —
+    # no driver-side count action, no second scan submission
+    n_rel = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
 
     a, b = op.alias("a"), op.alias("b")
     pairs = (
@@ -578,6 +580,7 @@ def q_agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(sa), "part_a")
         .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n_rel))
         .select(
             "part_a",
             "part_b",
@@ -586,7 +589,8 @@ def q_agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_b",
             q4(F.col("s_ab") * F.lit(1.0) / F.col("s_a")).alias("confidence"),
             q4(
-                F.col("s_ab") * F.lit(float(n_orders)) / (F.col("s_a") * F.col("s_b"))
+                F.col("s_ab") * F.col("n_orders").cast("double")
+                / (F.col("s_a") * F.col("s_b"))
             ).alias("lift"),
         )
         .orderBy(F.desc("s_ab"), "part_a", "part_b")
