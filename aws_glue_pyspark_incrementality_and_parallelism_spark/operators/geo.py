@@ -43,6 +43,12 @@ _DOMAIN = 10_000_000
 _CELL = 1_000_000
 #: Squared search radius (int64; 1e12 ≪ 2^63).
 _R2 = _CELL * _CELL
+#: Fine-grid width for the hierarchical phase-0 probe (1/8°). At
+#: production scale this is THE density knob: pick FINE ≈ the expected
+#: nearest-neighbor distance (≈ 1/sqrt(π·density)) so the fine block
+#: holds O(10) candidates regardless of corpus density — the same
+#: role LSH_BUCKET_CAP plays for hot MinHash bands.
+_FINE = _CELL // 8
 
 
 def _u32_sql(salt: str, key: str) -> str:
@@ -149,36 +155,55 @@ def q_geo_grid_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.dist2").alias("dist2"),
         )
 
-    # Phase 1 — own-cell probe with a decidability bound. A customer
-    # whose own-cell nearest is STRICTLY closer than its distance to
-    # the cell boundary (margin m = min distance to any cell edge)
-    # cannot be beaten — or tied, hence strict — by any supplier
-    # outside the cell (every outside point is ≥ m away). As density
-    # grows, nearest distances shrink while the margin distribution
-    # stays fixed, so the decided fraction RISES with density: the 9×
-    # probe explosion is paid only by the shrinking boundary band —
-    # this is what turned the 10×-density probe slope from 33× into
-    # ~linear (measured; see SCALE_PROBE.md).
-    lat_in = F.col("clat") % _CELL
-    lon_in = F.col("clon") % _CELL
-    margin = F.least(lat_in, _CELL - lat_in, lon_in, _CELL - lon_in)
-    cust_m = cust.withColumn("m2", margin * margin)
-    own = (
-        cust_m.withColumn("px", F.expr(f"clat DIV {_CELL}"))
-        .withColumn("py", F.expr(f"clon DIV {_CELL}"))
-        .join(F.broadcast(keyed_supp), ["px", "py"])
+    # Phase 0 — hierarchical FINE-grid probe with a decidability bound.
+    # Probe the 3×3 block of 1/8°-cells around the customer's own fine
+    # cell; a customer whose in-block nearest is STRICTLY closer than
+    # its distance to the block's outer boundary cannot be beaten — or
+    # tied, hence strict — by any supplier outside the block (every
+    # outside point is ≥ that margin away). The block margin simplifies
+    # to FINE + (distance to own fine cell's nearest edge), and block
+    # candidates number 9·FINE²·density — density-bounded by the FINE
+    # knob, while the nearest distance shrinks as 1/sqrt(density), so
+    # the decided fraction RISES with density. This is the fix for the
+    # probe-measured density wall: a single-level grid read 33× at 10×
+    # density and 406× at 100×; hierarchical probing is ~linear
+    # (measured — see SCALE_PROBE.md).
+    fine_supp = supp.select(
+        "s_suppkey",
+        "slat",
+        "slon",
+        F.expr(f"slat DIV {_FINE}").alias("fx"),
+        F.expr(f"slon DIV {_FINE}").alias("fy"),
+    )
+    lat_f = F.col("clat") % _FINE
+    lon_f = F.col("clon") % _FINE
+    block_margin = _FINE + F.least(lat_f, _FINE - lat_f, lon_f, _FINE - lon_f)
+    cust_m = cust.withColumn("m2", block_margin * block_margin)
+    fine_probes = (
+        cust_m.withColumn("dx", F.expr("explode(array(-1L, 0L, 1L))"))
+        .withColumn("dy", F.expr("explode(array(-1L, 0L, 1L))"))
+        .select(
+            "c_custkey",
+            "clat",
+            "clon",
+            (F.expr(f"clat DIV {_FINE}") + F.col("dx")).alias("fx"),
+            (F.expr(f"clon DIV {_FINE}") + F.col("dy")).alias("fy"),
+        )
+    )
+    in_block = (
+        fine_probes.join(F.broadcast(fine_supp), ["fx", "fy"])
         .select("c_custkey", "s_suppkey", d2.alias("dist2"))
     )
     # customer-grain ⋈ customer-grain: co-partitioned key join (AQE
     # picks broadcast at dim scale; at fact scale it stays shuffle-hash
     # on the shared c_custkey partitioning).
-    decided = nearest(own).join(
+    decided = nearest(in_block).join(
         cust_m.select("c_custkey", "m2"), "c_custkey"
     ).filter(F.col("dist2") < F.col("m2"))
 
-    # Phase 2 — full 3×3 neighborhood probe, only for customers the
-    # bound could not decide (empty own cell, or nearest not strictly
-    # inside the margin).
+    # Phase 1 — full 3×3 COARSE (1°) neighborhood probe, only for
+    # customers the fine bound could not decide (sparse neighborhoods:
+    # empty fine block, or nearest not strictly inside the margin).
     undecided = cust_m.join(decided.select("c_custkey"), "c_custkey", "left_anti")
     probes = (
         undecided.withColumn("dx", F.expr("explode(array(-1L, 0L, 1L))"))
