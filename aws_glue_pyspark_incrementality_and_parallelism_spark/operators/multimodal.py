@@ -909,6 +909,58 @@ def q_multimodal_video_avi_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_mp4_metadata",
+    oracle="""
+    SELECT doc_id, 'isom' AS brand,
+           CAST(n_chars AS BIGINT) * 10 AS duration_ms,
+           1 AS n_tracks, 640 AS width, 360 AS height,
+           'avc1' AS codec, FALSE AS decodable
+    FROM documents
+    """,
+)
+def q_multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 MP4 lane: the one registry format whose SAMPLE DATA stays
+    behind the codec gate — but whose box tree is pure spec. Per
+    document, build a canonical ISO-BMFF skeleton (duration = 10 ms ×
+    n_chars in mvhd units, 16.16 geometry in tkhd, codec fourCC in
+    stsd), then run the CATALOG pass a 100 TB ingest runs on video it
+    cannot decode: walk the box tree (``mp4.parse_mp4`` — O(header
+    bytes), sample data untouched), emit routing metadata, and pin
+    that the capability registry still routes the payload to the
+    deferred lane (decodable = FALSE — metadata parsing must NOT flip
+    a codec-gated format into the decode path). Every metadata field
+    is oracle-recomputed from the documents table."""
+    from .mp4 import encode_mp4_skeleton, parse_mp4
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    fmt_supported = supported_formats()
+
+    def _catalog(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "brand": [], "duration_ms": [],
+                   "n_tracks": [], "width": [], "height": [], "codec": [],
+                   "decodable": []}
+            for n_chars in pdf["n_chars"]:
+                payload = encode_mp4_skeleton(int(n_chars) * 10, 640, 360)
+                m = parse_mp4(payload)
+                t = m["tracks"][0]
+                out["brand"].append(m["brand"])
+                out["duration_ms"].append(m["duration_ms"])
+                out["n_tracks"].append(m["n_tracks"])
+                out["width"].append(t["width"])
+                out["height"].append(t["height"])
+                out["codec"].append(t["codec"])
+                out["decodable"].append("mp4/iso-bmff" in fmt_supported)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        _catalog,
+        schema="doc_id long, brand string, duration_ms long, n_tracks int, "
+        "width int, height int, codec string, decodable boolean",
+    )
+
+
 def read_binary_dir(
     spark: SparkSession, path: str, glob: str | None = None
 ) -> DataFrame:
