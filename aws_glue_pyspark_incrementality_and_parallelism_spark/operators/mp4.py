@@ -146,13 +146,26 @@ def encode_mp4_skeleton(
     pinned against hand-assembled spec bytes so the two cannot cancel
     out a shared misreading."""
     duration = duration_ms * timescale // 1000
-    mvhd = _box(
-        b"mvhd",
-        struct.pack(">BxxxIIII", 0, 0, 0, timescale, duration) + b"\x00" * 80,
-    )
+    if duration > 0xFFFFFFFF:
+        # version-1 full box: 64-bit creation/modification/duration
+        # (14496-12 §8.2.2.2) — what real muxers emit for long media
+        mvhd = _box(
+            b"mvhd",
+            bytes([1, 0, 0, 0])
+            + struct.pack(">QQIQ", 0, 0, timescale, duration)
+            + b"\x00" * 80,
+        )
+    else:
+        mvhd = _box(
+            b"mvhd",
+            struct.pack(">BxxxIIII", 0, 0, 0, timescale, duration) + b"\x00" * 80,
+        )
+    # tkhd/mdhd duration fields are not parsed here; clamp to keep the
+    # version-0 layout valid rather than emit an overflowed u32
+    tk_dur = min(duration, 0xFFFFFFFF)
     tkhd = _box(
         b"tkhd",
-        struct.pack(">BxxxIIII", 0, 0, 0, 1, duration)
+        struct.pack(">BxxxIIII", 0, 0, 0, 1, tk_dur)
         + b"\x00" * 52
         + struct.pack(">II", width << 16, height << 16),
     )
@@ -161,7 +174,7 @@ def encode_mp4_skeleton(
     stbl = _box(b"stbl", stsd)
     minf = _box(b"minf", stbl)
     mdhd = _box(
-        b"mdhd", struct.pack(">BxxxIIII", 0, 0, 0, timescale, duration) + b"\x00" * 4
+        b"mdhd", struct.pack(">BxxxIIII", 0, 0, 0, timescale, tk_dur) + b"\x00" * 4
     )
     hdlr = _box(b"hdlr", struct.pack(">I", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 13)
     mdia = _box(b"mdia", mdhd + hdlr + minf)
