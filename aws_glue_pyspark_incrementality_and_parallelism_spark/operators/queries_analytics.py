@@ -576,7 +576,22 @@ def q_agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sup.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("s_a"))
     sb = sup.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("s_b"))
-    q4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    # Quantization mirrors the oracle's EXACT operation order —
+    # integer×10000 FIRST (exact in doubles up to 2^53), ONE division,
+    # then floor(+0.5). Scaling after the division would associate the
+    # float ops differently and could flip a rounding near a .5
+    # boundary between engines.
+    confidence = (
+        F.floor(F.col("s_ab") * 10000.0 / F.col("s_a") + 0.5) / 10000.0
+    )
+    lift = (
+        F.floor(
+            F.col("s_ab") * 10000.0 * F.col("n_orders")
+            / (F.col("s_a") * F.col("s_b"))
+            + 0.5
+        )
+        / 10000.0
+    )
     return (
         pairs.join(F.broadcast(sa), "part_a")
         .join(F.broadcast(sb), "part_b")
@@ -587,11 +602,8 @@ def q_agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_ab",
             "s_a",
             "s_b",
-            q4(F.col("s_ab") * F.lit(1.0) / F.col("s_a")).alias("confidence"),
-            q4(
-                F.col("s_ab") * F.col("n_orders").cast("double")
-                / (F.col("s_a") * F.col("s_b"))
-            ).alias("lift"),
+            confidence.alias("confidence"),
+            lift.alias("lift"),
         )
         .orderBy(F.desc("s_ab"), "part_a", "part_b")
         .limit(20)
