@@ -608,3 +608,73 @@ def q_agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("s_ab"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "agg_pareto_frontier",
+    oracle="""
+    WITH pt AS (
+      SELECT p_partkey, CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+             p_size
+      FROM part
+    )
+    SELECT p.p_partkey, p.price_c, p.p_size
+    FROM pt p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pt q
+      WHERE q.price_c <= p.price_c AND q.p_size >= p.p_size
+        AND (q.price_c < p.price_c OR q.p_size > p.p_size)
+    )
+    """,
+)
+def q_agg_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) operator: the parts no other part
+    dominates (cheaper-or-equal AND bigger-or-equal, strict in one) —
+    minimize price, maximize size, the multi-criteria shortlist every
+    procurement/ranking pipeline computes. Prices are quantized to
+    exact integer cents so the dominance comparisons are pure int64.
+
+    The definitional formulation is the quadratic NOT EXISTS the
+    oracle runs; the engine uses the sort-based rewrite — order by
+    price, then a part is dominated iff (a) some STRICTLY cheaper part
+    has size ≥ its own (running MAX(size) over the price-ordered RANGE
+    frame ending one cent before) or (b) an equal-priced part has
+    STRICTLY larger size (per-price-group MAX) — applied in the
+    standard TWO-PHASE skyline topology: a partition-LOCAL frontier
+    pass first (no shuffle — the window partitions on the physical
+    partition id), then the same logic globally over the tiny survivor
+    set. Correct for ANY partitioning by dominance transitivity: if q
+    dominates p and q is itself locally eliminated, some transitive
+    dominator of p survives to the global pass. The unpartitioned
+    global window's single task sees only O(per-partition frontiers),
+    never the input — the shape that holds at 100 TB. Ties (exact
+    duplicates) are mutually non-dominating and both survive, matching
+    the oracle."""
+
+    def frontier(df: DataFrame, part_cols: list) -> DataFrame:
+        cheaper = (
+            Window.partitionBy(*part_cols)
+            .orderBy("price_c")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        equal_price = Window.partitionBy(*part_cols, "price_c")
+        flagged = df.select(
+            "p_partkey",
+            "price_c",
+            "p_size",
+            *part_cols,
+            F.max("p_size").over(cheaper).alias("mx_cheaper"),
+            F.max("p_size").over(equal_price).alias("mx_equal"),
+        )
+        return flagged.filter(
+            (F.col("mx_cheaper").isNull() | (F.col("mx_cheaper") < F.col("p_size")))
+            & (F.col("mx_equal") <= F.col("p_size"))
+        ).select("p_partkey", "price_c", "p_size")
+
+    pt = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("bigint").alias("price_c"),
+        "p_size",
+    )
+    local = frontier(pt.withColumn("pid", F.spark_partition_id()), [F.col("pid")])
+    return frontier(local, [])
