@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..plans.registry import query
 from ..sources.io import load_table
@@ -465,4 +466,75 @@ def q_join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         iv.select("o_orderkey")
         .join(matched, "o_orderkey", "left")
         .select("o_orderkey", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_shipped"))
+    )
+
+
+@query(
+    "join_point_in_time_features",
+    oracle="""
+    WITH hist AS (
+      SELECT user_id, event_id, value AS attr_value, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM events WHERE event_type = 'purchase'
+    ), probes AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id,
+           h.event_id AS feature_src, h.attr_value AS feature_value
+    FROM probes p LEFT JOIN hist h
+      ON p.user_id = h.user_id AND p.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    """,
+)
+def q_join_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join — the feature-store primitive
+    a training pipeline needs so features never leak the future: every
+    'view' probe is enriched with the purchase-value feature AS OF its
+    own timestamp (the latest purchase at-or-before, NULL before the
+    first — the same leakage rule Feast/Tecton enforce). Declaratively
+    this is a validity-interval join against the SCD2 history
+    (``scd2_user_value_history``); the oracle states it that way.
+
+    Scale path: the union+window as-of technique (cf.
+    ``join_asof_last_view``) — tag history rows src=0 and probes src=1,
+    union, and take ``last(value, ignorenulls)`` over the per-user
+    (ts, src, event_id)-ordered running frame. ONE shuffle on user_id,
+    zero row explosion, no range join for Catalyst to nested-loop. The
+    (ts, src) ordering makes boundary semantics exact: a probe AT a
+    purchase timestamp sees that purchase (src 0 < 1), and same-ts
+    purchases resolve to the max event_id — bit-equal to the interval
+    formulation, where the earlier duplicate's [t, t) interval is
+    empty."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("src"),
+        "event_id",
+        F.col("value").alias("attr"),
+    )
+    probes = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(1).alias("src"), "event_id",
+        F.lit(None).cast("double").alias("attr"),
+    )
+    u = hist.unionByName(probes)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "src", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    feature = F.last("attr", ignorenulls=True).over(w)
+    feature_src = F.last(
+        F.when(F.col("attr").isNotNull(), F.col("event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        u.select(
+            "event_id",
+            "user_id",
+            "src",
+            feature_src.alias("feature_src"),
+            feature.alias("feature_value"),
+        )
+        .filter(F.col("src") == 1)
+        .drop("src")
     )
