@@ -418,3 +418,29 @@ def test_geo_grid_nn_join_is_equi_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pit_feature_join_is_single_window_no_range_join(spark):
+    """The point-in-time join must stay union + ONE per-user window —
+    no join node at all (the naive interval formulation would plan a
+    nested-loop range join)."""
+    plan = _plan(spark, "join_point_in_time_features")
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("- Exchange") <= 2  # union-side shuffles to user_id (+AQE)
+
+
+def test_pareto_frontier_has_no_self_join(spark):
+    """The skyline rewrite must be window-based: no join (the
+    definitional NOT EXISTS would be a quadratic anti-join), and the
+    global pass runs over local-frontier survivors only."""
+    plan = _plan(spark, "agg_pareto_frontier")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_market_basket_topk_no_global_sort(spark):
+    """The top-20 cut must be TakeOrderedAndProject (partial per-
+    partition top-k), never a full global Sort+Limit."""
+    plan = _plan(spark, "agg_market_basket")
+    assert "TakeOrderedAndProject" in plan
