@@ -149,3 +149,72 @@ def q_agg_entropy_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("term") / F.log(F.lit(2.0)), 4).alias("entropy_bits"),
         )
     )
+
+
+@query(
+    "events_pattern_regex",
+    oracle="""
+    WITH coded AS (
+      SELECT user_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                  WHEN 'error' THEN 'e' ELSE 'x' END AS code,
+             ts, event_id
+      FROM events
+    ), journeys AS (
+      SELECT user_id, string_agg(code, '' ORDER BY ts, event_id) AS journey
+      FROM coded GROUP BY user_id
+    )
+    SELECT user_id,
+           length(journey) AS journey_len,
+           CAST(len(regexp_extract_all(journey, 'v[vc]*p')) AS INT)
+             AS n_funnel_matches,
+           len(regexp_extract_all(journey, 'v[vc]*p')) > 0 AS converted
+    FROM journeys
+    """,
+)
+def q_events_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over event journeys — the
+    MATCH_RECOGNIZE shape expressed as regex over an ordered
+    per-user event string: encode each event as one character, fold
+    each user's timeline into a journey string (deterministic
+    (ts, event_id) order via array_sort over structs), then count
+    non-overlapping matches of the funnel pattern ``v[vc]*p`` (a view
+    leading through views/clicks to a purchase). The pattern grammar
+    is restricted to the Java-regex ∩ RE2 subset (character classes,
+    greedy closures — where leftmost-greedy and leftmost-longest agree)
+    so Spark and DuckDB count identical matches, the same discipline
+    as the PII scrub patterns.
+
+    Plan: one groupBy(user) aggregate builds journeys (collect_list of
+    structs + array_sort + transform + array_join — all JVM-side), one
+    projection runs the regex. Per-user state is the user's OWN event
+    count — the scale bound is max-events-per-user, not corpus size,
+    and a pathological hot user would hit the same salting escape as
+    any hot key."""
+    ev = load_table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "error", "e")
+        .otherwise("x")
+    )
+    journeys = (
+        ev.select("user_id", F.struct("ts", "event_id", code.alias("code")).alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda x: x["code"]),
+                "",
+            ).alias("journey")
+        )
+    )
+    n_matches = F.regexp_count(F.col("journey"), F.lit(r"v[vc]*p"))
+    return journeys.select(
+        "user_id",
+        F.length("journey").alias("journey_len"),
+        n_matches.cast("int").alias("n_funnel_matches"),
+        (n_matches > 0).alias("converted"),
+    )
