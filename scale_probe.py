@@ -61,6 +61,10 @@ QUERIES = [
     # governance / ER / video-container / spatial additions
     "privacy_k_anonymity", "sample_stratified_split",
     "er_fuzzy_parts", "multimodal_video_avi_mjpeg", "geo_grid_nn_join",
+    "incremental_join_merge", "pipeline_training_mix",
+    "agg_join_size_estimate", "quality_expectations", "agg_market_basket",
+    "agg_pareto_frontier", "join_point_in_time_features",
+    "events_pattern_regex", "multimodal_mp4_metadata",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
