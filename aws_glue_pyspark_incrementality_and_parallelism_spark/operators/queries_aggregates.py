@@ -697,3 +697,78 @@ def q_agg_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_pairs")
         ).alias("est_within_10pct"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+             CAST(l_quantity AS BIGINT) AS wt,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ), cum AS (
+      SELECT l_returnflag, price_c,
+             SUM(wt) OVER (PARTITION BY l_returnflag
+                           ORDER BY price_c, l_orderkey, l_linenumber
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS total_w
+      FROM w
+    )
+    SELECT l_returnflag,
+           CAST(MIN(total_w) AS BIGINT) AS total_weight,
+           CAST(MIN(price_c) AS BIGINT) AS median_price_c
+    FROM cum
+    WHERE 2 * cw >= total_w
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median (lower) of extended price per return flag,
+    weighted by quantity — the inventory-weighted price statistic no
+    Spark builtin computes (``percentile`` weights rows equally, and
+    the approx sketches are unweighted too). Definition: the smallest
+    value whose cumulative weight reaches half the total. Everything is
+    exact integers — prices quantized to cents, integral quantities
+    cast to int64, the half-total test cross-multiplied (2·cum ≥ total)
+    — so no float summation order or rounding can diverge engines.
+
+    Plan: ONE per-group sort shuffle carries both windows (running
+    cumulative weight and group total share the partition), then the
+    boundary row is min(price) over the monotone satisfying suffix —
+    a plain aggregate, no second pass over sorted data. At 100 TB the
+    per-group sort is the same shape as any grouped quantile; a
+    pathological single hot group would move to the sketch path
+    (``agg_quantile_bucketize``) that trades exactness for
+    partition-parallel cut-points."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql.window import Window as W
+
+    w = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("price_c"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ordered = (
+        W.partitionBy("l_returnflag")
+        .orderBy("price_c", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    grp = W.partitionBy("l_returnflag")
+    cum = w.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("wt").over(ordered).alias("cw"),
+        F.sum("wt").over(grp).alias("total_w"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("total_w"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("total_w").cast("bigint").alias("total_weight"),
+            F.min("price_c").cast("bigint").alias("median_price_c"),
+        )
+    )
