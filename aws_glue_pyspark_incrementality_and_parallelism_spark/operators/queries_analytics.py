@@ -678,3 +678,175 @@ def q_agg_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     local = frontier(pt.withColumn("pid", F.spark_partition_id()), [F.col("pid")])
     return frontier(local, [])
+
+
+@query(
+    "events_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+      SELECT user_id,
+             MAX(ts) AS last_ts,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS monetary_c
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ), scored AS (
+      SELECT user_id,
+             NTILE(4) OVER (ORDER BY last_ts DESC, user_id) AS r,
+             NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f,
+             NTILE(4) OVER (ORDER BY monetary_c DESC, user_id) AS m
+      FROM rfm
+    )
+    SELECT r * 100 + f * 10 + m AS rfm_segment,
+           COUNT(*) AS n_users,
+           CAST(MIN(user_id) AS BIGINT) AS sample_user
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def q_events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic marketing cube: quartile-score each purchaser on the three
+    axes (1 = best), concatenate into a segment code, count the
+    segments. Determinism: each NTILE orders by its metric THEN
+    user_id, so quartile boundaries cannot depend on engine sort
+    stability; monetary sums are exact integer cents.
+
+    Plan: one grouped aggregate to per-user RFM (purchase-filtered
+    scan), three rank windows over the USER-grain relation (orders of
+    magnitude smaller than the event log — the windows sort users, not
+    events), one final segment count. At 100 TB the user relation is
+    the only sorted thing; NTILE over it is the same global-rank shape
+    as ``window_ntile_quartiles``."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    rfm = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_c"),
+    )
+    r = F.ntile(4).over(Window.orderBy(F.desc("last_ts"), F.asc("user_id")))
+    f = F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+    m = F.ntile(4).over(Window.orderBy(F.desc("monetary_c"), F.asc("user_id")))
+    scored = rfm.select("user_id", r.alias("r"), f.alias("f"), m.alias("m"))
+    return (
+        scored.groupBy(
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).alias("rfm_segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("user_id").cast("bigint").alias("sample_user"),
+        )
+    )
+
+
+@query(
+    "agg_benford_digit_audit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS lead_digit
+      FROM orders WHERE o_totalprice >= 1
+    )
+    SELECT lead_digit,
+           COUNT(*) AS n,
+           floor(COUNT(*) * 10000.0 / SUM(COUNT(*)) OVER () + 0.5) / 10000.0
+             AS share,
+           floor(log10(1.0 + 1.0 / lead_digit) * 10000 + 0.5) / 10000.0
+             AS benford_expected
+    FROM digits
+    GROUP BY lead_digit
+    """,
+)
+def q_agg_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit — the forensic-accounting screen for
+    fabricated numbers: the leading digit of naturally-occurring
+    amounts follows log10(1 + 1/d), and a ledger that deviates hard is
+    flagged for review. Emits per digit the observed count, observed
+    share, and the Benford expectation (both floor-quantized to 4
+    decimals with integer-first operation order, the repo's
+    cross-engine rounding rule; digit extraction goes through
+    floor-then-integer-cast — an explicit floor on BOTH sides, because
+    DuckDB's double→int CAST rounds while Spark's truncates, the exact
+    divergence class from the round-3 SF-robustness taxonomy).
+
+    Plan: stateless digit projection riding the scan → one 9-key hash
+    aggregate → a single-row total window over 9 rows. Scan-bound at
+    any scale."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("lead_digit")
+    )
+    counted = digits.groupBy("lead_digit").agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy()
+    share = F.floor(F.col("n") * 10000.0 / F.sum("n").over(total) + 0.5) / 10000.0
+    expected = (
+        F.floor(F.log10(1.0 + 1.0 / F.col("lead_digit")) * 10000 + 0.5) / 10000.0
+    )
+    return counted.select(
+        "lead_digit",
+        "n",
+        share.alias("share"),
+        expected.alias("benford_expected"),
+    )
+
+
+@query(
+    "window_max_drawdown",
+    oracle="""
+    WITH series AS (
+      SELECT user_id, ts, event_id,
+             SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS balance_c
+      FROM events
+    ), dd AS (
+      SELECT user_id, balance_c,
+             MAX(balance_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS peak_c
+      FROM series
+    )
+    SELECT user_id,
+           CAST(MAX(peak_c) AS BIGINT) AS peak_balance_c,
+           CAST(MAX(peak_c - balance_c) AS BIGINT) AS max_drawdown_c
+    FROM dd
+    GROUP BY user_id
+    """,
+)
+def q_window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user — the risk metric over a cumulative
+    series (largest peak-to-trough fall of the running balance built
+    from event values). Two stacked running windows over ONE per-user
+    sort: cumulative balance, then running peak; drawdown = peak −
+    balance, reduced by max. Exact integer cents end-to-end, ties
+    ordered by (ts, event_id) — the (monotone-state ∘ running-window)
+    composition pattern, same family as gaps-islands. One shuffle; at
+    100 TB both windows share the single per-user sort and stream in
+    one pass per partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    series = ev.select(
+        "user_id",
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+        .over(w)
+        .alias("balance_c"),
+        F.col("ts"),
+        F.col("event_id"),
+    )
+    dd = series.select(
+        "user_id",
+        "balance_c",
+        F.max("balance_c").over(w).alias("peak_c"),
+    )
+    return dd.groupBy("user_id").agg(
+        F.max("peak_c").cast("bigint").alias("peak_balance_c"),
+        F.max(F.col("peak_c") - F.col("balance_c")).cast("bigint").alias("max_drawdown_c"),
+    )
