@@ -55,6 +55,8 @@ from ..operators import (  # noqa: F401
     governance,
     entity,
     geo,
+    bucketed,
+    archive,
 )
 
 from .registry import REGISTRY, QuerySpec  # noqa: F401
