@@ -332,3 +332,73 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         levels = levels.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("doc_id")
     return levels
+
+
+@query(
+    "graph_common_neighbors",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT l_suppkey AS supp, l_partkey AS part
+        FROM lineitem WHERE l_quantity > 45
+    ), deg AS (
+        SELECT supp, COUNT(*) AS d FROM edges GROUP BY supp
+    ), pairs AS (
+        SELECT a.supp AS supp_a, b.supp AS supp_b, COUNT(*) AS common
+        FROM edges a JOIN edges b ON a.part = b.part AND a.supp < b.supp
+        GROUP BY a.supp, b.supp
+    )
+    SELECT supp_a, supp_b, common,
+           CAST(common * 1000000 // (da.d + db.d - common) AS BIGINT)
+               AS jaccard_micro
+    FROM pairs
+    JOIN deg da ON da.supp = supp_a
+    JOIN deg db ON db.supp = supp_b
+    ORDER BY common DESC, jaccard_micro DESC, supp_a, supp_b
+    LIMIT 20
+    """,
+)
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node similarity by common neighbors on the bipartite
+    supplier–part graph: top-20 supplier pairs by co-supplied part
+    count, with exact-integer Jaccard over neighbor sets.
+
+    The classic link-prediction / entity-similarity primitive. Scale
+    shape: pair generation is the self-join on the SHARED neighbor
+    (part) — cost Σd(part)², bounded by the max part degree, never by
+    supplier count; the quantity filter is the standard edge-thinning
+    knob (same role as the blocking key in entity.py). Degrees join
+    back as two broadcast-sized aggregates; Jaccard in exact
+    micro-units (integer div both engines); totally-ordered top-20 cut.
+    """
+    edges = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select(F.col("l_suppkey").alias("supp"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    deg = edges.groupBy("supp").agg(F.count("*").alias("d"))
+    a = edges.alias("a")
+    b = edges.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.part") == F.col("b.part")) & (F.col("a.supp") < F.col("b.supp")))
+        .groupBy(F.col("a.supp").alias("supp_a"), F.col("b.supp").alias("supp_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    da = deg.select(F.col("supp").alias("supp_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("supp").alias("supp_b"), F.col("d").alias("db"))
+    return (
+        pairs.join(F.broadcast(da), "supp_a")
+        .join(F.broadcast(db), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "common",
+            F.expr("(common * 1000000) div (da + db - common)")
+            .cast("bigint")
+            .alias("jaccard_micro"),
+        )
+        .orderBy(
+            F.desc("common"), F.desc("jaccard_micro"), F.asc("supp_a"), F.asc("supp_b")
+        )
+        .limit(20)
+    )

@@ -850,3 +850,186 @@ def q_window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("peak_c").cast("bigint").alias("peak_balance_c"),
         F.max(F.col("peak_c") - F.col("balance_c")).cast("bigint").alias("max_drawdown_c"),
     )
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS x
+        FROM events GROUP BY 1, 2
+    ), curves AS (
+        SELECT event_type, day,
+               SUM(x) OVER (PARTITION BY event_type ORDER BY day) AS cum,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+               SUM(x) OVER (PARTITION BY event_type) AS total,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ), scored AS (
+        SELECT event_type, day, n,
+               ABS(n * cum - t * total) AS score,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ABS(n * cum - t * total) DESC, day) AS rk
+        FROM curves
+    )
+    SELECT event_type, n AS n_days, day AS changepoint_day,
+           CAST(score AS BIGINT) AS cusum_peak_scaled
+    FROM scored WHERE rk = 1
+    ORDER BY event_type
+    """,
+)
+def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event-type daily series: the day
+    where the cumulative deviation from the series mean peaks.
+
+    Classic CUSUM uses S_t = sum_{i<=t}(x_i - mean); to keep every
+    engine-crossing value an exact integer the score is scaled by n:
+    |n*S_t| = |n*cum_t - t*total| (daily values first quantized to
+    micro-units — the floor(x*1e6+0.5) rule both engines compute
+    identically). argmax is a per-key rank with a date tie-break.
+
+    Scale shape: one partial-agg groupBy collapses the fact table to
+    O(keys x days) rows; every window after that runs on the collapsed
+    series (thousands of rows per key), so fact-table growth only
+    changes the first aggregate. int64 headroom: day-sums ~1e12 micro,
+    x n_days x n_days ~ 1e16 << 2^63; a 100 TB deployment widens to
+    DECIMAL(38,0) at the curves step.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")).alias(
+                "x"
+            )
+        )
+    )
+    wk = Window.partitionBy("event_type")
+    wo = wk.orderBy("day")
+    curves = daily.select(
+        "event_type",
+        "day",
+        F.sum("x").over(wo).alias("cum"),
+        F.row_number().over(wo).alias("t"),
+        F.sum("x").over(wk).alias("total"),
+        F.count("*").over(wk).alias("n"),
+    )
+    scored = curves.select(
+        "event_type",
+        "day",
+        "n",
+        F.abs(F.col("n") * F.col("cum") - F.col("t") * F.col("total")).alias("score"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(wk.orderBy(F.desc("score"), F.asc("day"))),
+    )
+    return (
+        scored.filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("day").alias("changepoint_day"),
+            F.col("score").cast("bigint").alias("cusum_peak_scaled"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ab_test_proportion_z",
+    oracle="""
+    WITH conv AS (
+        SELECT user_id % 2 AS variant,
+               CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                  THEN CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                                  ELSE 0 END) > 590000000
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ), arms AS (
+        SELECT variant, COUNT(*) AS n, SUM(converted) AS x
+        FROM conv GROUP BY variant
+    ), wide AS (
+        SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+               MAX(CASE WHEN variant = 0 THEN x END) AS x_a,
+               MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+               MAX(CASE WHEN variant = 1 THEN x END) AS x_b
+        FROM arms
+    )
+    SELECT n_a, CAST(x_a AS BIGINT) AS x_a, n_b, CAST(x_b AS BIGINT) AS x_b,
+           CAST(CASE WHEN n_a * n_b * (x_a + x_b) * (n_a + n_b - x_a - x_b) = 0
+                THEN -1
+                ELSE (CAST(x_a * n_b - x_b * n_a AS HUGEINT)
+                      * CAST(x_a * n_b - x_b * n_a AS HUGEINT)
+                      * CAST(n_a + n_b AS HUGEINT) * 10000)
+                     // (CAST(n_a AS HUGEINT) * n_b * (x_a + x_b)
+                         * (n_a + n_b - x_a - x_b))
+                END AS BIGINT) AS z2_permyriad
+    FROM wide
+    """,
+)
+def q_ab_test_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between experiment arms (variant = user_id
+    parity; conversion = per-user purchase volume above a fixed
+    micro-unit threshold).
+
+    The pooled z statistic squares to a ratio of INTEGERS:
+    z^2 = (x_a*n_b - x_b*n_a)^2 * (n_a+n_b)
+          / (n_a*n_b*(x_a+x_b)*(n_a+n_b-x_a-x_b)),
+    so significance testing needs no float sqrt anywhere — the engines
+    exchange z^2 in exact permyriad units (DECIMAL(38,0) products,
+    integer floor-div; -1 sentinel for degenerate arms). z^2 > 3.8415
+    is the two-sided 5% line. Scale shape: one per-user aggregate, one
+    per-arm aggregate, a 2-row pivot — the fact scan dominates and
+    everything after is O(1).
+    """
+    conv = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint"),
+                    ).otherwise(F.lit(0).cast("bigint"))
+                )
+                > 590000000,
+                1,
+            )
+            .otherwise(0)
+            .alias("converted"),
+            (F.first(F.col("user_id") % 2)).alias("variant"),
+        )
+    )
+    arms = conv.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("x")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("x"))).alias("x_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("x"))).alias("x_b"),
+    )
+    return wide.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.expr(
+            """
+            CAST(CASE WHEN n_a * n_b * (x_a + x_b) * (n_a + n_b - x_a - x_b) = 0
+                 THEN -1
+                 ELSE (CAST(x_a * n_b - x_b * n_a AS DECIMAL(38,0))
+                       * CAST(x_a * n_b - x_b * n_a AS DECIMAL(38,0))
+                       * CAST(n_a + n_b AS DECIMAL(38,0)) * 10000)
+                      div (CAST(n_a AS DECIMAL(38,0)) * n_b * (x_a + x_b)
+                           * (n_a + n_b - x_a - x_b))
+                 END AS BIGINT)
+            """
+        ).alias("z2_permyriad"),
+    )

@@ -356,3 +356,51 @@ def q_window_moving_avg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.avg("value").over(w), 4).alias("moving_avg4"),
     )
+
+
+@query(
+    "window_sliding_median_exact",
+    oracle="""
+    SELECT event_id, user_id, med5
+    FROM (
+        SELECT event_id, user_id,
+               ROW_NUMBER() OVER w AS rn,
+               (list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)))[3]
+                   AS med5
+        FROM events WHERE event_type = 'view'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE rn >= 5
+    """,
+)
+def q_window_sliding_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sliding median over a 5-row frame per user — the robust
+    smoother percentile_approx can't provide (order statistics don't
+    decompose, so the frame must be materialized).
+
+    Both engines compute the IDENTICAL algorithm — collect the 5-row
+    frame as a list, sort it, take the 3rd element — so the result is
+    the exact middle VALUE (no interpolation, no float averaging of two
+    middles; frames are always odd because warm-up rows rn<5 are
+    dropped). Scale shape: a rows-frame window per user key — state is
+    O(frame) per row, partitions parallel across users; cost is
+    k·log k per row, independent of table size. The anti-pattern this
+    replaces is a per-row self-join or a global sort.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-4, 0)
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "event_id",
+            "user_id",
+            F.row_number().over(w).alias("rn"),
+            F.element_at(F.array_sort(F.collect_list("value").over(frame)), 3).alias(
+                "med5"
+            ),
+        )
+        .filter(F.col("rn") >= 5)
+        .drop("rn")
+    )

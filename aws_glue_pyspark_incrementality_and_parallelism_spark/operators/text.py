@@ -884,6 +884,62 @@ def q_text_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@query(
+    "text_inverted_index",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents
+    ), posting AS (
+        SELECT token,
+               COUNT(DISTINCT doc_id) AS doc_freq,
+               COUNT(*) AS term_freq,
+               (list_sort(list(DISTINCT doc_id)))[1:5] AS first_docs
+        FROM tok WHERE token <> ''
+        GROUP BY token
+    )
+    SELECT token, doc_freq, term_freq, first_docs
+    FROM posting
+    ORDER BY doc_freq DESC, term_freq DESC, token
+    LIMIT 50
+    """,
+)
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the corpus inverted index (token -> posting stats) and emit
+    the 50 highest-document-frequency terms with the head of each
+    posting list.
+
+    The retrieval-side primitive behind BM25/keyword search over a
+    training corpus. Scale shape: explode -> ONE groupBy on token
+    (uniform hash keys; partial aggregation absorbs the per-document
+    repetition map-side). Posting lists are unbounded at 100 TB, so
+    only a bounded, deterministic head (first 5 doc ids, sorted)
+    materializes per term -- the full list would be written as a
+    bucketed table keyed by token, never collected. Totally-ordered
+    top-50 cut (doc_freq, term_freq, token).
+    """
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count("*").alias("term_freq"),
+            F.slice(F.array_sort(F.collect_set("doc_id")), 1, 5).alias("first_docs"),
+        )
+        .orderBy(F.desc("doc_freq"), F.desc("term_freq"), F.asc("token"))
+        .limit(50)
+    )
+
+
 from ..session import pickle_module_by_value  # noqa: E402
 
 # This module defines worker-side (Arrow/Pandas UDF) functions: ship them

@@ -57,6 +57,7 @@ from ..operators import (  # noqa: F401
     geo,
     bucketed,
     archive,
+    features,
 )
 
 from .registry import REGISTRY, QuerySpec  # noqa: F401
