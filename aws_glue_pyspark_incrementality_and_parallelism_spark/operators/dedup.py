@@ -1275,3 +1275,89 @@ def q_dedup_winnow_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 4)
     mins = grams.select("doc_id", F.min("h").over(frame).alias("fp")).distinct()
     return mins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fingerprints"))
+
+
+@query(
+    "dedup_containment_ngram",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 100
+        UNION ALL
+        -- planted excerpts: first 30 tokens of each long doc, id+100000
+        SELECT doc_id + 100000 AS doc_id,
+               array_to_string(string_split_regex(lower(trim(text)), '\\s+')[1:30], ' ')
+                   AS text
+        FROM documents
+        WHERE doc_id < 100
+          AND len(string_split_regex(lower(trim(text)), '\\s+')) >= 40
+    ), toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM corpus
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[p + 1 : p + 3], ' ') AS s
+        FROM toks,
+             (SELECT unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS p
+              FROM toks t2 WHERE t2.doc_id = toks.doc_id)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS doc_small, b.doc_id AS doc_big, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_small, i.doc_big, i.n_common,
+           CAST(i.n_common * 1000000 // sa.n AS BIGINT) AS containment_micro
+    FROM inter i
+    JOIN sizes sa ON i.doc_small = sa.doc_id
+    WHERE i.n_common * 1000000 // sa.n >= 800000
+    ORDER BY i.doc_small, i.doc_big
+    """,
+)
+def q_dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment |A∩B| / |A| ≥ 0.8 — the asymmetric
+    near-dup relation Jaccard misses: a document embedded inside a
+    larger one scores low Jaccard (union is large) but high containment.
+    The standard quote/boilerplate/subset detector in corpus cleaning.
+
+    The corpus is the bounded ground-truth slice PLUS planted excerpt
+    documents (first 30 tokens of each long doc, built by the same
+    expression on both engines, ids offset by 100000) so the directed
+    relation provably fires at every SF — the planted-evidence pattern
+    the quality-expectations gate uses. Same inverted-index join shape
+    as ``dedup_ngram_jaccard`` (only docs sharing a 3-gram meet), but
+    the pair relation keeps BOTH directions (a⊂b vs b⊂a are different
+    claims) and the score divides by the CONTAINED side's shingle count
+    only — emitted in exact micro-units (integer div both engines).
+    """
+    base = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    excerpts = base.filter(F.size(toks) >= 40).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, 30), " ").alias("text"),
+    )
+    docs = base.select("doc_id", "text").unionByName(excerpts)
+    sh = shingle_rows(docs, n=3).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_small"), F.col("b.doc_id").alias("doc_big")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_small"), "n")),
+            "doc_small",
+        )
+        .withColumn(
+            "containment_micro",
+            F.expr("(n_common * 1000000) div n").cast("bigint"),
+        )
+        .filter(F.col("containment_micro") >= 800000)
+        .select("doc_small", "doc_big", "n_common", "containment_micro")
+        .orderBy("doc_small", "doc_big")
+    )

@@ -185,3 +185,84 @@ def q_embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The Gramian partials run inside mapInPandas workers: ship by value so
 # executors never need the package on their own sys.path.
 pickle_module_by_value(__name__)
+
+
+@query(
+    "embed_random_projection",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               [CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                FOR x IN embedding] AS qv
+        FROM embeddings WHERE vec_id < 100
+    ), proj AS (
+        SELECT vec_id,
+               [list_sum([qv[i + 1] *
+                          (1 - 2 * (CAST(('0x' || substr(md5(i || ':' || j), 1, 2))
+                                         AS INTEGER) % 2))
+                          FOR i IN range(0, 64)])
+                FOR j IN range(0, 16)] AS yv,
+               qv
+        FROM q
+    )
+    SELECT vec_id, yv AS projected_micro,
+           CAST(list_sum([y * y FOR y IN yv]) // 64 AS BIGINT) AS y_norm2_scaled,
+           CAST(list_sum([v * v FOR v IN qv]) AS BIGINT) AS x_norm2
+    FROM proj
+    ORDER BY vec_id
+    """,
+)
+def q_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64 → 16 dims with a
+    deterministic ±1 (Rademacher) matrix derived from md5(i:j) parity —
+    the cheap dimensionality reduction that preserves pairwise
+    distances within (1±ε) and needs NO trained state.
+
+    Exactness: vectors quantize to micro-units first, the projection
+    matrix entries are ±1, so every projected coordinate is an exact
+    int64 dot product both engines reproduce bit-for-bit (the md5
+    parity IS the matrix — nothing is stored or shipped). The emitted
+    ``y_norm2_scaled`` = |y|²/d pairs with ``x_norm2`` to exhibit the
+    JL norm-preservation ratio E[|y|²/d] = |x|².
+
+    Scale shape: pure per-row map work (array HOFs, zero shuffle,
+    bounded ground-truth slice here); at 100 TB the same expression
+    runs as a projection over the scan — the hash-derived matrix means
+    no broadcast grows with either dimension.
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)"
+                " AS BIGINT))"
+            ).alias("qv"),
+        )
+    )
+    proj = emb.select(
+        "vec_id",
+        "qv",
+        F.expr(
+            """
+            transform(sequence(0, 15), j ->
+                aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
+                    acc + element_at(qv, i + 1) *
+                    (1 - 2 * (CAST(conv(substring(md5(concat(CAST(i AS STRING), ':',
+                                                             CAST(j AS STRING))), 1, 2),
+                                        16, 10) AS INT) % 2))))
+            """
+        ).alias("yv"),
+    )
+    return proj.select(
+        "vec_id",
+        F.col("yv").alias("projected_micro"),
+        F.expr(
+            "CAST(aggregate(yv, CAST(0 AS BIGINT), (acc, y) -> acc + y * y) div 64"
+            " AS BIGINT)"
+        ).alias("y_norm2_scaled"),
+        F.expr("CAST(aggregate(qv, CAST(0 AS BIGINT), (acc, v) -> acc + v * v) AS BIGINT)").alias(
+            "x_norm2"
+        ),
+    ).orderBy("vec_id")

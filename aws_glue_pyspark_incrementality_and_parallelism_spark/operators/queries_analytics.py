@@ -1033,3 +1033,98 @@ def q_ab_test_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("z2_permyriad"),
     )
+
+
+@query(
+    "ts_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               datediff('day', DATE '2020-01-01', CAST(date_trunc('day', ts) AS DATE))
+                   AS x,
+               SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS y
+        FROM events GROUP BY 1, 2
+    ), slopes AS (
+        SELECT a.event_type,
+               b.y - a.y AS num, b.x - a.x AS den,
+               CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS val,
+               a.x AS xi, b.x AS xj
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.x < b.x
+    ), ranked AS (
+        SELECT event_type, num, den, val,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY val, xi, xj) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM slopes
+    )
+    SELECT event_type, CAST(cnt AS BIGINT) AS n_pairs,
+           CAST(num AS BIGINT) AS slope_num_micro,
+           CAST(den AS BIGINT) AS slope_den_days,
+           val AS slope_micro_per_day
+    FROM ranked WHERE rn = (cnt + 1) // 2
+    ORDER BY event_type
+    """,
+)
+def q_ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event-type daily series: the median of
+    all pairwise slopes (breakdown point 29% — one bad day cannot move
+    it, unlike OLS).
+
+    Determinism contract: pairwise slopes are exact integer fractions
+    (micro-unit numerators, day-count denominators); the sort key is
+    the IEEE double num/den — the same division on both engines gives
+    the same total order — with (xi, xj) breaking exact-value ties, and
+    the lower median (rank (cnt+1)//2) avoids averaging two middles.
+    The selected slope is emitted as its exact fraction AND the double.
+
+    Scale shape: the O(days²) pair join runs on the collapsed
+    O(keys × days) daily aggregate, never the fact table — same
+    collapse-first stance as the CUSUM operator; a decade of days is
+    ~6.7M pairs per key, an executor-local cell.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"), F.lit("2020-01-01").cast("date")
+            ).alias("x"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")).alias("y")
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type")) & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("b.y") - F.col("a.y")).alias("num"),
+        (F.col("b.x") - F.col("a.x")).alias("den"),
+        ((F.col("b.y") - F.col("a.y")).cast("double") / (F.col("b.x") - F.col("a.x"))).alias(
+            "val"
+        ),
+        F.col("a.x").alias("xi"),
+        F.col("b.x").alias("xj"),
+    )
+    w = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "num",
+        "den",
+        "val",
+        F.row_number().over(w.orderBy("val", "xi", "xj")).alias("rn"),
+        F.count("*").over(w).alias("cnt"),
+    )
+    return (
+        ranked.filter(F.expr("rn = (cnt + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("cnt").cast("bigint").alias("n_pairs"),
+            F.col("num").cast("bigint").alias("slope_num_micro"),
+            F.col("den").cast("bigint").alias("slope_den_days"),
+            F.col("val").alias("slope_micro_per_day"),
+        )
+        .orderBy("event_type")
+    )

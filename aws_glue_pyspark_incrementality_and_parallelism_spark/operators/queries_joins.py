@@ -538,3 +538,129 @@ def q_join_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("src") == 1)
         .drop("src")
     )
+
+
+@query(
+    "join_bloom_semi_reduction",
+    oracle="""
+    WITH keys AS (
+        SELECT DISTINCT s_suppkey FROM supplier WHERE s_nationkey < 5
+    ), positions AS (
+        SELECT s_suppkey, lane,
+               CAST(('0x' || substr(md5(CAST(lane AS VARCHAR) || ':'
+                                        || CAST(s_suppkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 1024 AS p
+        FROM keys, (SELECT unnest([0, 1, 2]) AS lane)
+    ), words AS (
+        SELECT p // 32 AS w, bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS bits
+        FROM positions GROUP BY 1
+    ), fact_pairs AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ), probe AS (
+        SELECT l_orderkey, l_suppkey, lane,
+               CAST(('0x' || substr(md5(CAST(lane AS VARCHAR) || ':'
+                                        || CAST(l_suppkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 1024 AS p
+        FROM fact_pairs, (SELECT unnest([0, 1, 2]) AS lane)
+    ), hits AS (
+        SELECT l_orderkey, l_suppkey
+        FROM probe LEFT JOIN words ON words.w = p // 32
+        GROUP BY l_orderkey, l_suppkey
+        HAVING COUNT(*) FILTER (
+            WHERE (bits >> CAST(p % 32 AS INTEGER)) & 1 = 1) = 3
+    )
+    SELECT (SELECT COUNT(*) FROM lineitem) AS n_fact_rows,
+           (SELECT COUNT(*) FROM hits) AS n_candidates,
+           (SELECT COUNT(*) FROM hits WHERE l_suppkey IN (SELECT s_suppkey FROM keys))
+               AS n_true_matches,
+           (SELECT COUNT(*) FROM hits WHERE l_suppkey NOT IN (SELECT s_suppkey FROM keys))
+               AS n_false_positives,
+           TRUE AS no_false_negatives
+    """,
+)
+def q_join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction: thin the fact scan against a
+    1024-bit / 3-lane bloom filter of the dim-side keyset BEFORE any
+    shuffle, then measure the filter's exactness.
+
+    This is the operator form of what Catalyst's runtime bloom filters
+    do under AQE (pinned at plan level in tests/test_plans.py): the
+    dim keyset folds to 32 32-bit words (bit_or aggregate), the words
+    travel to the fact scan as a 32-element broadcast literal — O(1)
+    state, never a join — and each fact row tests its 3 md5-lane bit
+    positions with pure JVM bit arithmetic. At 100 TB this converts a
+    full-fact shuffle into a pre-shuffle filter at bloom selectivity
+    (here: keyset/supplier ratio plus a measured false-positive term).
+
+    Everything is md5-deterministic, so the DuckDB oracle recomputes
+    the IDENTICAL filter (same lanes, same words) and the emitted
+    false-positive count is adjudicated exactly;
+    ``no_false_negatives`` pins the bloom guarantee (a real anti-join
+    count of true matches missed by the filter — zero by construction).
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    keys = (
+        supplier.filter(F.col("s_nationkey") < 5).select("s_suppkey").distinct()
+    )
+
+    def positions(df: DataFrame, key: str) -> DataFrame:
+        lanes = F.array([F.lit(i) for i in range(3)])
+        return df.withColumn("lane", F.explode(lanes)).withColumn(
+            "p",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("lane"), F.col(key))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1024,
+        )
+
+    words = (
+        positions(keys, "s_suppkey")
+        .groupBy((F.col("p") / 32).cast("bigint").alias("w"))
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")).alias("bits"))
+        .collect()
+    )
+    # O(1) control-plane state: the bloom words ship as a literal array,
+    # exactly like a broadcast variable — no join against the fact side.
+    word_arr = [0] * 32
+    for r in words:
+        word_arr[int(r["w"])] = int(r["bits"])
+    warr = F.array([F.lit(b).cast("long") for b in word_arr])
+
+    fact = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    fact_pairs = fact.distinct()
+    probed = (
+        positions(fact_pairs, "l_suppkey")
+        .withColumn("bloom_words", warr)
+        .withColumn(
+            "hit",
+            F.expr(
+                "shiftrightunsigned(element_at(bloom_words,"
+                " CAST(p div 32 AS INT) + 1), CAST(p % 32 AS INT)) % 2 = 1"
+            ),
+        )
+        .drop("bloom_words")
+    )
+    hits = (
+        probed.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("nhit"))
+        .filter(F.col("nhit") == 3)
+        .select("l_orderkey", "l_suppkey")
+    )
+    true_matches = hits.join(F.broadcast(keys), hits.l_suppkey == keys.s_suppkey, "left_semi")
+    false_pos = hits.join(F.broadcast(keys), hits.l_suppkey == keys.s_suppkey, "left_anti")
+    missed = (
+        fact_pairs.join(F.broadcast(keys), fact_pairs.l_suppkey == keys.s_suppkey, "left_semi")
+        .join(hits, ["l_orderkey", "l_suppkey"], "left_anti")
+        .count()
+    )
+    return (
+        fact.agg(F.count("*").alias("n_fact_rows"))
+        .crossJoin(hits.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(true_matches.agg(F.count("*").alias("n_true_matches")))
+        .crossJoin(false_pos.agg(F.count("*").alias("n_false_positives")))
+        .withColumn("no_false_negatives", F.lit(missed == 0))
+    )
