@@ -940,6 +940,191 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@query(
+    "text_count_min_sketch",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+    ), cms AS (
+        SELECT lane,
+               CAST(('0x' || substr(md5(CAST(lane AS VARCHAR) || ':' || tok), 1, 8))
+                    AS BIGINT) % 256 AS bucket,
+               COUNT(*) AS n
+        FROM toks, (SELECT unnest([0, 1, 2]) AS lane)
+        WHERE tok <> ''
+        GROUP BY 1, 2
+    ), probe AS (
+        SELECT tok, COUNT(*) AS exact_n
+        FROM toks WHERE tok <> ''
+        GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 10
+    )
+    SELECT p.tok AS token, p.exact_n,
+           MIN(c.n) AS cms_estimate,
+           TRUE AS never_underestimates
+    FROM probe p, (SELECT unnest([0, 1, 2]) AS lane) l
+    JOIN cms c
+      ON c.lane = l.lane
+     AND c.bucket = CAST(('0x' || substr(md5(CAST(l.lane AS VARCHAR) || ':' || p.tok),
+                                         1, 8)) AS BIGINT) % 256
+    GROUP BY p.tok, p.exact_n
+    ORDER BY p.exact_n DESC, p.tok
+    """,
+)
+def q_text_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream (3 md5 lanes x 256
+    buckets) probed with the 10 heaviest tokens against their exact
+    counts.
+
+    The mergeable fixed-size frequency summary: the sketch is ONE
+    partial-aggregated groupBy collapsing any token stream to 768
+    cells (sums commute, so shards/windows/days merge by cell-wise
+    addition — same rollup algebra as the HLL operators). The estimate
+    min-over-lanes can only OVERcount (collisions add), pinned by
+    ``never_underestimates`` — computed from the real estimate-vs-exact
+    comparison, adjudicated per-row by the oracle recomputing the
+    identical sketch.
+    """
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    lanes = F.array([F.lit(i) for i in range(3)])
+
+    def bucket(lane_col, tok_col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", lane_col, tok_col)), 1, 8), 16, 10
+            ).cast("bigint")
+            % 256
+        )
+
+    cms = (
+        toks.withColumn("lane", F.explode(lanes))
+        .groupBy("lane", bucket(F.col("lane"), F.col("tok")).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+    probe = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+        .limit(10)
+    )
+    probed = (
+        probe.withColumn("lane", F.explode(lanes))
+        .withColumn("bucket", bucket(F.col("lane"), F.col("tok")))
+        .join(cms, ["lane", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("n").alias("cms_estimate"))
+    )
+    return probed.select(
+        F.col("tok").alias("token"),
+        "exact_n",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("exact_n")).alias("never_underestimates"),
+    ).orderBy(F.desc("exact_n"), F.asc("token"))
+
+
+
+
+@query(
+    "text_bm25_topk",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
+    ), stats AS (
+        SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+               COUNT(*) AS n_docs
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf
+        FROM tok WHERE word IN ('spark', 'join', 'filter')
+        GROUP BY 1, 2
+    ), df AS (
+        SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok
+        WHERE word IN ('spark', 'join', 'filter') GROUP BY 1
+    ), terms AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                   LN(1.0 + (CAST(s.n_docs - df.df AS DOUBLE) + 0.5)
+                            / (CAST(df.df AS DOUBLE) + 0.5))
+                   * ((tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))))
+                   * 10000 + 0.5) AS BIGINT) AS term_score
+        FROM tf
+        JOIN df USING (word)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS bm25_x10k
+    FROM terms GROUP BY doc_id
+    ORDER BY bm25_x10k DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75) for the fixed query
+    {spark, join, filter}: top-10 documents by score.
+
+    Determinism across engines: per-(doc, term) scores are computed
+    with the IDENTICAL double expression order on both sides, then
+    quantized to 1e-4 units (the floor(x*1e4+0.5) rule) BEFORE the
+    per-document sum — so the cross-engine sum is over integers and
+    no float summation order can flip a rank. Scale shape: the same
+    two hash-aggregates as TF-IDF (tf filtered to query terms
+    pre-aggregation — the inverted-index access path), document
+    lengths as one more aggregate, df/avgdl broadcast; the top-10 cut
+    is a totally-ordered partial top-k, not a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("word"))
+    terms_filter = F.col("word").isin("spark", "join", "filter")
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    )
+    tf = tok.filter(terms_filter).groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tok.filter(terms_filter).groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    terms = (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    1.0
+                    + ((F.col("n_docs") - F.col("df")).cast("double") + 0.5)
+                    / (F.col("df").cast("double") + 0.5)
+                )
+                * (
+                    (F.col("tf") * 2.2)
+                    / (F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl"))))
+                )
+                * 10000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("term_score"),
+        )
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(F.sum("term_score").cast("bigint").alias("bm25_x10k"))
+        .orderBy(F.desc("bm25_x10k"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 from ..session import pickle_module_by_value  # noqa: E402
 
 # This module defines worker-side (Arrow/Pandas UDF) functions: ship them

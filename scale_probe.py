@@ -65,6 +65,14 @@ QUERIES = [
     "agg_join_size_estimate", "quality_expectations", "agg_market_basket",
     "agg_pareto_frontier", "join_point_in_time_features",
     "events_pattern_regex", "multimodal_mp4_metadata",
+    # session additions: layout/ingest/feature/graph/experiment operators
+    "join_bucketed_no_shuffle", "archive_tar_webdataset",
+    "feat_target_encoding_loo", "feat_hashing_trick",
+    "sample_systematic_every_k", "graph_common_neighbors",
+    "text_inverted_index", "window_sliding_median_exact",
+    "ts_cusum_changepoint", "ts_theil_sen_trend", "ab_test_proportion_z",
+    "join_bloom_semi_reduction", "dedup_containment_ngram",
+    "embed_random_projection",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
@@ -176,8 +184,11 @@ def main() -> None:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
+    only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
+    todo = [q for q in QUERIES if q in set(only.split(","))] if only else QUERIES
+
     worst = 0.0
-    for name in QUERIES:
+    for name in todo:
         run(name, BASE)  # warm codegen + Python worker pool
         drain()
         base = min(run(name, BASE), run(name, BASE))
@@ -188,7 +199,7 @@ def main() -> None:
         worst = max(worst, slope)
         print(f"{name:32s} sf0.1={base:6.2f}s  {COPIES}x={big:6.2f}s  slope={slope:5.1f}x")
 
-    if PROBE_ETL:
+    if PROBE_ETL and not only:
         import tempfile
 
         from aws_glue_pyspark_incrementality_and_parallelism_spark import pipeline

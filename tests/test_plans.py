@@ -444,3 +444,57 @@ def test_market_basket_topk_no_global_sort(spark):
     partition top-k), never a full global Sort+Limit."""
     plan = _plan(spark, "agg_market_basket")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sliding_median_single_window_no_join(spark):
+    """The exact sliding median must be one windowed pass per user key:
+    no join, no self-pairing, and only the single keyed exchange the
+    window requires."""
+    plan = _plan(spark, "window_sliding_median_exact")
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("- Exchange") <= 1
+
+
+def test_systematic_sample_never_single_partition(spark):
+    """The distributed-rank systematic sample must not funnel rows
+    through a one-partition global window (the naive rewrite); bin
+    offsets broadcast back instead."""
+    plan = _plan(spark, "sample_systematic_every_k")
+    # the only SinglePartition exchange allowed is the tiny O(bins)
+    # offset relation feeding its prefix-sum window, never the row side
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_probe_is_scan_side_filter_no_dim_join(spark):
+    """The bloom words must reach the fact scan as a literal (broadcast
+    O(1) state) — probing must NOT join fact rows against a words
+    relation. The only joins allowed are the exactness-audit
+    semi/anti-joins against the tiny keyset."""
+    plan = _plan(spark, "join_bloom_semi_reduction")
+    # every join in the plan is broadcast (keyset side), never shuffled
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_inverted_index_topk_is_partial(spark):
+    """Posting-stat top-50 must cut with TakeOrderedAndProject (per-
+    partition partial top-k), not a global sort of the whole vocabulary."""
+    plan = _plan(spark, "text_inverted_index")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_target_encoding_stats_broadcast(spark):
+    """The category-stats relation must broadcast back onto the fact
+    side — the labeled rows never shuffle for the encoding join."""
+    plan = _plan(spark, "feat_target_encoding_loo")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cusum_windows_run_on_collapsed_series(spark):
+    """CUSUM must aggregate the fact table FIRST (partial_sum visible
+    before any window) so every window runs on the O(keys x days)
+    collapsed series."""
+    plan = _plan(spark, "ts_cusum_changepoint")
+    assert "Window" in plan
+    assert "Join" not in plan
