@@ -52,6 +52,100 @@ from ..session import pickle_module_by_value
 
 # Worker closures here reference module-level helpers (decode_rgb): ship
 # them by value so executors never need the package on their sys.path.
+
+
+@query(
+    "multimodal_image_phash",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_distinct_texts,
+           TRUE AS all_noise_robust,
+           TRUE AS phash_respects_equality
+    FROM documents
+    """,
+)
+def q_multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hashing (pHash) over synthesized 32x32 gray images:
+    2-D DCT, 8x8 low-frequency block, bits = coefficient > median.
+    The image near-dup detector — robust to noise/re-encoding where
+    byte hashes are not.
+
+    Driver surface (the float-path summary pattern from the ANN
+    queries): the DCT is float work no SQL engine reproduces, so the
+    query verifies STRUCTURAL guarantees the oracle can adjudicate:
+    ``all_noise_robust`` — every image's hash moves <= 12/64 bits under
+    a deterministic +-3 pixel perturbation (computed per image, AND-ed
+    by the aggregate); ``phash_respects_equality`` — equal texts give
+    equal hashes, so distinct-hash count cannot exceed distinct-text
+    count (a theorem for a deterministic hash; the distinct-text count
+    is oracle-exact). Scale shape: one mapInPandas pass, hash state 8
+    bytes/image, the pairwise-search stage downstream is the same
+    banded/bucketed join family as SimHash (64-bit Hamming).
+    """
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 32
+        k = np.arange(n)
+        # orthonormal DCT-II matrix
+        D = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n)) * np.sqrt(2.0 / n)
+        D[0, :] /= np.sqrt(2.0)
+
+        def phash(img: "np.ndarray") -> int:
+            coef = D @ img @ D.T
+            block = coef[:8, :8].flatten()
+            med = np.median(block[1:])  # exclude DC
+            bits = block > med
+            v = 0
+            for i, b in enumerate(bits):
+                if b:
+                    v |= 1 << i
+            return v
+
+        for pdf in batches:
+            out = {"doc_id": [], "phash": [], "noise_robust": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                buf = text.encode("utf-8")[: n * n]
+                img = np.zeros(n * n, dtype=np.float64)
+                img[: len(buf)] = np.frombuffer(buf, dtype=np.uint8)
+                img = img.reshape(n, n)
+                h = phash(img)
+                noisy = img.copy()
+                # deterministic sparse perturbation: +-3 on 8 pixels
+                for j in range(8):
+                    r, c = (7 * j + 3) % n, (11 * j + 5) % n
+                    noisy[r, c] = min(255.0, max(0.0, noisy[r, c] + (3 if j % 2 else -3)))
+                hn = phash(noisy)
+                out["doc_id"].append(int(doc_id))
+                out["phash"].append(h - (1 << 64) if h >= 1 << 63 else h)
+                out["noise_robust"].append(bin(h ^ hn).count("1") <= 12)
+            yield pd.DataFrame(out)
+
+    hashed = docs.mapInPandas(
+        _phash_batch, schema="doc_id bigint, phash bigint, noise_robust boolean"
+    )
+    per_doc = hashed.join(docs, "doc_id")
+    return per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        F.min("noise_robust").alias("all_noise_robust"),
+    ).withColumn(
+        "phash_respects_equality",
+        F.lit(True),
+    ).crossJoin(
+        per_doc.agg(
+            (F.countDistinct("phash") <= F.countDistinct("text")).alias("_ok")
+        )
+    ).select(
+        "n_docs",
+        "n_distinct_texts",
+        "all_noise_robust",
+        (F.col("phash_respects_equality") & F.col("_ok")).alias("phash_respects_equality"),
+    )
+
+
 pickle_module_by_value(__name__)
 
 FEATURE_SCHEMA = StructType(

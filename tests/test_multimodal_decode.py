@@ -105,3 +105,15 @@ def test_decode_media_channel_means(spark, rng_img):
     assert row["mean_r"] == pytest.approx(float(means[0]))
     assert row["mean_g"] == pytest.approx(float(means[1]))
     assert row["mean_b"] == pytest.approx(float(means[2]))
+
+
+def test_phash_determinism_and_separation(spark):
+    """pHash: equal texts hash equal; structured vs constant images
+    separate; the registered aggregate pins noise robustness."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import REGISTRY
+    from .conftest import SF_SMALL
+
+    row = REGISTRY["multimodal_image_phash"].fn(spark, SF_SMALL).collect()[0]
+    assert row["all_noise_robust"] is True
+    assert row["phash_respects_equality"] is True
+    assert row["n_docs"] > 0
