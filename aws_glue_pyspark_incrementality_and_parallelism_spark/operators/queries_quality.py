@@ -429,3 +429,81 @@ def expectation_suite(orders: DataFrame, cust: DataFrame) -> DataFrame:
         .unionByName(nonneg)
         .unionByName(domain)
     )
+
+
+@query(
+    "profile_dataset_card",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, text, lang, source,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    ), langs AS (
+        SELECT lang, COUNT(*) AS n FROM base GROUP BY lang
+    ), top_lang AS (
+        SELECT lang FROM langs ORDER BY n DESC, lang LIMIT 1
+    )
+    SELECT (SELECT COUNT(*) FROM base) AS n_docs,
+           (SELECT COUNT(DISTINCT source) FROM base) AS n_sources,
+           (SELECT COUNT(DISTINCT lang) FROM base) AS n_langs,
+           (SELECT lang FROM top_lang) AS top_lang,
+           (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM base) AS total_tokens,
+           (SELECT CAST(SUM(n_tokens) * 1000000 // COUNT(*) AS BIGINT) FROM base)
+               AS mean_tokens_micro,
+           (SELECT COUNT(*) - COUNT(DISTINCT fp) FROM base) AS n_exact_dups,
+           (SELECT CAST((COUNT(*) - COUNT(DISTINCT fp)) * 1000000 // COUNT(*)
+                        AS BIGINT) FROM base) AS dup_rate_micro
+    """,
+)
+def q_profile_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card for the document corpus — the summary every
+    training-data release ships: size, source/language mix, token
+    budget, and exact-duplicate rate, in a single composed plan.
+
+    Each statistic is an aggregate the pipeline already computes
+    somewhere (dedup fingerprints, token counts, language profile);
+    the card composes them as independent 1-row aggregates joined at
+    the end, so Spark runs them as parallel jobs over shared scan
+    stages. Ratios cross engines as exact integer micro-units. At
+    100 TB this is the cheap nightly observability artifact — every
+    branch is a partial-aggregated scan, no joins on fact rows, no
+    windows.
+    """
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("fp"),
+    )
+    top_lang = (
+        base.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("lang"))
+        .limit(1)
+        .select("lang")
+    )
+    core = base.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.expr("(SUM(n_tokens) * 1000000) div COUNT(*)")
+        .cast("bigint")
+        .alias("mean_tokens_micro"),
+        (F.count("*") - F.countDistinct("fp")).alias("n_exact_dups"),
+        F.expr("((COUNT(*) - COUNT(DISTINCT fp)) * 1000000) div COUNT(*)")
+        .cast("bigint")
+        .alias("dup_rate_micro"),
+    )
+    return core.crossJoin(F.broadcast(top_lang.withColumnRenamed("lang", "top_lang"))).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "top_lang",
+        "total_tokens",
+        "mean_tokens_micro",
+        "n_exact_dups",
+        "dup_rate_micro",
+    )

@@ -218,3 +218,103 @@ def q_events_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_matches.cast("int").alias("n_funnel_matches"),
         (n_matches > 0).alias("converted"),
     )
+
+
+@query(
+    "events_survival_nelson_aalen",
+    oracle="""
+    WITH bounds AS (
+        SELECT MAX(ts) AS t_end FROM events
+    ), users AS (
+        SELECT user_id,
+               MIN(ts) AS t0,
+               MIN(CASE WHEN event_type = 'error' THEN ts END) AS t_fail
+        FROM events GROUP BY user_id
+    ), spans AS (
+        SELECT user_id,
+               datediff('day', CAST(t0 AS DATE),
+                        CAST(COALESCE(t_fail, (SELECT t_end FROM bounds)) AS DATE))
+                   AS duration,
+               CASE WHEN t_fail IS NOT NULL THEN 1 ELSE 0 END AS observed
+        FROM users
+    ), per_day AS (
+        SELECT duration, COUNT(*) AS n_here, SUM(observed) AS d_events
+        FROM spans GROUP BY duration
+    ), risk AS (
+        SELECT duration, d_events,
+               SUM(n_here) OVER (ORDER BY duration DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n_at_risk
+        FROM per_day
+    ), hazard AS (
+        SELECT duration, CAST(d_events AS BIGINT) AS d_events, n_at_risk,
+               CAST(d_events * 1000000 // n_at_risk AS BIGINT) AS hazard_micro
+        FROM risk WHERE d_events > 0
+    )
+    SELECT duration AS day, d_events, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           hazard_micro,
+           CAST(SUM(hazard_micro) OVER (ORDER BY duration
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_hazard_micro
+    FROM hazard
+    ORDER BY day
+    """,
+)
+def q_events_survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator for time-to-first-error
+    per user (right-censored at the corpus end) — the survival-analysis
+    primitive behind churn/retention modeling, computed as pure
+    DataFrame algebra.
+
+    Every engine-crossing number is an exact integer: durations in
+    days, risk sets from a reverse-cumulative count, per-day hazards as
+    integer-div micro-units, and the cumulative hazard as an integer
+    running sum of those terms (Kaplan–Meier's product form would need
+    a float fold; Nelson–Aalen's sum form quantizes term-by-term —
+    same trick as the CUSUM operator).
+
+    Scale shape: one per-user aggregate collapses the fact table; the
+    life-table (per-duration) relation is O(distinct durations) — the
+    windows run on that tiny series. The censoring bound is a 1-row
+    broadcast aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(F.max("ts").alias("t_end"))
+    users = events.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias("t_fail"),
+    )
+    spans = users.crossJoin(F.broadcast(bounds)).select(
+        F.datediff(
+            F.coalesce(F.col("t_fail"), F.col("t_end")).cast("date"),
+            F.col("t0").cast("date"),
+        ).alias("duration"),
+        F.when(F.col("t_fail").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    per_day = spans.groupBy("duration").agg(
+        F.count("*").alias("n_here"), F.sum("observed").alias("d_events")
+    )
+    w_desc = Window.orderBy(F.desc("duration")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = per_day.select(
+        "duration",
+        "d_events",
+        F.sum("n_here").over(w_desc).alias("n_at_risk"),
+    ).filter(F.col("d_events") > 0)
+    hazard = risk.select(
+        "duration",
+        F.col("d_events").cast("bigint").alias("d_events"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.expr("(d_events * 1000000) div n_at_risk").cast("bigint").alias("hazard_micro"),
+    )
+    w_asc = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
+    return hazard.select(
+        F.col("duration").alias("day"),
+        "d_events",
+        "n_at_risk",
+        "hazard_micro",
+        F.sum("hazard_micro").over(w_asc).cast("bigint").alias("cum_hazard_micro"),
+    ).orderBy("day")
