@@ -772,3 +772,44 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("price_c").cast("bigint").alias("median_price_c"),
         )
     )
+
+
+@query(
+    "agg_log2_histogram",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        FROM orders
+    )
+    SELECT CAST(length(printf('%b', v)) AS BIGINT) AS bucket_log2,
+           COUNT(*) AS n,
+           CAST(MIN(v) AS BIGINT) AS lo_cents,
+           CAST(MAX(v) AS BIGINT) AS hi_cents
+    FROM cents
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential (HdrHistogram-style) value histogram: power-of-two
+    buckets over order totals in cents, bucket = bit length of the
+    integer value — floor(log2)+1 computed EXACTLY via binary-string
+    length on both engines, no float log anywhere.
+
+    The latency/price-distribution summary format: constant relative
+    error, fixed bucket count regardless of range, and buckets merge
+    across shards/windows by addition (same mergeability argument as
+    the CMS/HLL sketches). One partial-aggregated groupBy on a derived
+    integer key; bucket bounds emitted as exact min/max cents.
+    """
+    cents = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("v")
+    )
+    return (
+        cents.groupBy(F.length(F.bin(F.col("v"))).cast("bigint").alias("bucket_log2"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("v").cast("bigint").alias("lo_cents"),
+            F.max("v").cast("bigint").alias("hi_cents"),
+        )
+        .orderBy("bucket_log2")
+    )

@@ -318,3 +318,146 @@ def q_events_survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFram
         "hazard_micro",
         F.sum("hazard_micro").over(w_asc).cast("bigint").alias("cum_hazard_micro"),
     ).orderBy("day")
+
+
+@query(
+    "events_bot_burst_detect",
+    oracle="""
+    WITH buckets AS (
+        SELECT user_id,
+               epoch_us(ts) // 300000000 AS bucket5m,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ), peaks AS (
+        SELECT user_id, MAX(n) AS peak_5min,
+               CAST(SUM(n) AS BIGINT) AS total_events,
+               COUNT(*) AS active_buckets
+        FROM buckets GROUP BY user_id
+    )
+    SELECT user_id, peak_5min, total_events, active_buckets,
+           peak_5min >= 8 AS flagged_bot
+    FROM peaks
+    ORDER BY user_id
+    """,
+)
+def q_events_bot_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-rate bot heuristic: the peak 5-minute event count per user
+    (exact integer microsecond bucketing — the unix_micros rule, never
+    a float timestamp cast), flagged against a fixed rate threshold.
+
+    The abuse-filtering primitive of traffic pipelines. Two stacked
+    hash aggregates — (user, bucket) then user — both partial-agg
+    friendly; no windows, no joins, cardinality bounded by active
+    user-buckets. At 100 TB the first aggregate is the only fact-scan
+    pass and the threshold becomes a per-surface config.
+    """
+    events = load_table(spark, sf_dir, "events")
+    buckets = events.groupBy(
+        "user_id",
+        (F.unix_micros(F.col("ts")) / 300000000).cast("bigint").alias("bucket5m"),
+    ).agg(F.count("*").alias("n"))
+    return (
+        buckets.groupBy("user_id")
+        .agg(
+            F.max("n").alias("peak_5min"),
+            F.sum("n").cast("bigint").alias("total_events"),
+            F.count("*").alias("active_buckets"),
+        )
+        .select(
+            "user_id",
+            "peak_5min",
+            "total_events",
+            "active_buckets",
+            (F.col("peak_5min") >= 8).alias("flagged_bot"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_max_concurrent_sessions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), marks AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM ordered
+    ), sess AS (
+        SELECT user_id, session_seq,
+               MIN(ts) AS t_start, MAX(ts) AS t_end
+        FROM (
+            SELECT user_id, ts,
+                   SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM marks
+        )
+        GROUP BY user_id, session_seq
+    ), deltas AS (
+        SELECT epoch_us(t_start) AS at_us, 1 AS delta FROM sess
+        UNION ALL
+        SELECT epoch_us(t_end) + 1, -1 FROM sess
+    ), sweep AS (
+        SELECT at_us,
+               SUM(delta) OVER (ORDER BY at_us, delta
+                                ROWS UNBOUNDED PRECEDING) AS concurrent
+        FROM deltas
+    )
+    SELECT CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_sessions,
+           CAST(MAX(concurrent) AS BIGINT) AS max_concurrent
+    FROM sweep
+    """,
+)
+def q_events_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency over user sessions (30-min inactivity gap): the
+    +1/−1 boundary-sweep algorithm — explode each session into a start
+    (+1) and end (−1) delta, order the deltas, and the running sum's
+    maximum IS the peak number of simultaneously-open sessions.
+
+    Exactness: boundaries compare in integer microseconds; ends sort
+    at ``t_end + 1 µs`` with delta as the tie-break (ends before
+    starts at the same instant), so both engines walk the identical
+    sweep. Scale shape: sessionization is the standard per-user gap
+    window; the sweep runs on the COLLAPSED session-boundary relation
+    (2 rows per session). The final ordered cumsum is a classic
+    prefix-sum — at 100 TB it distributes exactly like
+    ``sample_systematic_every_k``'s bin-offset technique; here the
+    boundary relation is small enough that the single window
+    partition is the honest plan.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marks = events.withColumn("prev_ts", F.lag("ts").over(w_user)).withColumn(
+        "is_start",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts")) > 1800000000),
+            1,
+        ).otherwise(0),
+    )
+    w_cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = (
+        marks.withColumn("session_seq", F.sum("is_start").over(w_cum))
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("t_start"), F.max("ts").alias("t_end"))
+    )
+    deltas = sess.select(
+        F.unix_micros("t_start").alias("at_us"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select(
+            (F.unix_micros("t_end") + 1).alias("at_us"), F.lit(-1).alias("delta")
+        )
+    )
+    w_sweep = Window.orderBy("at_us", "delta").rowsBetween(Window.unboundedPreceding, 0)
+    sweep = deltas.withColumn("concurrent", F.sum("delta").over(w_sweep))
+    return sess.agg(F.count("*").cast("bigint").alias("n_sessions")).crossJoin(
+        sweep.agg(F.max("concurrent").cast("bigint").alias("max_concurrent"))
+    )
