@@ -307,3 +307,84 @@ def maintenance_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_keys"),
         F.sum("k").cast("bigint").alias("key_sum"),
     )
+
+
+@query(
+    "maintenance_cbo_stats",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM orders) AS n_rows,
+           (SELECT COUNT(DISTINCT o_orderstatus) FROM orders) AS ndv_status,
+           (SELECT CAST(MIN(o_orderkey) AS BIGINT) FROM orders) AS min_orderkey,
+           (SELECT CAST(MAX(o_orderkey) AS BIGINT) FROM orders) AS max_orderkey,
+           TRUE AS table_stats_present,
+           TRUE AS column_stats_present
+    """,
+)
+def maintenance_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE for the cost-based optimizer: register orders as a
+    catalog table, compute table + column statistics, and read them
+    back out of the catalog.
+
+    CBO join reordering and broadcast decisions are only as good as
+    catalog statistics; at 100 TB the nightly ANALYZE (or its
+    incremental per-partition variant) is standing maintenance exactly
+    like compaction. The emitted row count and orderkey min/max come
+    FROM THE CATALOG STATS (``DESCRIBE EXTENDED ... col``), so the
+    oracle adjudicates that ANALYZE recorded the truth — not merely
+    that the table still scans; the presence booleans pin that both
+    stats layers materialized.
+    """
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.mkdtemp(prefix="sgq_cbo_"), "orders")
+    table = f"sgq_cbo_orders_{run}"
+    from ..sources.io import load_table as _lt
+
+    (
+        _lt(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .option("path", base)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    spark.sql(
+        f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_orderstatus"
+    )
+
+    # table-level stats surface as the "Statistics" line ("X bytes, Y rows")
+    stats_rows = None
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if r[0] == "Statistics":
+            parts = r[1].split(",")
+            for p in parts:
+                p = p.strip()
+                if p.endswith("rows"):
+                    stats_rows = int(p.split()[0])
+    col = {
+        r[0]: r[1]
+        for r in spark.sql(f"DESCRIBE EXTENDED {table} o_orderkey").collect()
+    }
+    col_status = {
+        r[0]: r[1]
+        for r in spark.sql(f"DESCRIBE EXTENDED {table} o_orderstatus").collect()
+    }
+    table_stats_present = stats_rows is not None
+    column_stats_present = (
+        col.get("min") not in (None, "NULL")
+        and col.get("max") not in (None, "NULL")
+        and col_status.get("distinct_count") not in (None, "NULL")
+    )
+    ndv = int(col_status.get("distinct_count", "0"))
+    return spark.createDataFrame(
+        [
+            (
+                stats_rows if stats_rows is not None else -1,
+                ndv,
+                int(col.get("min", "-1")),
+                int(col.get("max", "-1")),
+                bool(table_stats_present),
+                bool(column_stats_present),
+            )
+        ],
+        "n_rows bigint, ndv_status bigint, min_orderkey bigint, max_orderkey bigint,"
+        " table_stats_present boolean, column_stats_present boolean",
+    )
