@@ -388,3 +388,101 @@ def maintenance_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, ndv_status bigint, min_orderkey bigint, max_orderkey bigint,"
         " table_stats_present boolean, column_stats_present boolean",
     )
+
+
+@query(
+    "maintenance_commit_log_replay",
+    oracle="""
+    SELECT 3 AS n_commits,
+           (SELECT COUNT(*) FROM orders) AS n_rows,
+           (SELECT CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+            FROM orders) AS sum_totalprice_cents,
+           TRUE AS snapshot_consistent,
+           TRUE AS removed_files_invisible
+    """,
+)
+def maintenance_commit_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse transaction log in miniature — the Delta/Iceberg commit
+    mechanism: a table is DEFINED by an ordered JSON action log
+    (add-file / remove-file), not by directory listing; readers replay
+    the log to resolve the live file set, which is what makes commits
+    atomic and time travel possible.
+
+    Three commits are written: (0) initial load of the low-price half
+    as 4 files, (1) append of the high-price half, (2) compaction that
+    REMOVES the 4 initial files and adds 1 rewritten file with the same
+    content — so the physical directory holds dead files and listing it
+    naively would double-count. The reader replays the log with one
+    last-action-per-path window, scans ONLY live files, and the oracle
+    adjudicates that the snapshot equals the full source table exactly
+    (row count + exact cents checksum, plus a both-direction anti-join
+    equality check). ``removed_files_invisible`` pins that dead files
+    exist on disk yet contribute no rows.
+
+    At 100 TB this is the metadata pattern that replaces listing: the
+    log is O(actions), resolves in one tiny window, and file-level
+    add/remove is what partition overwrite, compaction, and DELETE all
+    compile to.
+    """
+    import json as _json
+
+    root = tempfile.mkdtemp(prefix="sgq_txlog_")
+    data, logdir = os.path.join(root, "data"), os.path.join(root, "_log")
+    os.makedirs(data), os.makedirs(logdir)
+    orders = load_table(spark, sf_dir, "orders")
+
+    def _files(subdir: str) -> list[str]:
+        return sorted(parquet_files(os.path.join(data, subdir)))
+
+    def _commit(version: int, adds: list[str], removes: list[str]) -> None:
+        with open(os.path.join(logdir, f"{version:05d}.json"), "w") as fh:
+            for p in adds:
+                fh.write(_json.dumps({"action": "add", "path": p, "v": version}) + "\n")
+            for p in removes:
+                fh.write(_json.dumps({"action": "remove", "path": p, "v": version}) + "\n")
+
+    low = orders.filter(F.col("o_totalprice") <= 300000)
+    high = orders.filter(F.col("o_totalprice") > 300000)
+    low.repartition(4).write.mode("overwrite").parquet(os.path.join(data, "v0"))
+    _commit(0, _files("v0"), [])
+    high.write.mode("overwrite").parquet(os.path.join(data, "v1"))
+    _commit(1, _files("v1"), [])
+    # compaction: rewrite the 4 initial files as 1; old files stay on disk
+    spark.read.parquet(os.path.join(data, "v0")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(data, "v2"))
+    _commit(2, _files("v2"), _files("v0"))
+
+    from pyspark.sql.window import Window
+
+    log = spark.read.json(os.path.join(logdir, "*.json"))
+    last = (
+        log.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("path").orderBy(F.desc("v"), F.desc("action"))
+            ),
+        )
+        .filter((F.col("rn") == 1) & (F.col("action") == "add"))
+    )
+    live_files = [r["path"] for r in last.select("path").collect()]
+    n_commits = len(os.listdir(logdir))
+
+    snapshot = spark.read.parquet(*live_files)
+    diff = (
+        snapshot.join(orders, snapshot.columns, "left_anti").count()
+        + orders.join(snapshot, snapshot.columns, "left_anti").count()
+    )
+    dead_on_disk = set(parquet_files(data)) - set(live_files)
+    return snapshot.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_totalprice_cents"),
+    ).select(
+        F.lit(n_commits).alias("n_commits"),
+        "n_rows",
+        "sum_totalprice_cents",
+        F.lit(diff == 0).alias("snapshot_consistent"),
+        F.lit(len(dead_on_disk) > 0).alias("removed_files_invisible"),
+    )
