@@ -429,3 +429,78 @@ def test_weighted_reservoir_prefers_heavy_tiers(spark):
     assert all(sorted(x.rn for x in v) == [1, 2, 3] for v in by_source.values())
     tiers = [r.tier for r in rows]
     assert sum(tiers) / len(tiers) > 2.5, f"weighting had no effect: {tiers}"
+
+
+class TestSessionFeatureOps:
+    """Behavior pins for the feature-engineering batch (registry parity
+    covers cross-engine values; these pin the semantics directly)."""
+
+    def test_systematic_sample_exact_spacing(self, spark):
+        from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import (
+            REGISTRY,
+        )
+        from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import (
+            load_table,
+        )
+        from .conftest import SF_SMALL
+
+        got = sorted(
+            r.o_orderkey
+            for r in REGISTRY["sample_systematic_every_k"].fn(spark, SF_SMALL).collect()
+        )
+        all_keys = sorted(
+            r.o_orderkey
+            for r in load_table(spark, SF_SMALL, "orders").select("o_orderkey").collect()
+        )
+        assert got == all_keys[::97]
+
+    def test_loo_encoding_excludes_own_label(self, spark):
+        """On a hand-built frame the LOO encoding must equal
+        (sum - y) / (n - 1) per row, never the plain category mean."""
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 0), ("a", 0), ("b", 1), ("b", 1)], "category string, y int"
+        )
+        stats = df.groupBy("category").agg(
+            F.count("*").alias("n_cat"), F.sum("y").alias("sum_y")
+        )
+        enc = (
+            df.join(stats, "category")
+            .select(
+                "category",
+                "y",
+                F.expr("((sum_y - y) * 1000000) div (n_cat - 1)").alias("enc"),
+            )
+            .collect()
+        )
+        by = {(r.category, r.y): r.enc for r in enc}
+        assert by[("a", 1)] == 0  # other two a-rows are 0
+        assert by[("a", 0)] == 500000  # one positive of two others
+        assert by[("b", 1)] == 1000000  # the other b-row is positive
+
+    def test_bloom_reduction_counts_are_exact(self, spark):
+        from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import (
+            REGISTRY,
+        )
+        from .conftest import SF_SMALL
+
+        row = REGISTRY["join_bloom_semi_reduction"].fn(spark, SF_SMALL).collect()[0]
+        assert row.no_false_negatives is True
+        assert row.n_candidates == row.n_true_matches + row.n_false_positives
+
+    def test_concurrency_sweep_known_answer(self, spark):
+        """Three sessions, two overlapping: peak concurrency 2."""
+        import pyspark.sql.functions as F
+        from pyspark.sql.window import Window
+
+        sess = spark.createDataFrame(
+            [(1, 0, 100), (2, 50, 150), (3, 200, 300)],
+            "sid int, s long, e long",
+        )
+        deltas = sess.select(F.col("s").alias("at"), F.lit(1).alias("d")).unionByName(
+            sess.select((F.col("e") + 1).alias("at"), F.lit(-1).alias("d"))
+        )
+        w = Window.orderBy("at", "d").rowsBetween(Window.unboundedPreceding, 0)
+        peak = deltas.withColumn("c", F.sum("d").over(w)).agg(F.max("c")).collect()[0][0]
+        assert peak == 2
