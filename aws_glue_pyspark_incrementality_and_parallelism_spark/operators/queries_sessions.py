@@ -461,3 +461,74 @@ def q_events_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFr
     return sess.agg(F.count("*").cast("bigint").alias("n_sessions")).crossJoin(
         sweep.agg(F.max("concurrent").cast("bigint").alias("max_concurrent"))
     )
+
+
+@query(
+    "events_attribution_multitouch",
+    oracle="""
+    WITH conv AS (
+        SELECT user_id, event_id AS conv_id, epoch_us(ts) AS conv_us
+        FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT user_id, event_id AS touch_id, event_type, epoch_us(ts) AS touch_us
+        FROM events WHERE event_type IN ('click', 'view')
+    ), assigned AS (
+        SELECT c.conv_id, t.event_type,
+               COUNT(*) OVER (PARTITION BY c.conv_id) AS n_touches
+        FROM conv c JOIN touch t
+          ON c.user_id = t.user_id
+         AND t.touch_us < c.conv_us
+         AND t.touch_us >= c.conv_us - 604800000000
+    )
+    SELECT event_type,
+           COUNT(*) AS n_touchpoints,
+           COUNT(DISTINCT conv_id) AS n_conversions_touched,
+           CAST(SUM(1000000 // n_touches) AS BIGINT) AS credit_micro
+    FROM assigned
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click/view in the 7 days
+    before a purchase shares that conversion's credit equally; credit
+    totals per channel come out in exact integer micro-units
+    (1e6 div n_touches — both engines integer-divide, so the tiny
+    rounding loss is identical and cross-checkable).
+
+    Scale shape: the conversion⋈touch pairing is a per-user interval
+    join — equi on user_id, range on the 7-day window — so the shuffle
+    key is the user and the per-key pairing is bounded by per-user
+    activity (the same keyed-interval shape as the as-of join and
+    stream-stream attribution queries, here in batch form with an
+    exact oracle). The per-conversion touch count is a window over the
+    paired relation, then one small aggregate per channel.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    conv = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("conv_id"),
+        F.unix_micros("ts").alias("conv_us"),
+    )
+    touch = events.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        "event_type",
+        F.unix_micros("ts").alias("touch_us"),
+    )
+    assigned = conv.join(
+        touch,
+        (F.col("c_user") == F.col("t_user"))
+        & (F.col("touch_us") < F.col("conv_us"))
+        & (F.col("touch_us") >= F.col("conv_us") - 604800000000),
+    ).withColumn("n_touches", F.count("*").over(Window.partitionBy("conv_id")))
+    return (
+        assigned.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_touchpoints"),
+            F.countDistinct("conv_id").alias("n_conversions_touched"),
+            F.sum(F.expr("1000000 div n_touches")).cast("bigint").alias("credit_micro"),
+        )
+        .orderBy("event_type")
+    )
