@@ -1128,3 +1128,62 @@ def q_ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "sql_scripting_adaptive_threshold",
+    oracle="""
+    WITH total AS (
+        SELECT COUNT(*) // 10 AS target FROM orders
+    ), cand AS (
+        SELECT 100000.0 * g AS thr FROM generate_series(0, 100) t(g)
+    ), counts AS (
+        SELECT thr,
+               (SELECT COUNT(*) FROM orders WHERE o_totalprice > thr) AS cnt
+        FROM cand
+    ), chosen AS (
+        SELECT thr, cnt FROM counts, total
+        WHERE cnt <= target
+        ORDER BY thr LIMIT 1
+    )
+    SELECT CAST(thr AS DOUBLE) AS threshold,
+           CAST(cnt AS BIGINT) AS n_above,
+           (SELECT CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+            FROM orders, chosen WHERE o_totalprice > chosen.thr) AS revenue_cents
+    FROM chosen
+    """,
+)
+def q_sql_scripting_adaptive_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting (BEGIN/DECLARE/WHILE): an adaptive
+    threshold search written as a PROCEDURE — raise the price cutoff in
+    fixed steps until at most 10% of orders qualify, then report the
+    qualifying tier.
+
+    The procedural surface matters for ETL parity: stored-procedure
+    migrations land as exactly this shape (loop + scalar SET + final
+    SELECT), and Spark 4 executes it natively in one session with the
+    loop state driver-side and every iteration a full declarative
+    query. The oracle states the loop's FIXED POINT closed-form (the
+    smallest step multiple whose selectivity meets the target), so the
+    driver adjudicates that the iteration converged to the right
+    answer, not just that it ran.
+    """
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    path = f"{sf_dir}/orders.parquet"
+    return spark.sql(f"""
+    BEGIN
+      DECLARE target BIGINT DEFAULT 0;
+      DECLARE thr DOUBLE DEFAULT 0;
+      DECLARE cnt BIGINT DEFAULT 0;
+      SET target = (SELECT COUNT(*) DIV 10 FROM parquet.`{path}`);
+      SET cnt = (SELECT COUNT(*) FROM parquet.`{path}` WHERE o_totalprice > thr);
+      WHILE cnt > target DO
+        SET thr = thr + 100000;
+        SET cnt = (SELECT COUNT(*) FROM parquet.`{path}` WHERE o_totalprice > thr);
+      END WHILE;
+      SELECT thr AS threshold,
+             cnt AS n_above,
+             (SELECT CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+              FROM parquet.`{path}` WHERE o_totalprice > thr) AS revenue_cents;
+    END
+    """)
