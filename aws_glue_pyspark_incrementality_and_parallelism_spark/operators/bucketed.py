@@ -135,3 +135,65 @@ def q_join_bucketed_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("join_is_shuffle_free", F.lit(shuffle_free))
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "join_dpp_partitioned_fact",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           TRUE AS dpp_in_plan
+    FROM orders
+    WHERE year(o_orderdate) = (SELECT MIN(year(o_orderdate)) + 1 FROM orders)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_join_dpp_partitioned_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end-to-end: write orders partitioned by
+    year, join against a filtered one-row dim on the PARTITION column,
+    and verify both the result AND that Catalyst injected the runtime
+    pruning subquery into the fact scan.
+
+    At 100 TB this plan shape is the difference between scanning the
+    whole lake and scanning the one partition the dim filter selects —
+    the fact side's partition list is resolved at RUNTIME from the
+    dim's rows, which static pushdown cannot do. ``dpp_in_plan`` is
+    computed from the real physical plan (same mechanism as the
+    bucketed join's shuffle audit); the dim holds min_year+1 so the
+    probe year exists at every SF.
+    """
+    base = tempfile.mkdtemp(prefix="sgq_dpp_")
+    path = f"{base}/orders_by_year"
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    orders.write.partitionBy("o_year").mode("overwrite").parquet(path)
+    probe_year = (
+        orders.agg((F.min("o_year") + 1).alias("y")).collect()[0]["y"]
+    )
+    fact = spark.read.parquet(path)
+    # DPP requires a FILTERED build side (the runtime subquery reuses the
+    # dim filter); an unfiltered literal relation does not qualify
+    dim = spark.createDataFrame(
+        [(int(probe_year), "keep"), (int(probe_year) + 1, "drop")],
+        "d_year int, tag string",
+    ).filter(F.col("tag") == "keep")
+    joined = fact.join(F.broadcast(dim), fact.o_year == dim.d_year)
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = joined._jdf.queryExecution().explainString(mode)
+    dpp = "dynamicpruning" in plan.lower()
+
+    return (
+        joined.groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .withColumn("dpp_in_plan", F.lit(dpp))
+        .orderBy("o_year")
+    )
