@@ -51,6 +51,10 @@ def tar_write(members: list[tuple[str, bytes]]) -> bytes:
         nb = name.encode("utf-8")
         if len(nb) > 100:
             raise ValueError(f"member name too long for ustar: {name!r}")
+        if len(payload) > 0o77777777777:  # 11 octal digits = 8 GiB - 1
+            raise ValueError(
+                f"payload too large for a ustar size field: {len(payload)} bytes"
+            )
         hdr = bytearray(_BLOCK)
         hdr[0 : len(nb)] = nb  # name
         hdr[100:108] = b"0000644\x00"  # mode
@@ -91,6 +95,11 @@ def tar_members(buf: bytes) -> list[tuple[str, bytes]]:
         if stored != actual:
             raise ValueError(f"tar header checksum mismatch at offset {off}")
         name = hdr[0:100].split(b"\x00")[0].decode("utf-8")
+        # USTAR prefix field (bytes 345-500): long paths split as
+        # prefix '/' name — honor it so spec-valid archives round-trip
+        prefix = hdr[345:500].split(b"\x00")[0].decode("utf-8")
+        if prefix:
+            name = f"{prefix}/{name}"
         size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
         typeflag = hdr[156:157]
         data_off = off + _BLOCK

@@ -373,14 +373,22 @@ def maintenance_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         and col.get("max") not in (None, "NULL")
         and col_status.get("distinct_count") not in (None, "NULL")
     )
-    ndv = int(col_status.get("distinct_count", "0"))
+    def _int_or(v: str | None, default: int) -> int:
+        # DESCRIBE reports missing stats as the literal string "NULL":
+        # surface the designed sentinel instead of crashing on int()
+        try:
+            return int(v)
+        except (TypeError, ValueError):
+            return default
+
+    ndv = _int_or(col_status.get("distinct_count"), -1)
     return spark.createDataFrame(
         [
             (
                 stats_rows if stats_rows is not None else -1,
                 ndv,
-                int(col.get("min", "-1")),
-                int(col.get("max", "-1")),
+                _int_or(col.get("min"), -1),
+                _int_or(col.get("max"), -1),
                 bool(table_stats_present),
                 bool(column_stats_present),
             )

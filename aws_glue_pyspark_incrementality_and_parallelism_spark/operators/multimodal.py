@@ -126,23 +126,21 @@ def q_multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = docs.mapInPandas(
         _phash_batch, schema="doc_id bigint, phash bigint, noise_robust boolean"
     )
-    per_doc = hashed.join(docs, "doc_id")
-    return per_doc.agg(
+    # ONE pass over the DCT output; the distinct-text count comes from a
+    # separate cheap scan of docs (never re-running the hashing stage)
+    hash_stats = hashed.agg(
         F.count("*").alias("n_docs"),
-        F.countDistinct("text").alias("n_distinct_texts"),
+        F.countDistinct("phash").alias("n_distinct_phashes"),
         F.min("noise_robust").alias("all_noise_robust"),
-    ).withColumn(
-        "phash_respects_equality",
-        F.lit(True),
-    ).crossJoin(
-        per_doc.agg(
-            (F.countDistinct("phash") <= F.countDistinct("text")).alias("_ok")
-        )
-    ).select(
+    )
+    text_stats = docs.agg(F.countDistinct("text").alias("n_distinct_texts"))
+    return hash_stats.crossJoin(F.broadcast(text_stats)).select(
         "n_docs",
         "n_distinct_texts",
         "all_noise_robust",
-        (F.col("phash_respects_equality") & F.col("_ok")).alias("phash_respects_equality"),
+        (F.col("n_distinct_phashes") <= F.col("n_distinct_texts")).alias(
+            "phash_respects_equality"
+        ),
     )
 
 

@@ -961,7 +961,8 @@ def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM arms
     )
     SELECT n_a, CAST(x_a AS BIGINT) AS x_a, n_b, CAST(x_b AS BIGINT) AS x_b,
-           CAST(CASE WHEN n_a * n_b * (x_a + x_b) * (n_a + n_b - x_a - x_b) = 0
+           CAST(CASE WHEN CAST(n_a AS HUGEINT) * n_b * (x_a + x_b)
+                          * (n_a + n_b - x_a - x_b) = 0
                 THEN -1
                 ELSE (CAST(x_a * n_b - x_b * n_a AS HUGEINT)
                       * CAST(x_a * n_b - x_b * n_a AS HUGEINT)
@@ -1022,7 +1023,8 @@ def q_ab_test_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x_b",
         F.expr(
             """
-            CAST(CASE WHEN n_a * n_b * (x_a + x_b) * (n_a + n_b - x_a - x_b) = 0
+            CAST(CASE WHEN CAST(n_a AS DECIMAL(38,0)) * n_b * (x_a + x_b)
+                           * (n_a + n_b - x_a - x_b) = 0
                  THEN -1
                  ELSE (CAST(x_a * n_b - x_b * n_a AS DECIMAL(38,0))
                        * CAST(x_a * n_b - x_b * n_a AS DECIMAL(38,0))
@@ -1168,8 +1170,10 @@ def q_sql_scripting_adaptive_threshold(spark: SparkSession, sf_dir: str) -> Data
     driver adjudicates that the iteration converged to the right
     answer, not just that it ran.
     """
+    from ..sources.io import table_path
+
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    path = f"{sf_dir}/orders.parquet"
+    path = table_path(sf_dir, "orders")
     return spark.sql(f"""
     BEGIN
       DECLARE target BIGINT DEFAULT 0;

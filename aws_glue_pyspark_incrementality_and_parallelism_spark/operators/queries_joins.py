@@ -632,22 +632,36 @@ def q_join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fact = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     fact_pairs = fact.distinct()
-    probed = (
-        positions(fact_pairs, "l_suppkey")
-        .withColumn("bloom_words", warr)
-        .withColumn(
-            "hit",
-            F.expr(
-                "shiftrightunsigned(element_at(bloom_words,"
-                " CAST(p div 32 AS INT) + 1), CAST(p % 32 AS INT)) % 2 = 1"
-            ),
+    # the probe is a per-row conjunction of 3 bit tests against the word
+    # literal — a single map-side expression, NOT an explode + re-group
+    # (the lanes depend only on the row's own key and the 32 literal
+    # words, so no second shuffle of the pair relation is needed)
+
+    def _lane_hit(lane: int):
+        p = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(lane), F.col("l_suppkey"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1024
         )
-        .drop("bloom_words")
-    )
+        return F.expr(
+            "shiftrightunsigned(element_at(bloom_words,"
+            f" CAST({'p%d' % lane} div 32 AS INT) + 1),"
+            f" CAST({'p%d' % lane} % 32 AS INT)) % 2 = 1"
+        ), p
+
+    probed = fact_pairs.withColumn("bloom_words", warr)
+    hit_exprs = []
+    for lane in range(3):
+        expr, p = _lane_hit(lane)
+        probed = probed.withColumn(f"p{lane}", p)
+        hit_exprs.append(expr)
     hits = (
-        probed.groupBy("l_orderkey", "l_suppkey")
-        .agg(F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("nhit"))
-        .filter(F.col("nhit") == 3)
+        probed.filter(hit_exprs[0] & hit_exprs[1] & hit_exprs[2])
         .select("l_orderkey", "l_suppkey")
     )
     true_matches = hits.join(F.broadcast(keys), hits.l_suppkey == keys.s_suppkey, "left_semi")

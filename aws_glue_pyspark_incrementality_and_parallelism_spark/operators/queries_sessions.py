@@ -378,11 +378,11 @@ def q_events_bot_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_max_concurrent_sessions",
     oracle="""
     WITH ordered AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         FROM events
     ), marks AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN prev_ts IS NULL
                          OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                     THEN 1 ELSE 0 END AS is_start
@@ -392,7 +392,7 @@ def q_events_bot_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(ts) AS t_start, MAX(ts) AS t_end
         FROM (
             SELECT user_id, ts,
-                   SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                   SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                        ROWS UNBOUNDED PRECEDING) AS session_seq
             FROM marks
         )

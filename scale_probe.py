@@ -185,7 +185,14 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
-    todo = [q for q in QUERIES if q in set(only.split(","))] if only else QUERIES
+    if only:
+        wanted = set(only.split(","))
+        unknown = wanted - set(QUERIES)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_PROBE_ONLY names not in QUERIES: {sorted(unknown)}")
+        todo = [q for q in QUERIES if q in wanted]
+    else:
+        todo = QUERIES
 
     worst = 0.0
     for name in todo:

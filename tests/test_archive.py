@@ -74,3 +74,25 @@ def test_shard_pack_unpack_corpus(spark):
     # shard ids follow the pure assignment expression
     got = sorted(r.shard_id for r in shards.select("shard_id").collect())
     assert got == sorted({i // 64 for i in range(n_docs)})
+
+
+def test_ustar_prefix_long_paths():
+    """Spec-valid USTAR long paths (prefix field) must round-trip; the
+    stdlib writer splits >100-char paths into prefix + name."""
+    long_name = "/".join(["deeply"] * 20) + "/member.txt"  # > 100 chars
+    assert len(long_name) > 100
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        info = tarfile.TarInfo(long_name)
+        info.size = 4
+        tf.addfile(info, io.BytesIO(b"data"))
+    assert tar_members(buf.getvalue()) == [(long_name, b"data")]
+
+
+def test_oversized_payload_rejected():
+    class FakeBytes(bytes):
+        def __len__(self):
+            return 8 * 2**30  # 8 GiB: one past the 11-octal-digit field
+
+    with pytest.raises(ValueError, match="payload too large"):
+        tar_write([("big.txt", FakeBytes())])
