@@ -813,3 +813,80 @@ def q_agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_log2")
     )
+
+
+@query(
+    "agg_abc_classification",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+        SELECT l_partkey, cents,
+               SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_cents,
+               SUM(cents) OVER () AS total_cents
+        FROM rev
+    ), classed AS (
+        SELECT CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+                    WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               cents
+        FROM ranked
+    )
+    SELECT abc_class, COUNT(*) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def q_agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: rank parts by revenue,
+    class A carries the first 80% of cumulative revenue, B to 95%, C
+    the tail — the procurement/catalog-curation standard.
+
+    Exactness: revenue in integer cents; the class boundaries compare
+    ``cum*100 <= total*80`` by cross-multiplication, so no percentage
+    division crosses the engines; the cumulative order is total
+    (revenue desc, partkey). Scale shape: one fact-table aggregate
+    collapses to O(parts); the ranking window runs on that collapsed
+    relation. The single-partition window over parts is the honest
+    plan at catalog sizes (millions of rows); at larger scale the
+    same bin-offset prefix-sum as ``sample_systematic_every_k``
+    distributes it.
+    """
+    from pyspark.sql.window import Window
+
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    w_cum = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum_cents"),
+        F.sum("cents").over(w_all).alias("total_cents"),
+    )
+    classed = ranked.select(
+        F.when(F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("abc_class")
+    )

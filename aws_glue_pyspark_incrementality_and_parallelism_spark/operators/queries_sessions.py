@@ -532,3 +532,67 @@ def q_events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ), days AS (
+        SELECT DISTINCT day FROM du
+    ), wau AS (
+        SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+        FROM days d JOIN du u
+          ON u.day <= d.day AND u.day > d.day - 7
+        GROUP BY d.day
+    ), dau AS (
+        SELECT day, COUNT(*) AS dau FROM du GROUP BY day
+    )
+    SELECT d.day, dau.dau, wau.wau,
+           CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_micro
+    FROM days d JOIN dau USING (day) JOIN wau ON wau.day = d.day
+    ORDER BY d.day
+    """,
+)
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness (DAU÷WAU) per day — the
+    product-analytics headline metrics, computed without a distinct-
+    over-range window (which Spark cannot partial-aggregate).
+
+    Rewrite: collapse to the DISTINCT (day, user) relation first —
+    THE standard trick; everything after runs on |days|×|actives|,
+    never raw events — then the trailing-7-day active set is a
+    days⋈(day,user) range join bounded by 7 rows per active-day pair.
+    Stickiness crosses engines in exact integer micro-units. At 100 TB
+    the (day,user) relation is the persisted daily-actives table every
+    metrics stack materializes; the range join's fan-out is a constant
+    (the window length), so cost stays linear in actives.
+    """
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    d, u = days.alias("d"), du.alias("u")
+    wau = (
+        d.join(
+            u,
+            (F.col("u.day") <= F.col("d.day"))
+            & (F.col("u.day") > F.date_sub(F.col("d.day"), 7)),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("(dau * 1000000) div wau").cast("bigint").alias("stickiness_micro"),
+        )
+        .orderBy("day")
+    )
