@@ -890,3 +890,62 @@ def q_agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@query(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT s.s_nationkey AS nation, l.l_suppkey,
+               SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ), mkt AS (
+        SELECT nation,
+               COUNT(*) AS n_suppliers,
+               SUM(cents) AS total,
+               SUM(CAST(cents AS HUGEINT) * cents) AS sum_sq
+        FROM rev GROUP BY nation
+    )
+    SELECT nation, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(total AS BIGINT) AS revenue_cents,
+           CAST(sum_sq * 1000000 // (CAST(total AS HUGEINT) * total) AS BIGINT)
+               AS hhi_micro
+    FROM mkt ORDER BY nation
+    """,
+)
+def q_agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index per nation:
+    HHI = Σ share_i² over each nation's supplier revenue shares —
+    the antitrust/market-structure gauge (1e6 micro = monopoly).
+
+    Share division never happens: HHI = Σc_i² / (Σc_i)² by algebra, so
+    both engines exchange one integer ratio per market (HUGEINT /
+    DECIMAL(38,0) products — cents² sums overflow int64 by design,
+    the same widening as the z-test). Two stacked aggregates: fact →
+    (nation, supplier), then (nation); the supplier join broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    mkt = rev.groupBy("nation").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum("cents").cast("bigint").alias("total"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("sum_sq"),
+    )
+    return mkt.select(
+        "nation",
+        "n_suppliers",
+        F.col("total").alias("revenue_cents"),
+        F.expr(
+            "CAST((sum_sq * 1000000) div (CAST(total AS DECIMAL(38,0)) * total) AS BIGINT)"
+        ).alias("hhi_micro"),
+    ).orderBy("nation")

@@ -404,3 +404,83 @@ def q_window_sliding_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rn") >= 5)
         .drop("rn")
     )
+
+
+@query(
+    "window_rolling_ols_slope",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) // 60000000 AS x,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y,
+               ROW_NUMBER() OVER w AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_user
+        FROM events WHERE event_type = 'click'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sums AS (
+        SELECT user_id, event_id, rn,
+               SUM(x)     OVER f AS sx,
+               SUM(y)     OVER f AS sy,
+               SUM(x * y) OVER f AS sxy,
+               SUM(x * x) OVER f AS sxx
+        FROM pts
+        WINDOW f AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CAST(10 * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(10 * sxx - sx * sx AS BIGINT) AS slope_den
+    FROM sums WHERE rn >= 10
+    ORDER BY user_id, event_id
+    """,
+)
+def q_window_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling least-squares trend per user: the OLS slope over the
+    trailing 10 clicks, carried as the EXACT integer fraction
+    (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) — no float regression anywhere.
+
+    x is the integer minute index, y the micro-quantized value, so all
+    four frame sums are int64 window aggregates (partial-friendly
+    rows-frames) and the closed-form slope needs only products of
+    those sums. Warm-up rows (rn < 10) are dropped so every frame is
+    exactly 10 points. The streaming-feature shape: per-key rolling
+    state of O(frame), linear in events, and the emitted fraction
+    defers division to the consumer (exactly how feature stores avoid
+    baking rounding into stored features).
+    """
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            (F.unix_micros("ts") / 60000000).cast("bigint").alias("x"),
+            F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint").alias("y"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    f = w.rowsBetween(-9, 0)
+    sums = pts.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.sum("x").over(f).alias("sx"),
+        F.sum("y").over(f).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(f).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(f).alias("sxx"),
+    )
+    return (
+        sums.filter(F.col("rn") >= 10)
+        .select(
+            "user_id",
+            "event_id",
+            (F.lit(10) * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("bigint")
+            .alias("slope_num"),
+            (F.lit(10) * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("bigint")
+            .alias("slope_den"),
+        )
+        .orderBy("user_id", "event_id")
+    )
