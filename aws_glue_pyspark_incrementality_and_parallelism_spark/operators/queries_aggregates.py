@@ -949,3 +949,93 @@ def q_agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((sum_sq * 1000000) div (CAST(total AS DECIMAL(38,0)) * total) AS BIGINT)"
         ).alias("hhi_micro"),
     ).orderBy("nation")
+
+
+@query(
+    "agg_bootstrap_ci",
+    oracle="""
+    WITH w AS (
+        SELECT b.b, o.o_orderkey,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(('0x' || substr(md5(CAST(b.b AS VARCHAR) || ':'
+                                        || CAST(o.o_orderkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 4 AS wt
+        FROM orders o, (SELECT unnest(range(0, 100)) AS b) b
+    ), reps AS (
+        SELECT b,
+               CAST(SUM(wt * cents) // SUM(wt) AS BIGINT) AS est_cents
+        FROM w GROUP BY b HAVING SUM(wt) > 0
+    ), ranked AS (
+        SELECT est_cents,
+               ROW_NUMBER() OVER (ORDER BY est_cents, b) AS rn,
+               COUNT(*) OVER () AS n
+        FROM reps
+    )
+    SELECT (SELECT CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        // COUNT(*) AS BIGINT) FROM orders) AS point_cents,
+           (SELECT est_cents FROM ranked WHERE rn = 5) AS ci_lo_cents,
+           (SELECT est_cents FROM ranked WHERE rn = 95) AS ci_hi_cents,
+           (SELECT CAST(n AS BIGINT) FROM ranked LIMIT 1) AS n_replicates,
+           TRUE AS ci_brackets_point
+    """,
+)
+def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean order value without
+    resampling passes: the one-scan Poisson-bootstrap (each row joins
+    each of 100 replicates with an md5-derived integer weight in
+    {0..3}, E[w]≈1.5), replicate means in exact integer cents, the CI
+    from order statistics of the replicate distribution.
+
+    This is THE distributed-uncertainty technique (bag of little
+    bootstraps' cousin): no per-replicate data pass, one explode +
+    one groupBy; weights are deterministic md5 so both engines build
+    the IDENTICAL 100 replicates and the driver adjudicates the
+    interval exactly. ``ci_brackets_point`` pins the sanity invariant
+    computed from the real values. At 100 TB the replicate dimension
+    rides the scan (B× map-side rows into a 100-row aggregate) — no
+    shuffle grows with B beyond the tiny replicate relation.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    b = F.explode(F.sequence(F.lit(0), F.lit(99))).alias("b")
+    w = orders.select("o_orderkey", "cents", b).withColumn(
+        "wt",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("b"), F.col("o_orderkey"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 4,
+    )
+    reps = (
+        w.groupBy("b")
+        .agg(
+            F.sum(F.col("wt") * F.col("cents")).alias("swc"),
+            F.sum("wt").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select("b", F.expr("swc div sw").cast("bigint").alias("est_cents"))
+    )
+    from pyspark.sql.window import Window
+
+    ranked = reps.select(
+        "est_cents",
+        F.row_number().over(Window.orderBy("est_cents", "b")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    point = orders.agg(
+        F.expr("CAST(SUM(cents) div COUNT(*) AS BIGINT)").alias("point_cents")
+    )
+    lo = ranked.filter(F.col("rn") == 5).select(F.col("est_cents").alias("ci_lo_cents"))
+    hi = ranked.filter(F.col("rn") == 95).select(F.col("est_cents").alias("ci_hi_cents"))
+    n = ranked.limit(1).select(F.col("n").cast("bigint").alias("n_replicates"))
+    out = point.crossJoin(lo).crossJoin(hi).crossJoin(n)
+    return out.withColumn(
+        "ci_brackets_point",
+        (F.col("ci_lo_cents") <= F.col("point_cents"))
+        & (F.col("point_cents") <= F.col("ci_hi_cents")),
+    )
