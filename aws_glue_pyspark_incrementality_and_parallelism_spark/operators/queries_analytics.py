@@ -1191,3 +1191,68 @@ def q_sql_scripting_adaptive_threshold(spark: SparkSession, sf_dir: str) -> Data
               FROM parquet.`{path}` WHERE o_totalprice > thr) AS revenue_cents;
     END
     """)
+
+
+@query(
+    "ts_weekday_seasonality_index",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS rev
+        FROM events GROUP BY 1
+    ), wd AS (
+        SELECT CAST(dayofweek(day) AS INT) AS weekday,
+               COUNT(*) AS n_days, SUM(rev) AS rev
+        FROM daily GROUP BY 1
+    ), tot AS (
+        SELECT SUM(n_days) AS all_days, SUM(rev) AS all_rev FROM wd
+    )
+    SELECT weekday, CAST(n_days AS BIGINT) AS n_days,
+           CAST(rev AS BIGINT) AS rev_micro,
+           CAST((CAST(rev AS HUGEINT) * all_days * 1000000)
+                // (CAST(all_rev AS HUGEINT) * n_days) AS BIGINT)
+               AS seasonal_index_micro
+    FROM wd, tot
+    ORDER BY weekday
+    """,
+)
+def q_ts_weekday_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality index: each weekday's average daily volume
+    relative to the overall daily average (1e6 micro = exactly
+    average) — the multiplicative seasonal profile demand forecasting
+    starts from.
+
+    index = (rev_wd / n_days_wd) / (rev_all / n_days_all), computed by
+    cross-multiplication as ONE widened integer ratio so no division
+    crosses the engines. Two collapse aggregates (fact → day →
+    weekday) then a 7-row broadcast of the totals. DuckDB's
+    ``dayofweek`` (0=Sunday) matches Spark's ``dayofweek - 1``.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")).alias(
+                "rev"
+            )
+        )
+    )
+    wd = daily.groupBy(
+        (F.dayofweek("day") - 1).cast("int").alias("weekday")
+    ).agg(F.count("*").cast("bigint").alias("n_days"), F.sum("rev").alias("rev"))
+    tot = wd.agg(
+        F.sum("n_days").alias("all_days"), F.sum("rev").alias("all_rev")
+    )
+    return (
+        wd.crossJoin(F.broadcast(tot))
+        .select(
+            "weekday",
+            "n_days",
+            F.col("rev").cast("bigint").alias("rev_micro"),
+            F.expr(
+                "CAST((CAST(rev AS DECIMAL(38,0)) * all_days * 1000000)"
+                " div (CAST(all_rev AS DECIMAL(38,0)) * n_days) AS BIGINT)"
+            ).alias("seasonal_index_micro"),
+        )
+        .orderBy("weekday")
+    )
