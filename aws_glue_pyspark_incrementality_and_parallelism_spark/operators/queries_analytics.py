@@ -1256,3 +1256,81 @@ def q_ts_weekday_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("weekday")
     )
+
+
+@query(
+    "agg_chi_square_independence",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id % 5 AS cohort, event_type, COUNT(*) AS o
+        FROM events GROUP BY 1, 2
+    ), margins AS (
+        SELECT cohort, SUM(o) AS row_n FROM obs GROUP BY cohort
+    ), cols AS (
+        SELECT event_type, SUM(o) AS col_n FROM obs GROUP BY event_type
+    ), tot AS (
+        SELECT SUM(o) AS n FROM obs
+    ), terms AS (
+        SELECT obs.cohort, obs.event_type,
+               -- chi2 cell term scaled by 1e6:
+               -- (O*n - row*col)^2 * 1e6 / (row * col * n)
+               CAST((CAST(obs.o AS HUGEINT) * n - CAST(row_n AS HUGEINT) * col_n)
+                    * (CAST(obs.o AS HUGEINT) * n - CAST(row_n AS HUGEINT) * col_n)
+                    * 1000000
+                    // (CAST(row_n AS HUGEINT) * col_n * n) AS BIGINT) AS term_scaled
+        FROM obs JOIN margins USING (cohort)
+                 JOIN cols USING (event_type)
+                 CROSS JOIN tot
+    )
+    SELECT COUNT(*) AS n_cells,
+           CAST(SUM(term_scaled) AS BIGINT) AS chi2_x_n_micro
+    FROM terms
+    """,
+)
+def q_agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence test between user cohort and event type
+    over the contingency table, with every engine-crossing value an
+    exact integer.
+
+    Algebra: the cell term (O−E)²/E with E = row·col/n equals
+    (O·n − row·col)² / (row·col·n); the emitted statistic is χ²·n in
+    micro-units — each cell term integer-divides in HUGEINT/DECIMAL
+    then the terms integer-sum, so no float enters the comparison
+    (same deferred-division discipline as the z-test and HHI).
+    Headroom note: (O·n − row·col)² needs ~4 digits beyond 2·log₁₀(n),
+    so DECIMAL(38,0)/HUGEINT carries corpora to ~10⁸ events per
+    contingency table; beyond that, compute the diff once, divide by
+    row·col first, or carry the cell terms as DOUBLE with this exact
+    expression order (the diff stays exactly representable to 2⁵³).
+    Scale shape: one fact-table aggregate collapses to O(cohorts×types)
+    cells; margins and the total are aggregates OF the cell relation
+    (the fact table is scanned once); everything downstream is tiny
+    broadcast joins.
+    """
+    obs = (
+        load_table(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 5).alias("cohort"), "event_type")
+        .agg(F.count("*").alias("o"))
+    )
+    margins = obs.groupBy("cohort").agg(F.sum("o").alias("row_n"))
+    cols = obs.groupBy("event_type").agg(F.sum("o").alias("col_n"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    terms = (
+        obs.join(F.broadcast(margins), "cohort")
+        .join(F.broadcast(cols), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                """
+                CAST((CAST(o AS DECIMAL(38,0)) * n - CAST(row_n AS DECIMAL(38,0)) * col_n)
+                     * (CAST(o AS DECIMAL(38,0)) * n - CAST(row_n AS DECIMAL(38,0)) * col_n)
+                     * 1000000
+                     div (CAST(row_n AS DECIMAL(38,0)) * col_n * n) AS BIGINT)
+                """
+            ).alias("term_scaled")
+        )
+    )
+    return terms.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("term_scaled").cast("bigint").alias("chi2_x_n_micro"),
+    )
