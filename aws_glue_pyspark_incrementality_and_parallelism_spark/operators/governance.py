@@ -201,3 +201,66 @@ def q_sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "privacy_dp_noisy_counts",
+    oracle="""
+    WITH counts AS (
+        SELECT c_nationkey AS nation, COUNT(*) AS true_n
+        FROM customer GROUP BY c_nationkey
+    ), noise AS (
+        SELECT nation, true_n,
+               -- uniform in (0,1): md5-lane u32 scaled; never exactly 0
+               (CAST(('0x' || substr(md5('dp:' || CAST(nation AS VARCHAR)), 1, 8))
+                     AS BIGINT) + 1) / 4294967297.0 AS u
+        FROM counts
+    )
+    SELECT nation, CAST(true_n AS BIGINT) AS true_n,
+           CAST(floor(
+               true_n + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+                        * 2.0 * LN(CASE WHEN u < 0.5 THEN 2.0 * u
+                                        ELSE 2.0 * (1.0 - u) END)
+               + 0.5) AS BIGINT) AS noisy_n,
+           TRUE AS noise_bounded
+    FROM noise
+    ORDER BY nation
+    """,
+)
+def q_privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private counting mechanism: per-nation customer
+    counts released with Laplace(b=2) noise (ε=0.5 for sensitivity-1
+    counts), noise drawn by inverse-CDF from an md5-lane uniform so
+    the release is REPRODUCIBLE and the oracle adjudicates the exact
+    noisy values — the seeded-DP pattern used when a release must be
+    auditable.
+
+    Both engines compute the identical doubles: u from an integer md5
+    lane, one LN of the same input (the TF-IDF precedent), one
+    multiply, one floor-quantize. ``noise_bounded`` pins |noise| ≤
+    2·ln(2^32) from the real release. Scale shape: noise attaches to
+    the AGGREGATED relation (one row per nation) — the fact scan is
+    one partial-agg groupBy; the mechanism itself is O(groups).
+    """
+    counts = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(F.count("*").alias("true_n"))
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp:"), F.col("nation").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / 4294967297.0
+    lap = F.when(u < 0.5, 2.0 * F.log(2.0 * u)).otherwise(-2.0 * F.log(2.0 * (1.0 - u)))
+    noisy = F.floor(F.col("true_n") + lap + 0.5).cast("bigint")
+    bound = 2.0 * 23.0  # 2·ln(2^32) ≈ 44.4: the md5-lane tail bound
+    return counts.select(
+        "nation",
+        F.col("true_n").cast("bigint").alias("true_n"),
+        noisy.alias("noisy_n"),
+        (F.abs(noisy - F.col("true_n")) <= F.lit(bound)).alias("noise_bounded"),
+    ).orderBy("nation")

@@ -73,6 +73,16 @@ QUERIES = [
     "ts_cusum_changepoint", "ts_theil_sen_trend", "ab_test_proportion_z",
     "join_bloom_semi_reduction", "dedup_containment_ngram",
     "embed_random_projection",
+    # later session additions
+    "text_count_min_sketch", "text_bm25_topk", "multimodal_image_phash",
+    "events_survival_nelson_aalen", "profile_dataset_card",
+    "agg_log2_histogram", "events_bot_burst_detect",
+    "events_max_concurrent_sessions", "events_attribution_multitouch",
+    "maintenance_cbo_stats", "maintenance_commit_log_replay",
+    "sql_scripting_adaptive_threshold", "join_dpp_partitioned_fact",
+    "events_dau_wau", "agg_abc_classification", "window_rolling_ols_slope",
+    "agg_hhi_concentration", "agg_bootstrap_ci",
+    "ts_weekday_seasonality_index", "agg_chi_square_independence",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
