@@ -1334,3 +1334,101 @@ def q_agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").alias("n_cells"),
         F.sum("term_scaled").cast("bigint").alias("chi2_x_n_micro"),
     )
+
+
+@query(
+    "agg_ks_two_sample",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+               o_orderkey % 2 AS grp
+        FROM orders
+    ), hist AS (
+        SELECT v,
+               COUNT(*) FILTER (WHERE grp = 0) AS c0,
+               COUNT(*) FILTER (WHERE grp = 1) AS c1
+        FROM s GROUP BY v
+    ), tot AS (
+        SELECT SUM(c0) AS n0, SUM(c1) AS n1 FROM hist
+    ), cums AS (
+        SELECT v,
+               SUM(c0) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum0,
+               SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1
+        FROM hist
+    ), scored AS (
+        SELECT v, ABS(cum0 * n1 - cum1 * n0) AS d_scaled
+        FROM cums, tot
+    )
+    SELECT (SELECT CAST(n0 AS BIGINT) FROM tot) AS n0,
+           (SELECT CAST(n1 AS BIGINT) FROM tot) AS n1,
+           (SELECT CAST(MAX(d_scaled) AS BIGINT) FROM scored) AS ks_d_scaled,
+           (SELECT CAST(MIN(v) AS BIGINT) FROM scored
+             WHERE d_scaled = (SELECT MAX(d_scaled) FROM scored)) AS argmax_cents
+    """,
+)
+def q_agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between even- and
+    odd-keyed orders' price distributions: D·n₀·n₁ = max over values of
+    |cum₀·n₁ − cum₁·n₀| — the distribution-drift test with NO float
+    anywhere (cents values, cross-multiplied ECDFs, integer argmax with
+    a smallest-value tie-break).
+
+    Scale shape: collapse to the value histogram first (one groupBy),
+    then the ECDF running sums distribute by the SAME key-range-bin +
+    offset prefix-sum technique as ``sample_systematic_every_k`` — 16
+    parallel within-bin windows plus an O(bins) offset relation, never
+    a single-partition window over the value domain. The oracle states
+    the intent directly with one ordered window.
+    """
+    from pyspark.sql.window import Window
+
+    s = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("v"),
+        (F.col("o_orderkey") % 2).alias("grp"),
+    )
+    hist = s.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    tot = hist.agg(
+        F.sum("c0").cast("bigint").alias("n0"), F.sum("c1").cast("bigint").alias("n1")
+    )
+    max_v = hist.agg(F.max("v")).collect()[0][0]
+    bin_width = max_v // 16 + 1
+    binned = hist.withColumn("bin", (F.col("v") / bin_width).cast("bigint"))
+    bin_tot = binned.groupBy("bin").agg(
+        F.sum("c0").alias("b0"), F.sum("c1").alias("b1")
+    )
+    w_off = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bin_tot.select(
+        "bin",
+        F.coalesce(F.sum("b0").over(w_off), F.lit(0)).alias("off0"),
+        F.coalesce(F.sum("b1").over(w_off), F.lit(0)).alias("off1"),
+    )
+    w_bin = Window.partitionBy("bin").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cums = (
+        binned.join(F.broadcast(offsets), "bin")
+        .select(
+            "v",
+            (F.sum("c0").over(w_bin) + F.col("off0")).alias("cum0"),
+            (F.sum("c1").over(w_bin) + F.col("off1")).alias("cum1"),
+        )
+    )
+    scored = cums.crossJoin(F.broadcast(tot)).select(
+        "v",
+        F.abs(F.col("cum0") * F.col("n1") - F.col("cum1") * F.col("n0")).alias(
+            "d_scaled"
+        ),
+    )
+    best = scored.agg(F.max("d_scaled").alias("ks_d_scaled"))
+    arg = (
+        scored.join(F.broadcast(best), scored.d_scaled == best.ks_d_scaled)
+        .agg(F.min("v").cast("bigint").alias("argmax_cents"))
+    )
+    return (
+        tot.crossJoin(best.select(F.col("ks_d_scaled").cast("bigint").alias("ks_d_scaled")))
+        .crossJoin(arg)
+        .select("n0", "n1", "ks_d_scaled", "argmax_cents")
+    )
