@@ -266,3 +266,108 @@ def q_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x_norm2"
         ),
     ).orderBy("vec_id")
+
+
+@query(
+    "embed_matryoshka_recall",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               [CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                FOR x IN embedding] AS qv
+        FROM embeddings
+    ), queries AS (
+        SELECT vec_id AS qid, qv FROM q WHERE vec_id < 20
+    ), pairs AS (
+        SELECT queries.qid, q.vec_id AS cid,
+               list_sum([queries.qv[i + 1] * q.qv[i + 1] FOR i IN range(0, 64)])
+                   AS dot_full,
+               list_sum([queries.qv[i + 1] * q.qv[i + 1] FOR i IN range(0, 16)])
+                   AS dot_16
+        FROM queries, q
+        WHERE q.vec_id <> queries.qid
+    ), best_full AS (
+        SELECT qid, cid AS top_full
+        FROM (SELECT qid, cid,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY dot_full DESC, cid) AS rn
+              FROM pairs)
+        WHERE rn = 1
+    ), best_16 AS (
+        SELECT qid, cid AS top_16
+        FROM (SELECT qid, cid,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY dot_16 DESC, cid) AS rn
+              FROM pairs)
+        WHERE rn = 1
+    )
+    SELECT f.qid, f.top_full, s.top_16,
+           f.top_full = s.top_16 AS truncation_preserved_top1
+    FROM best_full f JOIN best_16 s USING (qid)
+    ORDER BY f.qid
+    """,
+)
+def q_embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: for each query vector, the
+    exact top-1 neighbor under the FULL 64-dim dot product vs under the
+    first-16-dims truncation — the measurement that decides whether a
+    cheap prefix embedding can serve first-stage retrieval.
+
+    Everything is exact: micro-quantized int64 dot products (the
+    blocked-GEMM quantization rule), total-ordered argmax (score desc,
+    candidate id). Unlike the ANN operators' recall-floor booleans,
+    BOTH rankings here are deterministic, so the oracle adjudicates
+    the per-query agreement outcomes themselves. Scale shape: query
+    side (bounded) broadcasts against the corpus scan; per-pair cost
+    is one fused array fold; the argmax is a per-query partial top-1,
+    and at production scale the truncated pass is exactly the IVF/PQ
+    first stage this audit green-lights.
+    """
+    q = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)"
+            " AS BIGINT))"
+        ).alias("qv"),
+    )
+    queries = q.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("quv")
+    )
+    pairs = (
+        q.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            F.expr(
+                "aggregate(sequence(0, 63), CAST(0 AS BIGINT),"
+                " (acc, i) -> acc + element_at(quv, i + 1) * element_at(qv, i + 1))"
+            ).alias("dot_full"),
+            F.expr(
+                "aggregate(sequence(0, 15), CAST(0 AS BIGINT),"
+                " (acc, i) -> acc + element_at(quv, i + 1) * element_at(qv, i + 1))"
+            ).alias("dot_16"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    def top1(score: str, out: str):
+        w = Window.partitionBy("qid").orderBy(F.desc(score), F.asc("cid"))
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("qid", F.col("cid").alias(out))
+        )
+
+    best_full = top1("dot_full", "top_full")
+    best_16 = top1("dot_16", "top_16")
+    return (
+        best_full.join(best_16, "qid")
+        .select(
+            "qid",
+            "top_full",
+            "top_16",
+            (F.col("top_full") == F.col("top_16")).alias("truncation_preserved_top1"),
+        )
+        .orderBy("qid")
+    )
