@@ -431,3 +431,82 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "event_id", "user_id", "event_type", "c_name", "c_mktsegment"
     )
+
+
+@query(
+    "stream_bot_burst_merge",
+    oracle="""
+    WITH buckets AS (
+        SELECT user_id,
+               epoch_us(ts) // 300000000 AS bucket5m,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(MAX(n) AS BIGINT) AS peak_5min,
+           MAX(n) >= 8 AS flagged_bot
+    FROM buckets GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_bot_burst_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_bot_burst_detect``: watermarked
+    5-minute tumbling counts per user, folded into a standing per-user
+    PEAK via a foreachBatch keyed max-merge.
+
+    Batch-equivalence argument (the module's determinism contract):
+    update-mode re-emissions of a window only ever raise its count
+    toward the batch value, and max() is monotone and order-free, so
+    the final merged peak equals the batch peak under ANY micro-batch
+    split — the same commutative-fold argument as the rollup MERGE,
+    with max instead of keyed replace. The flag derives from the merged
+    state, never from a transient emission. Scale: streaming state is
+    O(active user-windows) under the watermark; the standing table is
+    O(users).
+    """
+    from ..streaming.incremental import read_events_stream
+    from .upsert import upsert_parquet
+
+    src = _stage_events_dir(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="sgq_burst_ckpt_")
+    state = os.path.join(tempfile.mkdtemp(prefix="sgq_burst_out_"), "peaks")
+
+    events = read_events_stream(spark, src)
+    counts = (
+        events.withWatermark("ts", "365 days")
+        .groupBy("user_id", F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("w_start"), "n")
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        # fold the batch to one candidate peak per user, then keyed
+        # max-merge into the standing table
+        cand = batch_df.groupBy("user_id").agg(F.max("n").alias("peak_5min"))
+        try:
+            old = spark.read.parquet(state)
+            merged = (
+                old.unionByName(cand.select("user_id", "peak_5min"))
+                .groupBy("user_id")
+                .agg(F.max("peak_5min").alias("peak_5min"))
+            )
+        except Exception:
+            merged = cand
+        upsert_parquet(spark, state, merged, keys=["user_id"])
+
+    (
+        counts.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(state)
+        .select(
+            "user_id",
+            F.col("peak_5min").cast("bigint").alias("peak_5min"),
+            (F.col("peak_5min") >= 8).alias("flagged_bot"),
+        )
+        .orderBy("user_id")
+    )
