@@ -371,3 +371,89 @@ def q_embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+@query(
+    "sample_hard_negatives",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               [CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                FOR x IN embedding] AS qv
+        FROM embeddings
+    ), queries AS (
+        SELECT vec_id AS qid, label AS qlabel, qv AS quv FROM q WHERE vec_id < 20
+    ), scored AS (
+        SELECT queries.qid, q.vec_id AS cid, q.label AS clabel,
+               list_sum([queries.quv[i + 1] * q.qv[i + 1] FOR i IN range(0, 64)])
+                   AS dot
+        FROM queries, q
+        WHERE q.vec_id <> queries.qid AND q.label <> queries.qlabel
+    )
+    SELECT qid, cid AS negative_id, clabel AS negative_label,
+           CAST(dot AS BIGINT) AS dot_micro2, CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT qid, cid, clabel, dot,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 3
+    ORDER BY qid, rnk
+    """,
+)
+def q_sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: for
+    each query vector, the top-3 most-similar candidates whose LABEL
+    differs — the examples that sharpen an embedding model's decision
+    boundary (random negatives are too easy to carry gradient).
+
+    Exactness: micro-quantized int64 dot products, total-ordered
+    per-query rank (dot desc, candidate id) — the mined triplets are
+    fully deterministic, so the oracle adjudicates the actual mining
+    output, not a summary. Scale shape: bounded query side broadcasts
+    against the corpus scan; label filter prunes before scoring;
+    per-query top-3 is a WindowGroupLimit partial, and at production
+    scale the candidate generation upgrades to the IVF/PQ first stage
+    with this exact pass as the rerank.
+    """
+    q = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)"
+            " AS BIGINT))"
+        ).alias("qv"),
+    )
+    queries = q.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("qv").alias("quv"),
+    )
+    scored = (
+        q.crossJoin(F.broadcast(queries))
+        .filter((F.col("vec_id") != F.col("qid")) & (F.col("label") != F.col("qlabel")))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("clabel"),
+            F.expr(
+                "aggregate(sequence(0, 63), CAST(0 AS BIGINT),"
+                " (acc, i) -> acc + element_at(quv, i + 1) * element_at(qv, i + 1))"
+            ).alias("dot"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "qid",
+            F.col("cid").alias("negative_id"),
+            F.col("clabel").alias("negative_label"),
+            F.col("dot").cast("bigint").alias("dot_micro2"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("qid", "rnk")
+    )
