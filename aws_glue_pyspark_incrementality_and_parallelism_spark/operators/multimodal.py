@@ -144,6 +144,10 @@ def q_multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+
+
 pickle_module_by_value(__name__)
 
 FEATURE_SCHEMA = StructType(
@@ -1123,3 +1127,83 @@ def q_multimodal_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInArrow(stats, "doc_id long, n_bytes long, first_byte int")
+
+
+@query(
+    "multimodal_video_scene_cuts",
+    oracle=f"""
+    WITH frames AS (
+        SELECT d.doc_id, k.k AS frame_idx,
+               [unicode(c) FOR c IN
+                list_filter(split(substr(d.text, {_VID_W * _VID_H} * k.k + 1,
+                                         {_VID_W * _VID_H}), ''), c -> c <> '')]
+                   AS px
+        FROM documents d, (SELECT unnest(range(0, {_VID_FRAMES})) AS k) k
+    ), deltas AS (
+        SELECT a.doc_id, b.frame_idx,
+               COALESCE(list_sum([abs(COALESCE(a.px[i + 1], 0)
+                                      - COALESCE(b.px[i + 1], 0))
+                                  FOR i IN range(0, {_VID_W * _VID_H})]), 0)
+                   AS frame_delta
+        FROM frames a JOIN frames b
+          ON a.doc_id = b.doc_id AND b.frame_idx = a.frame_idx + 1
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_delta AS BIGINT) AS frame_delta,
+           frame_delta > 1500 AS is_scene_cut
+    FROM deltas
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def q_multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over decoded video frames: encode each
+    document's 6-frame animated GIF, decode the full animation, and
+    score every ADJACENT frame pair by the exact sum of absolute pixel
+    deltas — the shot-boundary primitive of video curation pipelines
+    (a cut is a delta spike; a pan is a small delta).
+
+    The entire encode → decode → pairwise-delta pipeline runs inside
+    one mapInPandas pass (frame pixels never leave the Arrow batch;
+    per-row state is two frames). Deltas are exact integers the oracle
+    recomputes from the text code points (short docs zero-pad exactly
+    like the decoder), so the driver adjudicates every frame pair, not
+    a summary. The fixed threshold keeps the cut flag deterministic.
+    """
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fbytes = _VID_W * _VID_H
+    total = fbytes * _VID_FRAMES
+
+    def _cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _enc, _dec = encode_gif_animation, decode_gif_frames_payload
+        gray = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_delta": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")[:total]
+                buf = np.zeros(total, np.uint8)
+                buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+                frames = [
+                    buf[k * fbytes : (k + 1) * fbytes].reshape(_VID_H, _VID_W)
+                    for k in range(_VID_FRAMES)
+                ]
+                payload = _enc(frames, gray)
+                decoded = _dec(payload)
+                for k in range(1, len(decoded)):
+                    prev = decoded[k - 1][:, :, 0].astype(np.int64)
+                    cur = decoded[k][:, :, 0].astype(np.int64)
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(k)
+                    out["frame_delta"].append(int(np.abs(cur - prev).sum()))
+            yield pd.DataFrame(out)
+
+    scored = docs.mapInPandas(
+        _cuts, schema="doc_id bigint, frame_idx int, frame_delta bigint"
+    )
+    return scored.select(
+        "doc_id",
+        "frame_idx",
+        "frame_delta",
+        (F.col("frame_delta") > 1500).alias("is_scene_cut"),
+    ).orderBy("doc_id", "frame_idx")
