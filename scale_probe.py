@@ -83,6 +83,10 @@ QUERIES = [
     "events_dau_wau", "agg_abc_classification", "window_rolling_ols_slope",
     "agg_hhi_concentration", "agg_bootstrap_ci",
     "ts_weekday_seasonality_index", "agg_chi_square_independence",
+    "agg_ks_two_sample", "privacy_dp_noisy_counts",
+    "embed_matryoshka_recall", "sample_hard_negatives",
+    "stream_bot_burst_merge", "multimodal_video_scene_cuts",
+    "fn_trigram_similarity_topk",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
