@@ -1125,6 +1125,81 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@query(
+    "text_boilerplate_segment_dedup",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ), segs AS (
+        SELECT doc_id, p AS seg_idx,
+               array_to_string(t[p * 8 + 1 : p * 8 + 8], ' ') AS seg
+        FROM toks, (SELECT unnest(range(0, 64)) AS p)
+        WHERE p * 8 < len(t)
+    ), freq AS (
+        SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_segments,
+           COUNT(*) FILTER (WHERE f.df >= 5) AS n_boilerplate,
+           CAST(SUM(CASE WHEN f.df < 5 THEN length(s.seg) + 1 ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM segs s JOIN freq f USING (seg)
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def q_text_boilerplate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal, the C4/RefinedWeb line-dedup
+    step re-expressed over fixed 8-token segments (this corpus has no
+    newlines): any segment appearing verbatim in >= 5 distinct
+    documents is boilerplate (navigation chrome, license headers,
+    templated spans) and is dropped from every document that carries
+    it.
+
+    Plan shape: segmenting is the zero-shuffle slice/explode map from
+    shingling; ONE token-segment groupBy computes document frequency
+    (uniform hash keys); the df relation is vocabulary-sized and joins
+    back by segment hash. Per-doc accounting (segments, boilerplate
+    hits, kept characters) is exact on both engines. At 100 TB this is
+    the second-cheapest dedup pass after exact-hash — linear scans plus
+    one segment-keyed shuffle — and it removes the repeated-span mass
+    MinHash would otherwise spend its signatures on.
+    """
+    toks = _tokens(F.col("text"))
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("t")
+    )
+    segs = (
+        base.select(
+            "doc_id", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("p"), "t"
+        )
+        .filter(F.col("p") * 8 < F.size("t"))
+        .select(
+            "doc_id",
+            F.col("p").alias("seg_idx"),
+            F.array_join(F.slice("t", F.col("p") * 8 + 1, 8), " ").alias("seg"),
+        )
+    )
+    freq = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        segs.join(freq, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.when(F.col("df") >= 5, 1).otherwise(0)).alias("n_boilerplate"),
+            F.sum(
+                F.when(F.col("df") < 5, F.length("seg") + 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 from ..session import pickle_module_by_value  # noqa: E402
 
 # This module defines worker-side (Arrow/Pandas UDF) functions: ship them
