@@ -40,6 +40,30 @@ from ..session import pickle_module_by_value
 from ..sources.io import load_table
 
 
+#: The module's two exactness-critical expressions, defined ONCE: every
+#: operator that quantizes embeddings or folds an int64 dot product uses
+#: these — a scale change in one place changes all of them together.
+MICROQUANT_EXPR = (
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)"
+    " AS BIGINT))"
+)
+
+
+def microquant() -> F.Column:
+    """Micro-unit quantization of the ``embedding`` column (the
+    floor(x*1e6+0.5) rule both engines compute identically)."""
+    return F.expr(MICROQUANT_EXPR)
+
+
+def int_dot(a: str, b: str, ndims: int) -> F.Column:
+    """Exact int64 dot product of two quantized array columns over the
+    first ``ndims`` dimensions."""
+    return F.expr(
+        f"aggregate(sequence(0, {ndims - 1}), CAST(0 AS BIGINT),"
+        f" (acc, i) -> acc + element_at({a}, i + 1) * element_at({b}, i + 1))"
+    )
+
+
 @query(
     "embed_pca_gramian",
     oracle="""
@@ -149,9 +173,7 @@ def q_embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|q_micro·127 − q_i·amax|, i.e. error × 127×10⁶); ``within_int8``
     pins that symmetric quantization can never leave [-127, 127]."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    qv = F.expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
-    )
+    qv = microquant()
     step = emb.select("vec_id", qv.alias("qv")).select(
         "vec_id",
         "qv",
@@ -235,10 +257,7 @@ def q_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < 100)
         .select(
             "vec_id",
-            F.expr(
-                "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)"
-                " AS BIGINT))"
-            ).alias("qv"),
+            microquant().alias("qv"),
         )
     )
     proj = emb.select(
@@ -325,10 +344,7 @@ def q_embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     q = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
-        F.expr(
-            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)"
-            " AS BIGINT))"
-        ).alias("qv"),
+        microquant().alias("qv"),
     )
     queries = q.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("qv").alias("quv")
@@ -339,14 +355,8 @@ def q_embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             F.col("vec_id").alias("cid"),
-            F.expr(
-                "aggregate(sequence(0, 63), CAST(0 AS BIGINT),"
-                " (acc, i) -> acc + element_at(quv, i + 1) * element_at(qv, i + 1))"
-            ).alias("dot_full"),
-            F.expr(
-                "aggregate(sequence(0, 15), CAST(0 AS BIGINT),"
-                " (acc, i) -> acc + element_at(quv, i + 1) * element_at(qv, i + 1))"
-            ).alias("dot_16"),
+            int_dot("quv", "qv", 64).alias("dot_full"),
+            int_dot("quv", "qv", 16).alias("dot_16"),
         )
     )
     from pyspark.sql.window import Window
@@ -419,10 +429,7 @@ def q_sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
-        F.expr(
-            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)"
-            " AS BIGINT))"
-        ).alias("qv"),
+        microquant().alias("qv"),
     )
     queries = q.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"),
@@ -436,10 +443,7 @@ def q_sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             F.col("vec_id").alias("cid"),
             F.col("label").alias("clabel"),
-            F.expr(
-                "aggregate(sequence(0, 63), CAST(0 AS BIGINT),"
-                " (acc, i) -> acc + element_at(quv, i + 1) * element_at(qv, i + 1))"
-            ).alias("dot"),
+            int_dot("quv", "qv", 64).alias("dot"),
         )
     )
     from pyspark.sql.window import Window

@@ -1190,6 +1190,9 @@ def q_multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame
                 ]
                 payload = _enc(frames, gray)
                 decoded = _dec(payload)
+                assert len(decoded) == _VID_FRAMES, (
+                    f"decode returned {len(decoded)} frames, want {_VID_FRAMES}"
+                )
                 for k in range(1, len(decoded)):
                     prev = decoded[k - 1][:, :, 0].astype(np.int64)
                     cur = decoded[k][:, :, 0].astype(np.int64)

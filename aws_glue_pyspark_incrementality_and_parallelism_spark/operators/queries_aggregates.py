@@ -955,12 +955,23 @@ def q_agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_bootstrap_ci",
     oracle="""
     WITH w AS (
-        SELECT b.b, o.o_orderkey,
+        SELECT o.b, o.o_orderkey,
                CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
-               CAST(('0x' || substr(md5(CAST(b.b AS VARCHAR) || ':'
-                                        || CAST(o.o_orderkey AS VARCHAR)), 1, 8))
-                    AS BIGINT) % 4 AS wt
-        FROM orders o, (SELECT unnest(range(0, 100)) AS b) b
+               -- Poisson(1) weight by inverse CDF over the md5 u32 lane
+               -- (thresholds floor(CDF(k)*2^32); tail truncated at 6,
+               --  mass ~1e-4): E[w]=1, Var[w]~=1 — the real Poisson
+               -- bootstrap, not a uniform stand-in
+               CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+                    WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+                    WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5
+                    ELSE 6 END AS wt
+        FROM (
+            SELECT o.*, b.b,
+                   CAST(('0x' || substr(md5(CAST(b.b AS VARCHAR) || ':'
+                                            || CAST(o.o_orderkey AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS u
+            FROM orders o, (SELECT unnest(range(0, 100)) AS b) b
+        ) o
     ), reps AS (
         SELECT b,
                CAST(SUM(wt * cents) // SUM(wt) AS BIGINT) AS est_cents
@@ -981,10 +992,13 @@ def q_agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bootstrap confidence interval for the mean order value without
-    resampling passes: the one-scan Poisson-bootstrap (each row joins
-    each of 100 replicates with an md5-derived integer weight in
-    {0..3}, E[w]≈1.5), replicate means in exact integer cents, the CI
-    from order statistics of the replicate distribution.
+    resampling passes: the one-scan Poisson bootstrap — each row joins
+    each of 100 replicates with a Poisson(1) weight drawn by inverse
+    CDF from an md5-lane uniform (thresholds floor(CDF(k)·2³²), tail
+    truncated at 6 with ~1e-4 mass; E[w]=1, Var[w]≈1, so replicate
+    spread matches the true multinomial-bootstrap standard error) —
+    replicate means in exact integer cents, the CI from order
+    statistics of the replicate distribution.
 
     This is THE distributed-uncertainty technique (bag of little
     bootstraps' cousin): no per-replicate data pass, one explode +
@@ -1000,16 +1014,27 @@ def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
     )
     b = F.explode(F.sequence(F.lit(0), F.lit(99))).alias("b")
-    w = orders.select("o_orderkey", "cents", b).withColumn(
-        "wt",
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("b"), F.col("o_orderkey"))), 1, 8
+    w = (
+        orders.select("o_orderkey", "cents", b)
+        .withColumn(
+            "u",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("b"), F.col("o_orderkey"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "wt",
+            F.expr(
+                "CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1"
+                " WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3"
+                " WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5"
+                " ELSE 6 END"
             ),
-            16,
-            10,
-        ).cast("bigint")
-        % 4,
+        )
     )
     reps = (
         w.groupBy("b")

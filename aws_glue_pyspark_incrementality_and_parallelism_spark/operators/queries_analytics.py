@@ -1270,20 +1270,25 @@ def q_ts_weekday_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFram
         SELECT event_type, SUM(o) AS col_n FROM obs GROUP BY event_type
     ), tot AS (
         SELECT SUM(o) AS n FROM obs
+    ), grid AS (
+        -- full cohort x type grid: a zero cell still contributes
+        -- (0-E)^2/E = E to the statistic
+        SELECT m.cohort, c.event_type, m.row_n, c.col_n,
+               COALESCE(obs.o, 0) AS o
+        FROM margins m CROSS JOIN cols c
+        LEFT JOIN obs ON obs.cohort = m.cohort AND obs.event_type = c.event_type
     ), terms AS (
-        SELECT obs.cohort, obs.event_type,
-               -- chi2 cell term scaled by 1e6:
-               -- (O*n - row*col)^2 * 1e6 / (row * col * n)
-               CAST((CAST(obs.o AS HUGEINT) * n - CAST(row_n AS HUGEINT) * col_n)
-                    * (CAST(obs.o AS HUGEINT) * n - CAST(row_n AS HUGEINT) * col_n)
+        SELECT cohort, event_type,
+               -- chi2 cell term in micro-units:
+               -- (O-E)^2/E with E=row*col/n == (O*n - row*col)^2/(row*col*n)
+               CAST((CAST(o AS HUGEINT) * n - CAST(row_n AS HUGEINT) * col_n)
+                    * (CAST(o AS HUGEINT) * n - CAST(row_n AS HUGEINT) * col_n)
                     * 1000000
                     // (CAST(row_n AS HUGEINT) * col_n * n) AS BIGINT) AS term_scaled
-        FROM obs JOIN margins USING (cohort)
-                 JOIN cols USING (event_type)
-                 CROSS JOIN tot
+        FROM grid CROSS JOIN tot
     )
     SELECT COUNT(*) AS n_cells,
-           CAST(SUM(term_scaled) AS BIGINT) AS chi2_x_n_micro
+           CAST(SUM(term_scaled) AS BIGINT) AS chi2_micro
     FROM terms
     """,
 )
@@ -1293,8 +1298,11 @@ def q_agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
     exact integer.
 
     Algebra: the cell term (O−E)²/E with E = row·col/n equals
-    (O·n − row·col)² / (row·col·n); the emitted statistic is χ²·n in
-    micro-units — each cell term integer-divides in HUGEINT/DECIMAL
+    (O·n − row·col)² / (row·col·n) exactly (the /n is already inside),
+    so the emitted statistic is χ² itself in micro-units; empty
+    contingency cells are materialized from the full margin grid
+    because a zero cell still contributes E — each cell term
+    integer-divides in HUGEINT/DECIMAL
     then the terms integer-sum, so no float enters the comparison
     (same deferred-division discipline as the z-test and HHI).
     Headroom note: (O·n − row·col)² needs ~4 digits beyond 2·log₁₀(n),
@@ -1315,10 +1323,13 @@ def q_agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
     margins = obs.groupBy("cohort").agg(F.sum("o").alias("row_n"))
     cols = obs.groupBy("event_type").agg(F.sum("o").alias("col_n"))
     tot = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        margins.crossJoin(cols)
+        .join(obs, ["cohort", "event_type"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
     terms = (
-        obs.join(F.broadcast(margins), "cohort")
-        .join(F.broadcast(cols), "event_type")
-        .crossJoin(F.broadcast(tot))
+        grid.crossJoin(F.broadcast(tot))
         .select(
             F.expr(
                 """
@@ -1332,7 +1343,7 @@ def q_agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return terms.agg(
         F.count("*").alias("n_cells"),
-        F.sum("term_scaled").cast("bigint").alias("chi2_x_n_micro"),
+        F.sum("term_scaled").cast("bigint").alias("chi2_micro"),
     )
 
 
@@ -1390,11 +1401,14 @@ def q_agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("c0"),
         F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
     )
+    # persist: the max-scalar action below and the main plan both read
+    # the histogram; without it the dominant scan+groupBy runs twice
+    hist = hist.persist()
     tot = hist.agg(
         F.sum("c0").cast("bigint").alias("n0"), F.sum("c1").cast("bigint").alias("n1")
     )
     max_v = hist.agg(F.max("v")).collect()[0][0]
-    bin_width = max_v // 16 + 1
+    bin_width = (max_v if max_v is not None else 0) // 16 + 1
     binned = hist.withColumn("bin", (F.col("v") / bin_width).cast("bigint"))
     bin_tot = binned.groupBy("bin").agg(
         F.sum("c0").alias("b0"), F.sum("c1").alias("b1")

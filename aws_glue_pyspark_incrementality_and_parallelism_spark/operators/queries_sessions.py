@@ -563,8 +563,10 @@ def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rewrite: collapse to the DISTINCT (day, user) relation first —
     THE standard trick; everything after runs on |days|×|actives|,
-    never raw events — then the trailing-7-day active set is a
-    days⋈(day,user) range join bounded by 7 rows per active-day pair.
+    never raw events — then each active (day, user) EXPLODES into the
+    constant 7 report-days it covers and equi-joins the observed-day
+    relation: a hash join with fixed fan-out, where the naive range
+    predicate would plan a BroadcastNestedLoopJoin.
     Stickiness crosses engines in exact integer micro-units. At 100 TB
     the (day,user) relation is the persisted daily-actives table every
     metrics stack materializes; the range join's fan-out is a constant
@@ -575,14 +577,15 @@ def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
     ).distinct()
     days = du.select("day").distinct()
-    d, u = days.alias("d"), du.alias("u")
+    covered = du.select(
+        "user_id",
+        F.explode(
+            F.expr("transform(sequence(0, 6), i -> date_add(day, i))")
+        ).alias("day"),
+    )
     wau = (
-        d.join(
-            u,
-            (F.col("u.day") <= F.col("d.day"))
-            & (F.col("u.day") > F.date_sub(F.col("d.day"), 7)),
-        )
-        .groupBy(F.col("d.day").alias("day"))
+        covered.join(days, "day")
+        .groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
     dau = du.groupBy("day").agg(F.count("*").alias("dau"))

@@ -464,7 +464,6 @@ def stream_bot_burst_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(users).
     """
     from ..streaming.incremental import read_events_stream
-    from .upsert import upsert_parquet
 
     src = _stage_events_dir(spark, sf_dir)
     ckpt = tempfile.mkdtemp(prefix="sgq_burst_ckpt_")
@@ -480,18 +479,34 @@ def stream_bot_burst_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         # fold the batch to one candidate peak per user, then keyed
-        # max-merge into the standing table
+        # max-merge into the standing table; first batch detected by
+        # PATH EXISTENCE — a transient read failure on a later batch
+        # must propagate, never silently reset accumulated peaks
+        import shutil as _shutil
+        import uuid as _uuid
+
         cand = batch_df.groupBy("user_id").agg(F.max("n").alias("peak_5min"))
-        try:
+        if os.path.exists(state):
             old = spark.read.parquet(state)
             merged = (
                 old.unionByName(cand.select("user_id", "peak_5min"))
                 .groupBy("user_id")
                 .agg(F.max("peak_5min").alias("peak_5min"))
             )
-        except Exception:
+        else:
             merged = cand
-        upsert_parquet(spark, state, merged, keys=["user_id"])
+        # merged already folds the old state, so a keyed upsert's
+        # anti-join would be provably empty work: stage + swap directly
+        # (same copy-on-write protocol as upsert.py:45)
+        staging = f"{state}__staging_{_uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(staging)
+        backup = f"{state}__old_{_uuid.uuid4().hex[:8]}"
+        if os.path.exists(state):
+            os.rename(state, backup)
+            os.rename(staging, state)
+            _shutil.rmtree(backup)
+        else:
+            os.rename(staging, state)
 
     (
         counts.writeStream.outputMode("update")

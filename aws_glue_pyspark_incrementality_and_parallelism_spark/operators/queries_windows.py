@@ -455,7 +455,7 @@ def q_window_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_id",
             "ts",
-            (F.unix_micros("ts") / 60000000).cast("bigint").alias("x"),
+            F.expr("unix_micros(ts) div 60000000").alias("x"),
             F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint").alias("y"),
         )
     )
