@@ -1200,6 +1200,87 @@ def q_text_boilerplate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[p + 1 : p + 3], ' ') AS s
+        FROM toks, (SELECT unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS p
+                    FROM toks t2 WHERE t2.doc_id = toks.doc_id)
+    ), first_seen AS (
+        SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(*) FILTER (WHERE f.first_doc = sh.doc_id) AS n_novel,
+           CAST(COUNT(*) FILTER (WHERE f.first_doc = sh.doc_id) * 1000000
+                // COUNT(*) AS BIGINT) AS novelty_micro
+    FROM sh JOIN first_seen f USING (s)
+    GROUP BY sh.doc_id
+    ORDER BY sh.doc_id
+    """,
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty rate: the fraction of a document's
+    distinct 3-gram shingles that no EARLIER document (by doc_id — the
+    ingestion order) already contains. The marginal-value curve of a
+    growing corpus: novelty trending to zero means new data is
+    redundant with what's already collected — the quantitative form of
+    the "dedup before you scale" argument.
+
+    First-occurrence attribution is one min-aggregate over the shingle
+    relation (first_doc per shingle), joined back by shingle hash —
+    same two-shuffle shape as the inverted index, no window over the
+    corpus order. Novelty crosses engines in exact micro-units.
+    """
+    sh = shingle_rows_of(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    first_seen = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first_seen, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("(n_novel * 1000000) div n_shingles").cast("bigint").alias(
+                "novelty_micro"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def shingle_rows_of(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, 3-gram shingle) rows — the same zero-shuffle
+    slice/explode construction as dedup.shingle_rows (kept local to
+    avoid a circular import; text and dedup share the tokenizer)."""
+    toks = _tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks"))
+    starts = F.sequence(F.lit(0), F.greatest(F.size("toks") - 3, F.lit(0)))
+    return (
+        base.select("doc_id", "toks", F.explode(starts).alias("p"))
+        .select(
+            "doc_id",
+            F.array_join(F.slice("toks", F.col("p") + 1, 3), " ").alias("s"),
+        )
+        .distinct()
+    )
+
+
 from ..session import pickle_module_by_value  # noqa: E402
 
 # This module defines worker-side (Arrow/Pandas UDF) functions: ship them
