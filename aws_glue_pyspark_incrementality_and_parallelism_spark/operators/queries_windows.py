@@ -484,3 +484,83 @@ def q_window_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "window_hampel_outliers",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, event_id,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y,
+               ROW_NUMBER() OVER w AS rn
+        FROM events WHERE event_type = 'view'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), med AS (
+        SELECT user_id, event_id, y, rn,
+               (list_sort(list(y) OVER f))[3] AS med5,
+               list_sort(list(y) OVER f) AS frame
+        FROM pts
+        WINDOW f AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    ), mad AS (
+        SELECT user_id, event_id, y, rn, med5,
+               (list_sort([abs(v - med5) FOR v IN frame]))[3] AS mad5
+        FROM med
+    )
+    SELECT user_id, event_id, y AS value_micro, med5 AS median_micro,
+           mad5 AS mad_micro,
+           abs(y - med5) > 3 * mad5 AS is_outlier
+    FROM mad WHERE rn >= 5
+    ORDER BY user_id, event_id
+    """,
+)
+def q_window_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter per user series: flag a point when it deviates
+    from the rolling 5-point median by more than 3 rolling MADs — the
+    robust despiking standard (mean/σ rules break because the outlier
+    itself inflates σ; median/MAD have a 50% breakdown point).
+
+    Exactness: micro-quantized values; the rolling median AND the MAD
+    are both the literal middle element of a sorted odd frame (warm-up
+    rows dropped), so every engine-crossing number is an exact integer
+    and the 3-MAD comparison is pure int arithmetic. Scale: one keyed
+    window, O(frame·log frame) per row, embarrassing across users —
+    the same cost envelope as the sliding median it composes.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    f = w.rowsBetween(-4, 0)
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint").alias("y"),
+        )
+    )
+    med = pts.select(
+        "user_id",
+        "event_id",
+        "y",
+        F.row_number().over(w).alias("rn"),
+        F.array_sort(F.collect_list("y").over(f)).alias("frame"),
+    ).withColumn("med5", F.element_at("frame", 3))
+    mad = med.withColumn(
+        "mad5",
+        F.element_at(
+            F.array_sort(F.expr("transform(frame, v -> abs(v - med5))")), 3
+        ),
+    )
+    return (
+        mad.filter(F.col("rn") >= 5)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("y").alias("value_micro"),
+            F.col("med5").alias("median_micro"),
+            F.col("mad5").alias("mad_micro"),
+            (F.abs(F.col("y") - F.col("med5")) > 3 * F.col("mad5")).alias("is_outlier"),
+        )
+        .orderBy("user_id", "event_id")
+    )

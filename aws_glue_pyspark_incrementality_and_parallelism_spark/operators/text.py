@@ -1281,6 +1281,78 @@ def shingle_rows_of(docs: DataFrame) -> DataFrame:
     )
 
 
+
+
+@query(
+    "text_compression_ratio",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_distinct_texts,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+           TRUE AS all_ratios_bounded,
+           TRUE AS ratio_respects_equality
+    FROM documents
+    """,
+)
+def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (the Gopher/MassiveText rule:
+    text that zlib shrinks too much is repetitive boilerplate, text
+    that doesn't shrink is noise): deflate every document at level 6
+    in an Arrow-batched pass and audit the ratio distribution.
+
+    Driver surface (the pHash structural pattern — DEFLATE output is
+    library work no SQL engine reproduces): ``all_ratios_bounded``
+    pins every compressed size into (0, bytes + 64] (zlib's worst-case
+    stored-block overhead), and ``ratio_respects_equality`` pins
+    determinism — equal texts must compress to equal sizes, so
+    distinct-size count cannot exceed distinct-text count; byte totals
+    and counts are oracle-exact. Scale: per-row CPU with zero state,
+    the cheapest of the quality gates; production keeps the ratio as a
+    feature next to the Gopher repetition scores in text.py.
+    """
+    import zlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _ratio(batches):
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            comp = [len(zlib.compress(b, 6)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(b) for b in raw],
+                    "n_comp": comp,
+                    "text": pdf["text"],
+                }
+            )
+
+    r = docs.mapInPandas(
+        _ratio, schema="doc_id bigint, n_bytes bigint, n_comp bigint, text string"
+    )
+    stats = r.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.min(
+            (F.col("n_comp") > 0) & (F.col("n_comp") <= F.col("n_bytes") + 64)
+        ).alias("all_ratios_bounded"),
+        F.countDistinct(F.struct("text")).alias("_nt"),
+        F.countDistinct(F.struct("text", "n_comp")).alias("_ntc"),
+    )
+    return stats.select(
+        "n_docs",
+        "n_distinct_texts",
+        "total_bytes",
+        "all_ratios_bounded",
+        # same text twice with different compressed sizes would make
+        # (text, n_comp) pairs outnumber distinct texts
+        (F.col("_ntc") <= F.col("_nt")).alias("ratio_respects_equality"),
+    )
+
+
 from ..session import pickle_module_by_value  # noqa: E402
 
 # This module defines worker-side (Arrow/Pandas UDF) functions: ship them
