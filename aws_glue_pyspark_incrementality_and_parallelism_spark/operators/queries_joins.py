@@ -678,3 +678,62 @@ def q_join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(false_pos.agg(F.count("*").alias("n_false_positives")))
         .withColumn("no_false_negatives", F.lit(missed == 0))
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts AS view_ts, MAX(event_id) AS view_id
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ), matched AS (
+      SELECT p.purchase_id, p.user_id, p.purchase_ts, v.view_id, v.view_ts
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND v.view_ts <= p.purchase_ts
+    )
+    SELECT purchase_id, user_id, purchase_ts,
+           CASE WHEN view_ts IS NOT NULL
+                     AND epoch_us(purchase_ts) - epoch_us(view_ts) <= 86400000000
+                THEN view_id END AS view_id,
+           CASE WHEN view_ts IS NOT NULL
+                     AND epoch_us(purchase_ts) - epoch_us(view_ts) <= 86400000000
+                THEN view_ts END AS view_ts,
+           view_ts IS NOT NULL
+               AND epoch_us(purchase_ts) - epoch_us(view_ts) > 86400000000
+               AS dropped_stale
+    FROM matched
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness TOLERANCE (pandas ``merge_asof``
+    tolerance semantics, feature-store freshness SLAs): the latest
+    at-or-before view still matches a purchase only if it is at most
+    24h old — a staler match is nulled and flagged, never silently
+    served.
+
+    Same union+window scale path as ``join_asof_last_view`` (one keyed
+    shuffle, zero row explosion); the tolerance is a pure post-window
+    projection in integer microseconds, so it adds NO plan cost — the
+    whole SLA check rides the join's existing co-location. The oracle
+    applies the identical bound over DuckDB's native ASOF join.
+    """
+    base = q_join_asof_last_view(spark, sf_dir)
+    fresh = (
+        F.col("view_ts").isNotNull()
+        & (F.unix_micros("purchase_ts") - F.unix_micros("view_ts") <= 86400000000)
+    )
+    stale = (
+        F.col("view_ts").isNotNull()
+        & (F.unix_micros("purchase_ts") - F.unix_micros("view_ts") > 86400000000)
+    )
+    return base.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.when(fresh, F.col("view_id")).alias("view_id"),
+        F.when(fresh, F.col("view_ts")).alias("view_ts"),
+        stale.alias("dropped_stale"),
+    )

@@ -263,3 +263,64 @@ from ..session import pickle_module_by_value  # noqa: E402
 # This module defines worker-side (Arrow/Pandas UDF) functions: ship them
 # by value so executors never need the package on their own sys.path.
 pickle_module_by_value(__name__)
+
+
+@query(
+    "udf_sql_registered_pandas",
+    oracle="""
+    WITH banded AS (
+        SELECT CASE WHEN o_totalprice < 100000 THEN 'S'
+                    WHEN o_totalprice < 300000 THEN 'M'
+                    WHEN o_totalprice < 500000 THEN 'L'
+                    ELSE 'XL' END AS band,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT band, COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM banded GROUP BY band ORDER BY band
+    """,
+)
+def q_udf_sql_registered_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-callable vectorized UDF: a pandas UDF registered with
+    ``spark.udf.register`` and invoked from a plain SQL string — the
+    integration path that lets SQL-only consumers (BI tools, dbt
+    models, the reference's SQL-first users) call Python logic without
+    touching the DataFrame API.
+
+    The banding itself is deliberately expressible as a CASE (that IS
+    the oracle), so the query adjudicates the REGISTRATION PLUMBING:
+    Arrow batching in/out of the SQL expression, null-free banding over
+    the full scan, and agreement with the pure-SQL twin. Scale notes:
+    registered pandas UDFs run the same Arrow path as F.pandas_udf —
+    vectorized batches, no per-row pickling; the aggregate shuffles 4
+    band rows.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def price_band(p: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(
+            np.select(
+                [p < 100000, p < 300000, p < 500000],
+                ["S", "M", "L"],
+                default="XL",
+            ),
+            index=p.index,
+        )
+
+    spark.udf.register("sgq_price_band", price_band)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sgq_orders_udf_v")
+    return spark.sql(
+        """
+        SELECT sgq_price_band(o_totalprice) AS band,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM sgq_orders_udf_v
+        GROUP BY 1 ORDER BY 1
+        """
+    )
