@@ -1210,3 +1210,94 @@ def q_multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame
         "frame_delta",
         (F.col("frame_delta") > 1500).alias("is_scene_cut"),
     ).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "multimodal_audio_silence_trim",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(split(text, ''), c -> unicode(c)) AS codes,
+             CAST(strlen(text) // 2 AS BIGINT) AS n
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n,
+             list_transform(range(1, CAST(n AS INT) + 1),
+               i -> CASE WHEN codes[2*i-1] + 256*codes[2*i] >= 32768
+                         THEN codes[2*i-1] + 256*codes[2*i] - 65536
+                         ELSE codes[2*i-1] + 256*codes[2*i] END) AS smp
+      FROM b
+    ), loud AS (
+      SELECT doc_id, n,
+             [i FOR i IN range(1, CAST(n AS INT) + 1) IF abs(smp[i]) > 8192]
+                 AS loud_idx
+      FROM s
+    )
+    SELECT doc_id, n AS n_samples,
+           CAST(CASE WHEN len(loud_idx) = 0 THEN n
+                     ELSE loud_idx[1] - 1 END AS BIGINT) AS lead_silence,
+           CAST(CASE WHEN len(loud_idx) = 0 THEN 0
+                     ELSE n - loud_idx[-1] END AS BIGINT) AS trail_silence,
+           CAST(CASE WHEN len(loud_idx) = 0 THEN 0
+                     ELSE loud_idx[-1] - loud_idx[1] + 1 END AS BIGINT)
+               AS kept_samples
+    FROM loud
+    ORDER BY doc_id
+    """,
+)
+def q_multimodal_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence trimming over decoded PCM16 audio: per clip, the leading
+    and trailing run of samples whose amplitude never exceeds the
+    threshold (|s| > 8192 ≈ −12 dBFS marks signal) — the first
+    preprocessing stage of every speech pipeline (silence carries no
+    training signal but dominates raw duration).
+
+    The clip round-trips through the real WAV encoder+parser before
+    trimming (same encode→decode discipline as ``multimodal_audio_wav``),
+    and the trim indices are pure integer comparisons the oracle
+    recomputes from the text code points — sample-exact, no energy
+    windows or floats. Scale: per-clip state is one pass over its own
+    samples inside the Arrow batch; trim offsets (not trimmed payloads)
+    leave the stage, so the shuffle carries O(1) per clip.
+    """
+    import numpy as np
+
+    from .audio import decode_wav, encode_wav_pcm16
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _trim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_cols = ("doc_id", "n_samples", "lead_silence", "trail_silence", "kept_samples")
+        for pdf in batches:
+            out = {c: [] for c in out_cols}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                raw = raw[: (len(raw) // 2) * 2]
+                samples = np.frombuffer(raw, "<i2") if raw else np.zeros(0, "<i2")
+                _sr, smp = decode_wav(encode_wav_pcm16(samples, _WAV_SR))
+                smp = np.asarray(smp, dtype=np.int64).ravel()
+                loud = np.flatnonzero(np.abs(smp) > 8192)
+                n = len(smp)
+                if len(loud) == 0:
+                    # all-silence convention: everything trims from the
+                    # front (lead = n, trail = 0, kept = 0)
+                    lead, trail, kept = n, 0, 0
+                else:
+                    lead = int(loud[0])
+                    trail = int(n - 1 - loud[-1])
+                    kept = int(loud[-1] - loud[0] + 1)
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(n)
+                out["lead_silence"].append(lead)
+                out["trail_silence"].append(trail)
+                out["kept_samples"].append(kept)
+            yield pd.DataFrame(out)
+
+    return (
+        docs.mapInPandas(
+            _trim,
+            schema="doc_id bigint, n_samples bigint, lead_silence bigint,"
+            " trail_silence bigint, kept_samples bigint",
+        )
+        .orderBy("doc_id")
+    )

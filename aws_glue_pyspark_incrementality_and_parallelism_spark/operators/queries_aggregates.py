@@ -1064,3 +1064,93 @@ def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ci_lo_cents") <= F.col("point_cents"))
         & (F.col("point_cents") <= F.col("ci_hi_cents")),
     )
+
+
+@query(
+    "agg_top_movers_period_delta",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(o_orderdate) AS t0,
+               MIN(o_orderdate) + (MAX(o_orderdate) - MIN(o_orderdate)) / 2 AS mid
+        FROM orders
+    ), rev AS (
+        SELECT o.o_custkey AS custkey,
+               CASE WHEN o.o_orderdate < b.mid THEN 'p1' ELSE 'p2' END AS period,
+               SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+        FROM orders o CROSS JOIN bounds b
+        GROUP BY 1, 2
+    ), wide AS (
+        SELECT custkey,
+               COALESCE(SUM(cents) FILTER (WHERE period = 'p1'), 0) AS p1_cents,
+               COALESCE(SUM(cents) FILTER (WHERE period = 'p2'), 0) AS p2_cents
+        FROM rev GROUP BY custkey
+    )
+    SELECT custkey, CAST(p1_cents AS BIGINT) AS p1_cents,
+           CAST(p2_cents AS BIGINT) AS p2_cents,
+           CAST(p2_cents - p1_cents AS BIGINT) AS delta_cents
+    FROM wide
+    ORDER BY abs(p2_cents - p1_cents) DESC, custkey
+    LIMIT 10
+    """,
+)
+def q_agg_top_movers_period_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by absolute revenue change between the first
+    and second half of the order-date range — the what-changed report
+    every revenue dashboard leads with.
+
+    The midpoint derives from exact timestamp arithmetic (min + half
+    the span — the same integer-microsecond discipline as the zone-map
+    probe), revenue stays in integer cents, and the top-10 cut is
+    totally ordered (|delta| desc, custkey). Scale shape: one
+    conditional aggregate per (customer, period) with the 1-row bounds
+    relation broadcast; the FILTER pivot collapses to one row per
+    customer; TakeOrdered ends it — no global sort.
+    """
+    from pyspark.sql.window import Window  # noqa: F401  (module convention)
+
+    # o_orderdate reads as TIMESTAMP_NTZ; cast once to session-UTC
+    # TIMESTAMP so integer-microsecond arithmetic applies (UTC session
+    # pins the conversion — the repo-wide timezone contract)
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    )
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("t0"), F.max("o_orderdate").alias("t1")
+    ).select(
+        F.expr(
+            "timestampadd(MICROSECOND,"
+            " (unix_micros(t1) - unix_micros(t0)) div 2, t0)"
+        ).alias("mid")
+    )
+    rev = (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.when(F.col("o_orderdate") < F.col("mid"), "p1").otherwise("p2").alias(
+                "period"
+            ),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    wide = rev.groupBy("custkey").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("period") == "p1", F.col("cents"))), F.lit(0)
+        ).alias("p1_cents"),
+        F.coalesce(
+            F.sum(F.when(F.col("period") == "p2", F.col("cents"))), F.lit(0)
+        ).alias("p2_cents"),
+    )
+    return (
+        wide.select(
+            "custkey",
+            "p1_cents",
+            "p2_cents",
+            (F.col("p2_cents") - F.col("p1_cents")).alias("delta_cents"),
+        )
+        .orderBy(F.abs(F.col("delta_cents")).desc(), F.asc("custkey"))
+        .limit(10)
+    )
