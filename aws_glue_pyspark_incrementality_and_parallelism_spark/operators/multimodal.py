@@ -1301,3 +1301,63 @@ def q_multimodal_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "multimodal_pdf_catalog",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               least(5, 1 + strlen(text) // 500) AS n_pages
+        FROM documents
+    )
+    SELECT doc_id, '1.4' AS version,
+           CAST(2 + 2 * n_pages AS BIGINT) AS n_objects,
+           CAST(n_pages AS BIGINT) AS n_pages,
+           TRUE AS xref_ok
+    FROM spec
+    ORDER BY doc_id
+    """,
+)
+def q_multimodal_pdf_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF DOCUMENT modality, catalog lane: build a spec-correct
+    multi-page PDF per document (page count derived from text length),
+    then run the ingest-side catalog pass — version sniff, object
+    census, /Type /Page census (negative lookahead so /Pages never
+    miscounts), startxref validated against the real xref byte offset.
+
+    The writer/parser pair follows the container discipline (avi/mp4/
+    archive): the parser reads ISO 32000 structure tokens, not the
+    writer's bytes back, so a foreign producer's PDF catalogs the same
+    way — pinned in tests/test_pdf.py with hand-assembled spec bytes.
+    The oracle recomputes the expected census from the page-count
+    expression (catalog + pages + N page + N content objects). Scale:
+    O(bytes) regex scan per payload, zero cross-row state, payloads
+    never shuffle.
+    """
+    from .pdf import encode_pdf, pdf_catalog
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _catalog(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_cols = ("doc_id", "version", "n_objects", "n_pages", "xref_ok")
+        for pdf_batch in batches:
+            out = {c: [] for c in out_cols}
+            for doc_id, text in zip(pdf_batch["doc_id"], pdf_batch["text"]):
+                n_pages = min(5, 1 + len(text.encode("utf-8")) // 500)
+                pages = [
+                    text.encode("utf-8")[i * 500 : (i + 1) * 500] for i in range(n_pages)
+                ]
+                meta = pdf_catalog(encode_pdf(pages))
+                out["doc_id"].append(int(doc_id))
+                out["version"].append(meta["version"])
+                out["n_objects"].append(meta["n_objects"])
+                out["n_pages"].append(meta["n_pages"])
+                out["xref_ok"].append(meta["xref_ok"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        _catalog,
+        schema="doc_id bigint, version string, n_objects bigint,"
+        " n_pages bigint, xref_ok boolean",
+    ).orderBy("doc_id")

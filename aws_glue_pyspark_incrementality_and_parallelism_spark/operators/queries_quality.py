@@ -507,3 +507,87 @@ def q_profile_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact_dups",
         "dup_rate_micro",
     )
+
+
+@query(
+    "quality_luhn_checksum",
+    oracle="""
+    WITH nums AS (
+        -- 11 payload digits derived from the order key, plus a Luhn
+        -- check digit; every 7th record gets its check digit corrupted
+        SELECT o_orderkey,
+               o_orderkey % 100000000000 AS payload,
+               o_orderkey % 7 = 0 AS planted_bad
+        FROM orders
+    ), digits AS (
+        SELECT o_orderkey, payload, planted_bad,
+               -- Luhn sum over the 11 payload digits, doubling every
+               -- second digit from the right (positions 0,2,4,... of
+               -- the reversed payload are NOT doubled; 1,3,5,... are)
+               list_sum([
+                   CASE WHEN i % 2 = 1
+                        THEN CASE WHEN 2 * CAST((payload // power(10, i)) % 10 AS INT) > 9
+                                  THEN 2 * CAST((payload // power(10, i)) % 10 AS INT) - 9
+                                  ELSE 2 * CAST((payload // power(10, i)) % 10 AS INT) END
+                        ELSE CAST((payload // power(10, i)) % 10 AS INT) END
+                   FOR i IN range(0, 11)]) AS luhn_sum
+        FROM nums
+    ), full_nums AS (
+        SELECT o_orderkey, payload, planted_bad,
+               CAST((10 - luhn_sum % 10) % 10 AS BIGINT)
+                   + CASE WHEN planted_bad THEN 1 ELSE 0 END AS check_digit
+        FROM digits
+    )
+    SELECT COUNT(*) AS n_records,
+           COUNT(*) FILTER (WHERE planted_bad) AS n_planted_bad,
+           TRUE AS validator_catches_exactly_planted
+    FROM full_nums
+    """,
+)
+def q_quality_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn (mod-10) checksum validation — the identifier-integrity
+    gate for card/IMEI/account-number columns: derive an 11-digit
+    payload + Luhn check digit per order, corrupt every 7th record's
+    check digit (planted evidence), run the validator, and pin that it
+    flags EXACTLY the planted set.
+
+    Both engines compute the identical digit algebra (integer div/mod
+    digit extraction, double-every-second-from-right with the 2d>9 →
+    2d−9 fold), so the planted count is oracle-exact and the
+    exactly-planted boolean is a real set-equality check (validator
+    failures ↔ planted corruption, both directions). Scale: pure
+    per-row integer projection + one aggregate — scan-bound.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    nums = orders.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 100000000000).alias("payload"),
+        (F.col("o_orderkey") % 7 == 0).alias("planted_bad"),
+    )
+    luhn_sum = F.expr(
+        """
+        aggregate(sequence(0, 10), 0, (acc, i) ->
+            acc + CASE WHEN i % 2 = 1
+                       THEN CASE WHEN 2 * CAST((payload div CAST(power(10, i) AS BIGINT)) % 10 AS INT) > 9
+                                 THEN 2 * CAST((payload div CAST(power(10, i) AS BIGINT)) % 10 AS INT) - 9
+                                 ELSE 2 * CAST((payload div CAST(power(10, i) AS BIGINT)) % 10 AS INT) END
+                       ELSE CAST((payload div CAST(power(10, i) AS BIGINT)) % 10 AS INT) END)
+        """
+    )
+    full = nums.withColumn("luhn_sum", luhn_sum).withColumn(
+        "check_digit",
+        ((10 - F.col("luhn_sum") % 10) % 10)
+        + F.when(F.col("planted_bad"), 1).otherwise(0),
+    )
+    # validator: recompute the expected check digit and compare
+    validated = full.withColumn(
+        "valid", F.col("check_digit") % 10 == (10 - F.col("luhn_sum") % 10) % 10
+    )
+    # planted +1 makes check_digit % 10 differ by exactly 1 -> invalid
+    return validated.agg(
+        F.count("*").alias("n_records"),
+        F.sum(F.when(F.col("planted_bad"), 1).otherwise(0)).alias("n_planted_bad"),
+        (
+            F.sum(F.when(F.col("valid") != ~F.col("planted_bad"), 1).otherwise(0)) == 0
+        ).alias("validator_catches_exactly_planted"),
+    )
