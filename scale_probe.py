@@ -87,6 +87,11 @@ QUERIES = [
     "embed_matryoshka_recall", "sample_hard_negatives",
     "stream_bot_burst_merge", "multimodal_video_scene_cuts",
     "fn_trigram_similarity_topk",
+    "text_ngram_novelty", "window_hampel_outliers", "text_compression_ratio",
+    "join_asof_tolerance", "udf_sql_registered_pandas",
+    "agg_top_movers_period_delta", "multimodal_audio_silence_trim",
+    "quality_luhn_checksum", "multimodal_pdf_catalog",
+    "text_boilerplate_segment_dedup",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
