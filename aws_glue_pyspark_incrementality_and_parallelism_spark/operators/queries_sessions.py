@@ -599,3 +599,144 @@ def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "incremental_session_stitch",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    ), per_sess AS (
+      SELECT user_id, sid, COUNT(*) AS n FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(MAX(n) AS BIGINT) AS longest_session_events,
+           CAST(SUM(n) AS BIGINT) AS total_events
+    FROM per_sess
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_incremental_session_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sessionization — the stateful-window form of the
+    reference's bookmark pattern: sessions computed over the history
+    batch (events ≤ HWM at 70% of the timespan) are STITCHED with the
+    delta batch's sessions instead of recomputed, and the merged state
+    must equal global sessionization exactly (the oracle recomputes
+    from scratch).
+
+    Correctness algebra: a 30-min-gap session boundary can only cross
+    the HWM between one user's LAST history event and FIRST delta
+    event, so the stitch rule is local — merge each user's last
+    history session into its first delta session iff that single gap
+    is ≤ 30 min; every other session is untouched. This is what
+    applyInPandasWithState's per-key state does in streaming, here as
+    pure batch algebra with O(users) carried state (exactly the
+    incremental_agg_merge contract, lifted to a gap-windowed
+    aggregate).
+
+    Scale: each phase is one keyed window over its own batch; the
+    stitch is a per-user join of two O(users) session-boundary
+    relations — the delta never re-reads history events, which is the
+    point of incrementality at 100 TB.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    bounds = events.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    ).select(
+        (F.col("lo") + F.expr("(hi - lo) * 7 div 10")).alias("hwm_us")
+    )
+    ev = events.crossJoin(F.broadcast(bounds)).withColumn(
+        "us", F.unix_micros("ts")
+    )
+    GAP = 1800000000
+
+    def sessionize(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        marks = df.withColumn("prev_us", F.lag("us").over(w)).withColumn(
+            "is_start",
+            F.when(
+                F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") > GAP), 1
+            ).otherwise(0),
+        )
+        wc = w.rowsBetween(Window.unboundedPreceding, 0)
+        return (
+            marks.withColumn("sid", F.sum("is_start").over(wc))
+            .groupBy("user_id", "sid")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("us").alias("s_start"),
+                F.max("us").alias("s_end"),
+            )
+        )
+
+    hist = sessionize(ev.filter(F.col("us") <= F.col("hwm_us")))
+    delta = sessionize(ev.filter(F.col("us") > F.col("hwm_us")))
+
+    # per-user boundary state: history's LAST session, delta's FIRST
+    wh = Window.partitionBy("user_id")
+    h_last = hist.withColumn("mx", F.max("sid").over(wh)).filter(
+        F.col("sid") == F.col("mx")
+    ).select("user_id", F.col("n").alias("h_n"), F.col("s_end").alias("h_end"))
+    d_first = delta.withColumn("mn", F.min("sid").over(wh)).filter(
+        F.col("sid") == F.col("mn")
+    ).select("user_id", F.col("n").alias("d_n"), F.col("s_start").alias("d_start"))
+    stitch = h_last.join(d_first, "user_id", "full").select(
+        "user_id",
+        (
+            F.col("h_end").isNotNull()
+            & F.col("d_start").isNotNull()
+            & (F.col("d_start") - F.col("h_end") <= GAP)
+        ).alias("merged"),
+        (F.coalesce(F.col("h_n"), F.lit(0)) + F.coalesce(F.col("d_n"), F.lit(0))).alias(
+            "merged_n"
+        ),
+    )
+
+    # assemble per-user session-size multisets: all non-boundary
+    # sessions + either the merged boundary session or the two
+    # unmerged ones
+    h_rest = hist.withColumn("mx", F.max("sid").over(wh)).filter(
+        F.col("sid") != F.col("mx")
+    ).select("user_id", "n")
+    d_rest = delta.withColumn("mn", F.min("sid").over(wh)).filter(
+        F.col("sid") != F.col("mn")
+    ).select("user_id", "n")
+    boundary = (
+        stitch.join(h_last, "user_id", "left")
+        .join(d_first, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("merged"), F.array(F.col("merged_n")))
+            .otherwise(
+                F.array_compact(
+                    F.array(F.col("h_n").cast("long"), F.col("d_n").cast("long"))
+                )
+            )
+            .alias("ns"),
+        )
+        .select("user_id", F.explode("ns").alias("n"))
+    )
+    all_sessions = h_rest.unionByName(d_rest).unionByName(boundary)
+    return (
+        all_sessions.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n").cast("bigint").alias("longest_session_events"),
+            F.sum("n").cast("bigint").alias("total_events"),
+        )
+        .orderBy("user_id")
+    )
