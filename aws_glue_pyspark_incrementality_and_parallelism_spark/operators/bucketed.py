@@ -197,3 +197,57 @@ def q_join_dpp_partitioned_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dpp_in_plan", F.lit(dpp))
         .orderBy("o_year")
     )
+
+
+@query(
+    "agg_bucketed_no_shuffle",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               COUNT(*) AS n_lines,
+               SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT COUNT(*) AS n_orders,
+           CAST(MAX(n_lines) AS BIGINT) AS max_lines,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           TRUE AS agg_is_shuffle_free
+    FROM per_order
+    """,
+)
+def q_agg_bucketed_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation on the bucket key with ZERO shuffle exchanges — the
+    second dividend of bucketed layout: a bucketed scan already
+    satisfies the hash distribution a groupBy(l_orderkey) needs, so
+    Catalyst drops the Exchange and the per-key aggregate runs
+    scan-local. At 100 TB this turns every repeated keyed rollup on
+    the layout key (per-order, per-user, per-doc) into a map-only job.
+
+    The shuffle audit covers the PER-KEY aggregate plan (the tiny
+    4-column final reduction afterwards is all that ever moves);
+    results are exact-integer and oracle-adjudicated next to the
+    plan-derived boolean, like the bucketed join.
+    """
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="sgq_baggr_")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    table = f"sgq_ba_{run}"
+    write_bucketed(li, "l_orderkey", table, f"{base}/lineitem")
+
+    per_order = (
+        spark.table(table)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+        )
+    )
+    shuffle_free = shuffle_exchange_count(per_order) == 0
+
+    return per_order.agg(
+        F.count("*").alias("n_orders"),
+        F.max("n_lines").cast("bigint").alias("max_lines"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    ).withColumn("agg_is_shuffle_free", F.lit(shuffle_free))
