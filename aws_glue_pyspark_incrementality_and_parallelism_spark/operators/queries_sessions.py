@@ -740,3 +740,67 @@ def q_incremental_session_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_bounce_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    ), per_sess AS (
+      SELECT user_id, sid, COUNT(*) AS n FROM sess GROUP BY user_id, sid
+    )
+    SELECT COUNT(*) AS n_sessions,
+           COUNT(*) FILTER (WHERE n = 1) AS n_bounces,
+           CAST(COUNT(*) FILTER (WHERE n = 1) * 1000000 // COUNT(*) AS BIGINT)
+               AS bounce_rate_micro,
+           CAST(MAX(n) AS BIGINT) AS longest_session
+    FROM per_sess
+    """,
+)
+def q_events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate over 30-minute-gap sessions: the fraction of
+    sessions containing exactly one event — the engagement headline
+    next to DAU/stickiness, computed off the same sessionization
+    relation the other session operators share.
+
+    One keyed gap window → per-session counts → a 1-row aggregate;
+    the rate crosses engines in exact micro-units.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marks = events.withColumn("prev", F.lag("ts").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev") > 1800000000),
+            1,
+        ).otherwise(0),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    per_sess = (
+        marks.withColumn("sid", F.sum("new_sess").over(wc))
+        .groupBy("user_id", "sid")
+        .agg(F.count("*").alias("n"))
+    )
+    return per_sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_bounces"),
+        F.expr(
+            "CAST((SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000)"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("bounce_rate_micro"),
+        F.max("n").cast("bigint").alias("longest_session"),
+    )
