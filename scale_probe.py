@@ -92,6 +92,8 @@ QUERIES = [
     "agg_top_movers_period_delta", "multimodal_audio_silence_trim",
     "quality_luhn_checksum", "multimodal_pdf_catalog",
     "text_boilerplate_segment_dedup",
+    "incremental_session_stitch", "agg_bucketed_no_shuffle",
+    "events_bounce_rate",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
