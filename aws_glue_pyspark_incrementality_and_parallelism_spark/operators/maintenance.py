@@ -494,3 +494,91 @@ def maintenance_commit_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(diff == 0).alias("snapshot_consistent"),
         F.lit(len(dead_on_disk) > 0).alias("removed_files_invisible"),
     )
+
+
+@query(
+    "maintenance_time_travel_read",
+    oracle="""
+    SELECT 0 AS version,
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 300000) AS n_rows,
+           (SELECT CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+            FROM orders WHERE o_totalprice <= 300000) AS sum_totalprice_cents
+    UNION ALL
+    SELECT 1, (SELECT COUNT(*) FROM orders),
+           (SELECT CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+            FROM orders)
+    UNION ALL
+    SELECT 2, (SELECT COUNT(*) FROM orders),
+           (SELECT CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+            FROM orders)
+    ORDER BY version
+    """,
+)
+def maintenance_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the commit log — the read-side dividend of
+    ``maintenance_commit_log_replay``'s mechanism: a snapshot AS OF
+    version v is the log replayed with actions ``v' <= v`` only.  The
+    same three commits are written (initial low-price load as 4 files,
+    high-price append, compaction replacing the 4 files with 1); each
+    historical snapshot is then resolved and scanned, and the oracle
+    pins version 0 == the low-price half, version 1 == the full table,
+    and version 2 == the full table still (compaction rewrote layout,
+    not content — exact cents checksum proves it).
+
+    At 100 TB: time travel costs O(actions <= v) metadata resolution,
+    zero data copies — old files are simply *retained* until vacuum;
+    this is how reproducible training runs pin the exact corpus
+    snapshot a model saw, independent of later ingest/compaction.
+    """
+    import json as _json
+
+    root = tempfile.mkdtemp(prefix="sgq_timetravel_")
+    data, logdir = os.path.join(root, "data"), os.path.join(root, "_log")
+    os.makedirs(data), os.makedirs(logdir)
+    orders = load_table(spark, sf_dir, "orders")
+
+    def _files(subdir: str) -> list[str]:
+        return sorted(parquet_files(os.path.join(data, subdir)))
+
+    def _commit(version: int, adds: list[str], removes: list[str]) -> None:
+        with open(os.path.join(logdir, f"{version:05d}.json"), "w") as fh:
+            for p in adds:
+                fh.write(_json.dumps({"action": "add", "path": p, "v": version}) + "\n")
+            for p in removes:
+                fh.write(_json.dumps({"action": "remove", "path": p, "v": version}) + "\n")
+
+    low = orders.filter(F.col("o_totalprice") <= 300000)
+    high = orders.filter(F.col("o_totalprice") > 300000)
+    low.repartition(4).write.mode("overwrite").parquet(os.path.join(data, "v0"))
+    _commit(0, _files("v0"), [])
+    high.write.mode("overwrite").parquet(os.path.join(data, "v1"))
+    _commit(1, _files("v1"), [])
+    spark.read.parquet(os.path.join(data, "v0")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(data, "v2"))
+    _commit(2, _files("v2"), _files("v0"))
+
+    from pyspark.sql.window import Window
+
+    log = spark.read.json(os.path.join(logdir, "*.json"))
+    out = None
+    for version in (0, 1, 2):
+        last = (
+            log.filter(F.col("v") <= version)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("path").orderBy(F.desc("v"), F.desc("action"))
+                ),
+            )
+            .filter((F.col("rn") == 1) & (F.col("action") == "add"))
+        )
+        live_files = [r["path"] for r in last.select("path").collect()]
+        snap = spark.read.parquet(*live_files).agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_totalprice_cents"),
+        ).select(F.lit(version).alias("version"), "*")
+        out = snap if out is None else out.unionByName(snap)
+    return out.orderBy("version")

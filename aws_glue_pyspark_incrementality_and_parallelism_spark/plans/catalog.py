@@ -58,6 +58,8 @@ from ..operators import (  # noqa: F401
     bucketed,
     archive,
     features,
+    formats,
+    web,
 )
 
 from .registry import REGISTRY, QuerySpec  # noqa: F401
