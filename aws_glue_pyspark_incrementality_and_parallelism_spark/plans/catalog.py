@@ -60,6 +60,7 @@ from ..operators import (  # noqa: F401
     features,
     formats,
     web,
+    bpe,
 )
 
 from .registry import REGISTRY, QuerySpec  # noqa: F401
