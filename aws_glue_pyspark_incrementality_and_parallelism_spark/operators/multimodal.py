@@ -1361,3 +1361,95 @@ def q_multimodal_pdf_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, version string, n_objects bigint,"
         " n_pages bigint, xref_ok boolean",
     ).orderBy("doc_id")
+
+
+#: Real-resize output geometry (nearest-neighbor downsample of the
+#: _PPM_W x _PPM_H source).
+_RS_W, _RS_H = 8, 4
+
+#: 1-based byte positions (into the PPM pixel buffer == document text)
+#: sampled by nearest-neighbor: src_row = floor(i*H/h), src_col =
+#: floor(j*W/w) — precomputed per channel so the oracle is a literal
+#: index list and any drift in the resampling grid fails parity.
+_RS_IDX = {
+    c: [
+        ((i * _PPM_H // _RS_H) * _PPM_W + (j * _PPM_W // _RS_W)) * 3 + c + 1
+        for i in range(_RS_H)
+        for j in range(_RS_W)
+    ]
+    for c in range(3)
+}
+
+
+def _rs_sum_sql(chan: int) -> str:
+    lit = "[" + ", ".join(str(k) for k in _RS_IDX[chan]) + "]"
+    return (
+        f"CAST(COALESCE(list_sum(list_transform({lit}, "
+        "k -> CASE WHEN k <= len(codes) THEN codes[k] ELSE 0 END)), 0) AS BIGINT)"
+    )
+
+
+@query(
+    "multimodal_image_resize",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(split(substr(text, 1, {_PPM_BYTES}), ''),
+                            c -> unicode(c)) AS codes
+      FROM documents
+    )
+    SELECT doc_id, {_RS_W} AS out_w, {_RS_H} AS out_h,
+           {_rs_sum_sql(0)} AS sum_r,
+           {_rs_sum_sql(1)} AS sum_g,
+           {_rs_sum_sql(2)} AS sum_b
+    FROM b
+    """,
+)
+def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 REAL resize (supersedes the byte-stub ``multimodal_resize``
+    for pixel semantics): decode each P6 PPM payload with the numpy
+    decoder, nearest-neighbor downsample 32x16 → 8x4 using the standard
+    ``src = floor(dst * src_dim / dst_dim)`` grid, and emit exact
+    integer channel sums of the RESIZED image. The oracle samples the
+    identical precomputed byte positions straight from the document
+    text (ASCII corpus ⇒ bytes == code points; positions beyond the
+    text are the decoder's zero padding), so a one-pixel drift in the
+    resampling grid is a hash mismatch.
+
+    Scale: decode+resize stay inside one mapInPandas batch at the scan
+    — payload bytes never shuffle, the hot loop is numpy fancy-indexing
+    per image, embarrassingly parallel across partitions."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.encode(F.lit(f"P6\n{_PPM_W} {_PPM_H}\n255\n"), "utf-8"),
+        F.encode(F.substring("text", 1, _PPM_BYTES), "utf-8"),
+    )
+    media = docs.select("doc_id", payload.alias("payload"))
+
+    out_w, out_h = _RS_W, _RS_H
+    decode = decode_rgb
+
+    def _resize_nn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode(bytes(buf))
+                hh, ww = img.shape[0], img.shape[1]
+                ri = (_np.arange(out_h) * hh) // out_h
+                ci = (_np.arange(out_w) * ww) // out_w
+                small = img[_np.ix_(ri, ci)]
+                s = small.astype("int64").sum(axis=(0, 1))
+                rows.append(
+                    (int(doc_id), out_w, out_h, int(s[0]), int(s[1]), int(s[2]))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "out_w", "out_h", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return media.mapInPandas(
+        _resize_nn,
+        schema="doc_id bigint, out_w int, out_h int,"
+        " sum_r bigint, sum_g bigint, sum_b bigint",
+    ).orderBy("doc_id")
