@@ -591,3 +591,84 @@ def q_quality_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("valid") != ~F.col("planted_bad"), 1).otherwise(0)) == 0
         ).alias("validator_catches_exactly_planted"),
     )
+
+
+#: Batch boundary for the incremental SCD2 apply (≈70% of the event span).
+_SCD2_CUTOFF = "2024-01-21 00:00:00"
+
+
+@query(
+    "incremental_scd2_apply",
+    oracle="""
+    SELECT user_id, event_id, value AS attr_value,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_incremental_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 MERGE — the third leg of the dimension-history
+    story beside the from-scratch build (``scd2_user_value_history``)
+    and the leakage-safe consumer (``join_point_in_time_features``):
+    the history table already exists for the pre-cutoff batch; the new
+    batch is applied as a Delta-style MERGE instead of a rebuild:
+
+    1. each touched user's OPEN version is closed (``valid_to`` := the
+       user's first delta timestamp, ``is_current`` := 0) via one
+       aggregate + keyed left join,
+    2. the delta batch window-builds its own version chain,
+    3. untouched history passes through byte-identical.
+
+    The oracle is the GLOBAL from-scratch build over all events — the
+    incremental composition is proved equal to recomputation, the same
+    bookmark contract ``incremental_agg_merge`` / ``incremental_join_merge``
+    / ``incremental_session_stitch`` pin for aggregates, joins, and
+    sessions, now for versioned dimension state.  Correctness rests on
+    the batch split being a time split (no cross-batch timestamp
+    interleaving), which is exactly what a job-bookmark HWM guarantees.
+
+    Scale: the rebuild costs a window over ALL history every run; the
+    merge costs a window over the DELTA plus one keyed join against
+    only the ``is_current`` slice — at 100 TB that is the difference
+    between re-sorting years of dimension history and touching one
+    day's changed keys."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cutoff = F.lit(_SCD2_CUTOFF).cast("timestamp")
+    batch1 = events.filter(F.col("ts") < cutoff)
+    batch2 = events.filter(F.col("ts") >= cutoff)
+
+    def _build(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        valid_to = F.lead("ts").over(w)
+        return df.select(
+            "user_id",
+            "event_id",
+            F.col("value").alias("attr_value"),
+            F.col("ts").alias("valid_from"),
+            valid_to.alias("valid_to"),
+            F.when(valid_to.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+        )
+
+    hist = _build(batch1)
+    first_delta = batch2.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+
+    closed = hist.filter(F.col("is_current") == 1).join(
+        first_delta, "user_id", "left"
+    ).select(
+        "user_id",
+        "event_id",
+        "attr_value",
+        "valid_from",
+        F.coalesce("valid_to", "first_ts").alias("valid_to"),
+        F.when(F.col("first_ts").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_current"
+        ),
+    )
+    untouched = hist.filter(F.col("is_current") == 0)
+    delta_hist = _build(batch2)
+    return untouched.unionByName(closed).unionByName(delta_hist)

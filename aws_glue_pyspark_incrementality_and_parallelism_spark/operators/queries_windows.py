@@ -564,3 +564,95 @@ def q_window_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "window_fifo_allocation",
+    oracle="""
+    WITH inv AS (
+      SELECT o.o_custkey AS custkey,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS amt_c,
+             CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS budget_c,
+             SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+               OVER (PARTITION BY o.o_custkey ORDER BY o.o_orderdate, o.o_orderkey
+                     ROWS UNBOUNDED PRECEDING) AS cum_c
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_acctbal > 0
+    ), alloc AS (
+      SELECT custkey, amt_c, budget_c,
+             GREATEST(CAST(0 AS BIGINT),
+                      LEAST(amt_c, budget_c - (cum_c - amt_c))) AS funded_c
+      FROM inv
+    )
+    SELECT custkey,
+           COUNT(*) AS n_invoices,
+           CAST(SUM(CASE WHEN funded_c = amt_c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_funded_full,
+           CAST(SUM(CASE WHEN funded_c > 0 AND funded_c < amt_c THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_funded_partial,
+           CAST(SUM(funded_c) AS BIGINT) AS funded_cents,
+           CAST(MAX(budget_c) AS BIGINT) AS budget_cents
+    FROM alloc
+    GROUP BY custkey
+    HAVING SUM(CASE WHEN funded_c > 0 AND funded_c < amt_c THEN 1 ELSE 0 END) > 0
+    ORDER BY custkey
+    """,
+)
+def q_window_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO allocation waterfall — the settlement/billing primitive:
+    each customer's account balance (the budget) funds their orders
+    oldest-first; an order is fully funded while the running invoice
+    total stays under budget, the order that crosses the line is
+    PARTIALLY funded with exactly the remainder, everything after gets
+    zero.  Sequential-sounding, but the greedy FIFO outcome is a pure
+    function of the running prefix sum — ``funded = clamp(budget −
+    cumsum_before, 0, amount)`` — so one keyed window computes the
+    whole waterfall with no iteration; exact cents end-to-end.  The
+    output keeps only customers with a partial allocation (the
+    boundary case that proves the clamp algebra), with full/partial
+    counts and funded totals.
+
+    Scale: one shuffle to co-locate each customer's orders, one window
+    pass, one grouped aggregate — the same plan family as every other
+    keyed running-total here; no driver state, no loop."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    inv = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "o_orderdate",
+            "o_orderkey",
+            cents("o_totalprice").alias("amt_c"),
+            cents("c_acctbal").alias("budget_c"),
+        )
+        .withColumn("cum_c", F.sum("amt_c").over(w))
+    )
+    alloc = inv.withColumn(
+        "funded_c",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(F.col("amt_c"), F.col("budget_c") - (F.col("cum_c") - F.col("amt_c"))),
+        ),
+    )
+    partial = (F.col("funded_c") > 0) & (F.col("funded_c") < F.col("amt_c"))
+    return (
+        alloc.groupBy("custkey")
+        .agg(
+            F.count("*").alias("n_invoices"),
+            F.sum(F.when(F.col("funded_c") == F.col("amt_c"), 1).otherwise(0)).alias(
+                "n_funded_full"
+            ),
+            F.sum(F.when(partial, 1).otherwise(0)).alias("n_funded_partial"),
+            F.sum("funded_c").cast("bigint").alias("funded_cents"),
+            F.max("budget_c").cast("bigint").alias("budget_cents"),
+        )
+        .filter(F.col("n_funded_partial") > 0)
+        .orderBy("custkey")
+    )

@@ -1079,3 +1079,160 @@ from ..session import pickle_module_by_value  # noqa: E402
 # This module defines worker-side (Arrow/Pandas UDF) functions: ship them
 # by value so executors never need the package on their own sys.path.
 pickle_module_by_value(__name__)
+
+
+@query(
+    "rag_hybrid_rrf_fusion",
+    oracle="""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
+    ), stats AS (
+        SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf
+        FROM tok WHERE word IN ('spark', 'join', 'filter') GROUP BY 1, 2
+    ), df AS (
+        SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok
+        WHERE word IN ('spark', 'join', 'filter') GROUP BY 1
+    ), bm25 AS (
+        SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS bm25_x10k FROM (
+          SELECT tf.doc_id,
+                 CAST(floor(
+                     LN(1.0 + (CAST(s.n_docs - df.df AS DOUBLE) + 0.5)
+                              / (CAST(df.df AS DOUBLE) + 0.5))
+                     * ((tf.tf * 2.2)
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))))
+                     * 10000 + 0.5) AS BIGINT) AS term_score
+          FROM tf JOIN df USING (word) JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats s
+        ) GROUP BY doc_id
+    ), lex AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25_x10k DESC, doc_id)
+                 AS lex_rank
+        FROM bm25 QUALIFY lex_rank <= 20
+    ), q AS (
+        SELECT vec_id,
+               [CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                FOR x IN embedding] AS qv
+        FROM embeddings
+    ), qv AS (
+        SELECT qv AS quv FROM q WHERE vec_id = 0
+    ), dots AS (
+        SELECT q.vec_id AS cid,
+               list_sum([qv.quv[i + 1] * q.qv[i + 1] FOR i IN range(0, 64)]) AS dot
+        FROM q, qv WHERE q.vec_id != 0
+    ), vec AS (
+        SELECT cid, ROW_NUMBER() OVER (ORDER BY dot DESC, cid) AS vec_rank
+        FROM dots QUALIFY vec_rank <= 20
+    ), fused AS (
+        SELECT COALESCE(l.doc_id, v.cid) AS doc_id,
+               l.lex_rank AS lex_rank, v.vec_rank AS vec_rank,
+               CAST(COALESCE(CAST(1000000000 AS HUGEINT)
+                             // CAST(60 + l.lex_rank AS HUGEINT), 0)
+                    + COALESCE(CAST(1000000000 AS HUGEINT)
+                               // CAST(60 + v.vec_rank AS HUGEINT), 0) AS BIGINT)
+                 AS rrf_score
+        FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.cid
+    )
+    SELECT doc_id, lex_rank, vec_rank, rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def q_rag_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the production RAG
+    pattern: a lexical BM25 ranking (fixed query {spark, join, filter},
+    exact-integer scores per ``text_bm25_topk``) and a dense dot-product
+    ranking (query = vector 0, micro-quantized int64 dots per the
+    blocked-GEMM rule) are fused with RRF(k=60): each list contributes
+    ``floor(1e9 / (60 + rank))`` integer units, absent docs contribute
+    zero, top-10 by fused score with doc_id tie-break.  Every rank and
+    score is deterministic, so the oracle adjudicates the fused ranking
+    itself — no recall floor needed.
+
+    Scale shape: the two first-stage rankings are the already-audited
+    inverted-index and MIPS access paths (each a partial top-k, both
+    swappable for their ANN variants unchanged); fusion joins two
+    O(k)-row lists — driver-free, shuffle-free at any corpus size."""
+    from .embeddings import int_dot, microquant
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    w_all = Window.orderBy(F.desc("bm25_x10k"), F.asc("doc_id"))
+
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    )
+    terms_filter = F.col("word").isin("spark", "join", "filter")
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    )
+    tf = tok.filter(terms_filter).groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tok.filter(terms_filter).groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    bm25 = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    1.0
+                    + ((F.col("n_docs") - F.col("df")).cast("double") + 0.5)
+                    / (F.col("df").cast("double") + 0.5)
+                )
+                * (
+                    (F.col("tf") * 2.2)
+                    / (F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl"))))
+                )
+                * 10000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").cast("bigint").alias("bm25_x10k"))
+    )
+    lex = (
+        bm25.withColumn("lex_rank", F.row_number().over(w_all))
+        .filter(F.col("lex_rank") <= 20)
+        .select("doc_id", "lex_rank")
+    )
+
+    q = emb.select("vec_id", microquant().alias("qv"))
+    query_vec = q.filter(F.col("vec_id") == 0).select(F.col("qv").alias("quv"))
+    dots = (
+        q.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query_vec))
+        .select(F.col("vec_id").alias("cid"), int_dot("quv", "qv", 64).alias("dot"))
+    )
+    vec = (
+        dots.withColumn(
+            "vec_rank", F.row_number().over(Window.orderBy(F.desc("dot"), F.asc("cid")))
+        )
+        .filter(F.col("vec_rank") <= 20)
+        .select("cid", "vec_rank")
+    )
+
+    rrf = lambda r: F.coalesce(  # noqa: E731
+        F.expr(f"cast(1000000000 as bigint) div (60 + {r})"), F.lit(0)
+    )
+    return (
+        lex.join(vec, lex.doc_id == vec.cid, "full_outer")
+        .select(
+            F.coalesce("doc_id", "cid").alias("doc_id"),
+            F.col("lex_rank").cast("bigint").alias("lex_rank"),
+            F.col("vec_rank").cast("bigint").alias("vec_rank"),
+            (rrf("lex_rank") + rrf("vec_rank")).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(10)
+    )

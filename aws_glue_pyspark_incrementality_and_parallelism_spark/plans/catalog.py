@@ -61,6 +61,7 @@ from ..operators import (  # noqa: F401
     formats,
     web,
     bpe,
+    substrings,
 )
 
 from .registry import REGISTRY, QuerySpec  # noqa: F401
