@@ -657,18 +657,22 @@ def q_incremental_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = _build(batch1)
     first_delta = batch2.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
 
-    closed = hist.filter(F.col("is_current") == 1).join(
-        first_delta, "user_id", "left"
-    ).select(
+    # One pass over history (the batch-1 window subtree must not be
+    # duplicated by splitting current/non-current into separate
+    # branches): the keyed left join closes touched OPEN versions in
+    # place and leaves everything else byte-identical.
+    touched_open = (F.col("is_current") == 1) & F.col("first_ts").isNotNull()
+    merged_hist = hist.join(first_delta, "user_id", "left").select(
         "user_id",
         "event_id",
         "attr_value",
         "valid_from",
-        F.coalesce("valid_to", "first_ts").alias("valid_to"),
-        F.when(F.col("first_ts").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+        F.when(touched_open, F.col("first_ts")).otherwise(F.col("valid_to")).alias(
+            "valid_to"
+        ),
+        F.when(touched_open, F.lit(0)).otherwise(F.col("is_current")).alias(
             "is_current"
         ),
     )
-    untouched = hist.filter(F.col("is_current") == 0)
     delta_hist = _build(batch2)
-    return untouched.unionByName(closed).unionByName(delta_hist)
+    return merged_hist.unionByName(delta_hist)

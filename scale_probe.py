@@ -94,6 +94,12 @@ QUERIES = [
     "text_boilerplate_segment_dedup",
     "incremental_session_stitch", "agg_bucketed_no_shuffle",
     "events_bounce_rate",
+    # round-3 final-session additions
+    "source_multiformat_roundtrip", "maintenance_time_travel_read",
+    "text_url_canonicalize", "text_bpe_train_merges",
+    "multimodal_image_resize", "dedup_exact_substring_spans",
+    "incremental_scd2_apply", "rag_hybrid_rrf_fusion",
+    "window_fifo_allocation",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
