@@ -191,9 +191,10 @@ def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         best = pairs.orderBy(F.desc("cnt"), "x", "y").limit(1).collect()[0]
         merges.append((it, best["x"], best["y"], int(best["cnt"])))
-        prev, seq = seq, _apply_merge(seq, best["x"], best["y"]).persist()
-        seq.count()  # materialize before releasing the parent invariant
-        prev.unpersist()
+        # Each persisted invariant is O(vocabulary) rows; the next
+        # iteration's collect materializes it, so no eager count() —
+        # and no unpersist churn for KBs of state.
+        seq = _apply_merge(seq, best["x"], best["y"]).persist()
 
     merge_df = spark.createDataFrame(
         [(it, x, y, x + y, cnt) for it, x, y, cnt in merges],
