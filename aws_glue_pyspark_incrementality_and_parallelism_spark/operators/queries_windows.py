@@ -656,3 +656,68 @@ def q_window_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_funded_partial") > 0)
         .orderBy("custkey")
     )
+
+
+@query(
+    "events_ohlc_hourly",
+    oracle="""
+    WITH pricked AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar_hour,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events
+    )
+    SELECT event_type, bar_hour,
+           CAST(MAX(CASE WHEN rn_open = 1 THEN v_c END) AS BIGINT) AS open_c,
+           CAST(MAX(v_c) AS BIGINT) AS high_c,
+           CAST(MIN(v_c) AS BIGINT) AS low_c,
+           CAST(MAX(CASE WHEN rn_close = 1 THEN v_c END) AS BIGINT) AS close_c,
+           COUNT(*) AS volume,
+           CAST(SUM(v_c) AS BIGINT) AS total_c
+    FROM pricked
+    GROUP BY event_type, bar_hour
+    ORDER BY event_type, bar_hour
+    """,
+)
+def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick downsampling — the time-series compaction every
+    market-data / metrics pipeline runs: per (series, hour) bar, the
+    OPEN (first value by event time), HIGH, LOW, CLOSE (last value) and
+    volume.  First/last are made deterministic with the (ts, event_id)
+    total order (two row_number windows over the SAME keyed partition —
+    one shuffle, both windows and the final aggregate share it); values
+    are exact integer cents.
+
+    Scale: bars partition by (series, hour), so state per partition is
+    one hour of one series regardless of corpus size — this is the
+    batch form of the watermarked streaming rollup
+    (``stream_hourly_rollup_merge``), extended with order-dependent
+    open/close endpoints."""
+    events = load_table(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", F.col("ts"))
+    base = events.select(
+        "event_type",
+        bar.alias("bar_hour"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v_c"),
+    )
+    wk = Window.partitionBy("event_type", "bar_hour")
+    rn_open = F.row_number().over(wk.orderBy("ts", "event_id"))
+    rn_close = F.row_number().over(wk.orderBy(F.desc("ts"), F.desc("event_id")))
+    pricked = base.withColumn("rn_open", rn_open).withColumn("rn_close", rn_close)
+    return (
+        pricked.groupBy("event_type", "bar_hour")
+        .agg(
+            F.max(F.when(F.col("rn_open") == 1, F.col("v_c"))).cast("bigint").alias("open_c"),
+            F.max("v_c").cast("bigint").alias("high_c"),
+            F.min("v_c").cast("bigint").alias("low_c"),
+            F.max(F.when(F.col("rn_close") == 1, F.col("v_c"))).cast("bigint").alias("close_c"),
+            F.count("*").alias("volume"),
+            F.sum("v_c").cast("bigint").alias("total_c"),
+        )
+        .orderBy("event_type", "bar_hour")
+    )
