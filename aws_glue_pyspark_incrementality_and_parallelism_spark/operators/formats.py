@@ -43,7 +43,7 @@ _CHECKS = """
 """
 
 
-def _integrity(df: DataFrame) -> list:
+def _integrity() -> list:
     return [
         F.count("*").alias("n_rows"),
         F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
@@ -88,6 +88,6 @@ def q_source_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     ]
     out = None
     for fmt, df in lanes:
-        agg = df.agg(*_integrity(df)).select(F.lit(fmt).alias("fmt"), "*")
+        agg = df.agg(*_integrity()).select(F.lit(fmt).alias("fmt"), "*")
         out = agg if out is None else out.unionByName(agg)
     return out.orderBy("fmt")

@@ -838,3 +838,38 @@ def q_sample_weighted_reservoir_per_key(spark: SparkSession, sf_dir: str) -> Dat
         .filter(F.col("rn") <= 3)
         .select("source", "doc_id", "tier", F.col("rn").cast("int").alias("rn"))
     )
+
+
+@query(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 * ((length(text) + 16) // 16) AS BIGINT) AS cipher_len,
+           TRUE AS roundtrip_ok,
+           CAST(length(text) AS BIGINT) AS plain_len
+    FROM documents
+    """,
+)
+def q_fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface (``aes_encrypt``/``aes_decrypt``
+    — the at-rest PII protection primitive): each document's text is
+    encrypted and decrypted with AES-128-ECB (the deterministic mode,
+    so ciphertext geometry is checkable; production would pick GCM and
+    give up determinism for IV freshness).  DuckDB has no AES, so the
+    oracle adjudicates the algebraic structure instead: PKCS#7
+    ciphertext length ``16 * (len/16 + 1)`` exactly, and the
+    decrypt∘encrypt fixed point pinned through a REAL comparison
+    (the boolean is computed from the round-tripped bytes JVM-side,
+    not a literal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    enc = F.expr("aes_encrypt(text, '0123456789abcdef', 'ECB')")
+    dec = F.expr(
+        "cast(aes_decrypt(aes_encrypt(text, '0123456789abcdef', 'ECB'),"
+        " '0123456789abcdef', 'ECB') as string)"
+    )
+    return docs.select(
+        "doc_id",
+        F.length(enc).cast("bigint").alias("cipher_len"),
+        (dec == F.col("text")).alias("roundtrip_ok"),
+        F.length("text").cast("bigint").alias("plain_len"),
+    )

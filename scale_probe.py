@@ -99,7 +99,7 @@ QUERIES = [
     "text_url_canonicalize", "text_bpe_train_merges",
     "multimodal_image_resize", "dedup_exact_substring_spans",
     "incremental_scd2_apply", "rag_hybrid_rrf_fusion",
-    "window_fifo_allocation",
+    "window_fifo_allocation", "events_ohlc_hourly", "fn_aes_roundtrip",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
