@@ -264,3 +264,106 @@ def q_privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         noisy.alias("noisy_n"),
         (F.abs(noisy - F.col("true_n")) <= F.lit(bound)).alias("noise_bounded"),
     ).orderBy("nation")
+
+
+#: Erasure-request lane cut: u32(md5(custkey || ':erasure')) below this
+#: marks a customer as having filed a delete request (~5% of customers —
+#: deterministic, so the cascade provably fires at every SF).
+ERASE_MAX = 214_748_364
+
+
+@query(
+    "privacy_erasure_propagation",
+    oracle=f"""
+    WITH erased AS (
+      SELECT c_custkey, c_nationkey
+      FROM customer
+      WHERE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':erasure'), 1, 8))
+                 AS BIGINT) < {ERASE_MAX}
+    ), base AS (
+      SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY 1
+    ), req AS (
+      SELECT c_nationkey, COUNT(*) AS n_requests,
+             CAST(SUM(c_custkey) AS BIGINT) AS erased_custkey_sum
+      FROM erased GROUP BY 1
+    ), oe AS (
+      SELECT o.o_orderkey, e.c_nationkey
+      FROM orders o JOIN erased e ON o.o_custkey = e.c_custkey
+    ), oc AS (
+      SELECT c_nationkey, COUNT(*) AS n_erased_orders FROM oe GROUP BY 1
+    ), lc AS (
+      SELECT oe.c_nationkey, COUNT(*) AS n_erased_lineitems
+      FROM lineitem l JOIN oe ON l.l_orderkey = oe.o_orderkey GROUP BY 1
+    )
+    SELECT b.c_nationkey,
+           b.n_customers,
+           COALESCE(r.n_requests, 0) AS n_requests,
+           b.n_customers - COALESCE(r.n_requests, 0) AS n_remaining_customers,
+           COALESCE(r.erased_custkey_sum, 0) AS erased_custkey_sum,
+           COALESCE(oc.n_erased_orders, 0) AS n_erased_orders,
+           COALESCE(lc.n_erased_lineitems, 0) AS n_erased_lineitems
+    FROM base b
+    LEFT JOIN req r USING (c_nationkey)
+    LEFT JOIN oc USING (c_nationkey)
+    LEFT JOIN lc USING (c_nationkey)
+    """,
+)
+def q_privacy_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR right-to-be-forgotten cascade audit: a deterministic ~5% of
+    customers (md5-lane on ``c_custkey``) have filed erasure requests;
+    the delete must propagate customer → orders → lineitem before the
+    warehouse may certify the erasure. Reports, per nation: customers
+    before/after, erased order and lineitem row counts, and a checksum
+    of the erased keys (the tombstone-log content a downstream auditor
+    replays).
+
+    The reference's pipeline (glue_rds_to_redshift.py:44-74) loads these
+    same three tables; this is the compliance pass a real deployment
+    runs over that load. Plan: the erasure set is identified by a
+    stateless per-row hash (no shuffle), then two keyed semi-cascades
+    (orders⋈erased on custkey, lineitem⋈erased-orders on orderkey) feed
+    domain-bounded per-nation aggregates — at 100 TB every join is a
+    plain hash join on the fact's natural key, the erased side is ~5%
+    of a dimension, and nothing but 25-row nation aggregates crosses a
+    final LEFT JOIN. All counters exact integers."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lane = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(":erasure"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    erased = cust.filter(lane < ERASE_MAX).select("c_custkey", "c_nationkey")
+    base = cust.groupBy("c_nationkey").agg(F.count("*").alias("n_customers"))
+    req = erased.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_requests"),
+        F.sum("c_custkey").alias("erased_custkey_sum"),
+    )
+    oe = orders.join(erased, orders.o_custkey == erased.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
+    oc = oe.groupBy("c_nationkey").agg(F.count("*").alias("n_erased_orders"))
+    lc = (
+        li.join(oe, li.l_orderkey == oe.o_orderkey)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_erased_lineitems"))
+    )
+    return (
+        base.join(req, "c_nationkey", "left")
+        .join(oc, "c_nationkey", "left")
+        .join(lc, "c_nationkey", "left")
+        .select(
+            "c_nationkey",
+            "n_customers",
+            F.coalesce("n_requests", F.lit(0)).alias("n_requests"),
+            (F.col("n_customers") - F.coalesce("n_requests", F.lit(0))).alias(
+                "n_remaining_customers"
+            ),
+            F.coalesce("erased_custkey_sum", F.lit(0)).alias("erased_custkey_sum"),
+            F.coalesce("n_erased_orders", F.lit(0)).alias("n_erased_orders"),
+            F.coalesce("n_erased_lineitems", F.lit(0)).alias("n_erased_lineitems"),
+        )
+    )

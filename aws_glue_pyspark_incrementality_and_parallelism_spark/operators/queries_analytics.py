@@ -1446,3 +1446,50 @@ def q_agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(arg)
         .select("n0", "n1", "ks_d_scaled", "argmax_cents")
     )
+
+
+@query(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS max_order_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic SQL via Spark 4's ``EXECUTE IMMEDIATE`` + session
+    variables: the statement text is ASSEMBLED at runtime from a metric
+    registry (the shape every templated-report/ETL-config system
+    produces), stored in a ``DECLARE``d session variable through a
+    parameterized ``SET VAR`` (no string-escaping hazards), and executed
+    with the date cutoff bound via ``USING`` — the three-layer
+    indirection (config → statement → parameter) that migrations from
+    stored-procedure warehouses rely on.
+
+    The assembled statement is itself fully declarative, so Catalyst
+    sees a plain scan→filter→aggregate: the timestamp predicate pushes
+    down to the parquet scan and the aggregate partial-combines —
+    dynamic SQL costs nothing at plan time. Money exact cents."""
+    from ..sources.io import table_path
+
+    path = table_path(sf_dir, "orders")
+    metrics = {
+        "n_orders": "COUNT(*)",
+        "revenue_cents": "SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))",
+        "max_order_cents": "MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))",
+    }
+    select_list = ", ".join(f"{expr} AS {alias}" for alias, expr in metrics.items())
+    stmt = (
+        f"SELECT o_orderpriority, {select_list} FROM parquet.`{path}` "
+        "WHERE o_orderdate >= ? GROUP BY o_orderpriority"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE stmt_exec_imm STRING")
+    spark.sql("SET VAR stmt_exec_imm = :s", args={"s": stmt})
+    return spark.sql(
+        "EXECUTE IMMEDIATE stmt_exec_imm USING TIMESTAMP '1997-01-01 00:00:00'"
+    )

@@ -873,3 +873,62 @@ def q_fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dec == F.col("text")).alias("roundtrip_ok"),
         F.length("text").cast("bigint").alias("plain_len"),
     )
+
+
+@query(
+    "fn_collation_group",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE event_id % 3
+               WHEN 0 THEN upper(event_type)
+               WHEN 1 THEN upper(substr(event_type, 1, 1)) || lower(substr(event_type, 2))
+               ELSE lower(event_type)
+             END AS et
+      FROM events
+    )
+    SELECT lower(et) AS event_type_ci,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT et) AS n_spellings
+    FROM mixed
+    GROUP BY lower(et)
+    """,
+)
+def q_fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 ``collate``/``UTF8_LCASE``):
+    event types arrive with inconsistent casing (simulated
+    deterministically: UPPER / Initcap / lower by ``event_id % 3``);
+    grouping on the column COLLATED as case-insensitive merges the
+    spellings without rewriting every predicate to ``lower()`` — the
+    collation travels with the column through joins, sorts, and
+    DISTINCT, which is the point of engine-level collations over
+    ad-hoc normalization.
+
+    The group representative under a collation is whichever raw
+    spelling a partition saw first (nondeterministic), so the output
+    projects ``lower()`` of it — canonical regardless of
+    representative — and counts the raw spellings with a plain
+    (case-sensitive) DISTINCT as evidence the merge actually collapsed
+    multiple variants. Oracle states the same algebra with explicit
+    ``lower()``; Initcap is spelled ucfirst-style so both engines
+    agree on single-word tokens."""
+    ev = load_table(spark, sf_dir, "events")
+    mixed = ev.select(
+        F.when(F.col("event_id") % 3 == 0, F.upper("event_type"))
+        .when(F.col("event_id") % 3 == 1, F.initcap("event_type"))
+        .otherwise(F.lower("event_type"))
+        .alias("et")
+    )
+    return (
+        mixed.groupBy(F.collate(F.col("et"), "UTF8_LCASE").alias("etc"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct(F.collate(F.col("et"), "UTF8_BINARY")).alias(
+                "n_spellings"
+            ),
+        )
+        .select(
+            F.lower("etc").cast("string").alias("event_type_ci"),
+            "n_events",
+            "n_spellings",
+        )
+    )

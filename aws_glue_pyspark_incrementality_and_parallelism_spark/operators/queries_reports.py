@@ -199,3 +199,75 @@ def q_incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_dec").cast("double").alias("total"),
         )
     )
+
+
+#: Partition-gap lane cut: a day whose u32(md5('bf:' || day)) falls below
+#: this is "missing from the sink" (~5% of days — deterministic, so the
+#: backfill provably fires at every SF).
+BACKFILL_MAX = 214_748_364
+
+
+@query(
+    "incremental_partition_backfill",
+    oracle=f"""
+    WITH dayagg AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT day, n_orders, revenue_cents,
+           CAST(0 AS BIGINT) AS residual_gaps
+    FROM dayagg
+    WHERE CAST(('0x' || substr(md5('bf:' || CAST(day AS VARCHAR)), 1, 8)) AS BIGINT)
+          < {BACKFILL_MAX}
+    """,
+)
+def q_incremental_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-gap detection + targeted backfill — the recovery half
+    of the reference's job-bookmark contract (glue_rds_to_redshift.py's
+    bookmark only moves FORWARD; when a day's partition is lost or was
+    never written, something must find and recompute exactly that day).
+    A deterministic ~5% of order days are 'missing from the sink'
+    (md5 lane on the ISO date); the operator diffs the expected day set
+    against the sink listing (anti-join at DAY grain — the listing is
+    O(days), never O(rows)), recomputes ONLY the missing days, and
+    re-verifies that existing ∪ backfilled covers everything, emitting
+    the residual gap count (pinned 0) as a broadcast scalar on every
+    backfilled row.
+
+    Plan: one day-grain aggregate over the fact (map-side partial
+    combine; cardinality bounded by the calendar, not the row count),
+    then set algebra over that tiny relation. At 100 TB with a
+    date-partitioned sink the missing-day predicate becomes partition
+    pruning on the scan — the recompute reads only the gap days."""
+    orders = load_table(spark, sf_dir, "orders")
+    dayagg = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")).alias(
+            "revenue_cents"
+        ),
+    )
+    lane = F.conv(
+        F.substring(F.md5(F.concat(F.lit("bf:"), F.col("day").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    dayagg = dayagg.withColumn("_lane", lane)
+    expected = dayagg.select("day")
+    sink_existing = dayagg.filter(F.col("_lane") >= BACKFILL_MAX)
+    # Gap detection: expected days with no sink partition.
+    missing = expected.join(sink_existing.select("day"), "day", "left_anti")
+    backfilled = dayagg.join(missing, "day", "left_semi").drop("_lane")
+    # Post-backfill audit: existing ∪ backfilled must cover every
+    # expected day; the residual count is a 1-row broadcast scalar.
+    covered = sink_existing.select("day").unionByName(backfilled.select("day"))
+    residual = (
+        expected.join(covered, "day", "left_anti")
+        .agg(F.count("*").alias("residual_gaps"))
+    )
+    return backfilled.crossJoin(F.broadcast(residual))

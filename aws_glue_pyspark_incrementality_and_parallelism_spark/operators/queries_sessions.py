@@ -24,7 +24,11 @@ GAP = "30 minutes"
     WITH seq AS (
       SELECT user_id, ts, event_id, value,
              CASE WHEN LAG(ts) OVER w IS NULL
-                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                       -- strictly > : an event EXACTLY gap after its
+                       -- predecessor still merges (session_window joins
+                       -- windows whose start equals the previous end;
+                       -- pinned by test_session_window_exact_gap_boundary)
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -803,4 +807,70 @@ def q_events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div COUNT(*) AS BIGINT)"
         ).alias("bounce_rate_micro"),
         F.max("n").cast("bigint").alias("longest_session"),
+    )
+
+
+@query(
+    "events_session_window_builtin",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def q_events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL surface of Spark's native ``session_window``: where
+    ``events_sessionization`` exposes only session starts, this emits
+    the end timestamp too — the column whose semantics are easy to get
+    wrong (end = last event ts + gap, NOT the last event ts) and the
+    one a downstream TTL/expiry job actually consumes. The form
+    transfers verbatim to Structured Streaming (where the lag/cumsum
+    rewrite of the oracle is impossible and ``session_window`` is the
+    only native sessionizer).
+
+    Semantics pinned by the oracle: a session's END is ``last event ts
+    + gap`` (not the last ts), and an event landing EXACTLY ``gap``
+    after its predecessor still merges (Spark merges windows whose
+    start equals the previous end, so the oracle's break condition is
+    strictly ``diff > gap``) — both verified against a hand-built
+    boundary fixture in tests/test_sessions_ops.py.
+
+    Plan: one shuffle on user_id, then session assembly inside the
+    aggregate — no self-join, no window-function pass; at 100 TB this
+    is the cheapest sessionizer Spark offers (and AQE coalesces the
+    per-user partitions). Money quantized to exact cents pre-sum."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "value_cents",
+        )
     )

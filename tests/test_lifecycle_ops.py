@@ -1,0 +1,176 @@
+"""Behavior pins for the lifecycle/governance operator batch:
+session_window boundary semantics, GDPR erasure cascade closure,
+collation-merge evidence, partition-backfill gap algebra, and the AES
+round-trip boolean's honesty.
+
+Parity vs DuckDB is covered by the registry sweep; these tests pin the
+semantic claims the docstrings make, on hand-built fixtures where the
+claim is about a boundary the synthetic corpus never hits.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from aws_glue_pyspark_incrementality_and_parallelism_spark.plans import catalog  # noqa: F401  (populates REGISTRY)
+from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.registry import REGISTRY
+from tests.conftest import SF_SMALL
+
+T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _m(minutes=0, seconds=0, micros=0):
+    return T0 + datetime.timedelta(minutes=minutes, seconds=seconds, microseconds=micros)
+
+
+def test_session_window_exact_gap_boundary_merges(spark):
+    """An event landing EXACTLY `gap` after its predecessor merges into
+    the same session (Spark merges windows whose start == previous
+    end), and the session end is last_ts + gap — the two semantics the
+    oracle's `diff > gap` break condition and `MAX(ts) + gap` encode."""
+    rows = [
+        (1, _m(0)),
+        (1, _m(30)),           # exactly 30 min later: MUST merge
+        (1, _m(60, 0, 1)),     # 30 min + 1 us after prev: MUST break
+        (2, _m(0)),
+        (2, _m(29, 59, 999999)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n",
+        )
+        .orderBy("user_id", "s")
+        .collect()
+    )
+    sessions = [(r.user_id, r.s, r.e, r.n) for r in out]
+    assert sessions == [
+        (1, _m(0), _m(60), 2),
+        (1, _m(60, 0, 1), _m(90, 0, 1), 1),
+        (2, _m(0), _m(59, 59, 999999), 2),
+    ]
+
+
+def test_session_window_builtin_matches_manual_sessionization(spark):
+    """Both session_window surfaces report the same (user, session_start)
+    boundary set at sf0.001 — a consistency pin that would catch either
+    query drifting to a different gap or grain. Both sides are collected
+    FULL-ROW (see the pruning-hazard test below for why)."""
+    builtin = REGISTRY["events_session_window_builtin"].fn(spark, SF_SMALL)
+    b = {(r.user_id, r.session_start) for r in builtin.collect()}
+    manual = REGISTRY["events_sessionization"].fn(spark, SF_SMALL).collect()
+    m = {(r.user_id, r.session_start) for r in manual}
+    assert b == m
+
+
+def test_session_window_pruned_aggregate_hazard(spark):
+    """DOCUMENTED SPARK HAZARD: selecting only grouping columns off a
+    ``session_window`` groupBy and applying ``distinct()`` lets Catalyst
+    prune the aggregate functions and collapse the session-window
+    aggregate into a plain per-row window projection — SESSION MERGING
+    SILENTLY DOES NOT HAPPEN (each event keeps its raw [ts, ts+gap)
+    window). Every registered query returns the full aggregate row so
+    the driver protocol never hits this, but downstream consumers that
+    re-project must not add distinct() over pruned session keys.
+
+    This test pins the hazard's existence: if a Spark upgrade fixes the
+    collapse, the equality flips and we can drop the warning."""
+    df = REGISTRY["events_sessionization"].fn(spark, SF_SMALL)
+    merged = df.count()
+    pruned = df.select("user_id", "session_start").distinct().count()
+    n_events = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
+    assert merged < n_events  # merging really happened on the full query
+    # The pruned-distinct rewrite loses the merge: one window per event.
+    assert pruned == n_events
+
+
+def test_erasure_cascade_is_closed(spark):
+    """After removing the erased keys, re-running the cascade finds
+    nothing: every erased order belongs to an erased customer and every
+    erased lineitem to an erased order (referential closure), and the
+    per-nation counts reconcile with direct joins."""
+    out = REGISTRY["privacy_erasure_propagation"].fn(spark, SF_SMALL)
+    rows = out.collect()
+    assert sum(r.n_requests for r in rows) > 0, "erasure lane never fired"
+    assert all(r.n_remaining_customers + r.n_requests == r.n_customers for r in rows)
+
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import load_table
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.governance import (
+        ERASE_MAX,
+    )
+
+    cust = load_table(spark, SF_SMALL, "customer")
+    orders = load_table(spark, SF_SMALL, "orders")
+    li = load_table(spark, SF_SMALL, "lineitem")
+    lane = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(":erasure"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    erased = cust.filter(lane < ERASE_MAX).select("c_custkey")
+    n_orders_direct = orders.join(
+        erased, orders.o_custkey == erased.c_custkey, "left_semi"
+    ).count()
+    assert n_orders_direct == sum(r.n_erased_orders for r in rows)
+    erased_orders = orders.join(
+        erased, orders.o_custkey == erased.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    n_li_direct = li.join(
+        erased_orders, li.l_orderkey == erased_orders.o_orderkey, "left_semi"
+    ).count()
+    assert n_li_direct == sum(r.n_erased_lineitems for r in rows)
+
+
+def test_collation_group_merges_spellings(spark):
+    """The collated groupBy actually collapses multiple raw spellings:
+    every canonical event type reports n_spellings >= 2 (the corpus has
+    >= 2 case variants of each), and the canonical names are lowercase."""
+    rows = REGISTRY["fn_collation_group"].fn(spark, SF_SMALL).collect()
+    assert rows, "no groups"
+    for r in rows:
+        assert r.event_type_ci == r.event_type_ci.lower()
+        assert r.n_spellings >= 2, (r.event_type_ci, r.n_spellings)
+
+
+def test_partition_backfill_fires_and_closes(spark):
+    """The gap lane selects a non-empty strict subset of days, and the
+    post-union residual audit is zero on every row."""
+    rows = REGISTRY["incremental_partition_backfill"].fn(spark, SF_SMALL).collect()
+    assert rows, "backfill lane never fired"
+    assert all(r.residual_gaps == 0 for r in rows)
+
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import load_table
+
+    n_days = (
+        load_table(spark, SF_SMALL, "orders")
+        .select(F.col("o_orderdate").cast("date"))
+        .distinct()
+        .count()
+    )
+    assert 0 < len(rows) < n_days
+
+
+def test_aes_roundtrip_boolean_is_computed(spark):
+    """roundtrip_ok comes from a real decrypt-and-compare: corrupting
+    the decrypt key flips it to False (i.e. the query's TRUE is not a
+    literal)."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(5)
+    bad = docs.select(
+        F.expr(
+            "cast(try_aes_decrypt(aes_encrypt(text, '0123456789abcdef', 'ECB'),"
+            " 'fedcba9876543210', 'ECB') as string)"
+        ).alias("dec"),
+        "text",
+    ).collect()
+    assert all(r.dec is None or r.dec != r.text for r in bad)
+    good = REGISTRY["fn_aes_roundtrip"].fn(spark, SF_SMALL).collect()
+    assert all(r.roundtrip_ok for r in good)
