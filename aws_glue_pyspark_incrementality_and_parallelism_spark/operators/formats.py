@@ -91,3 +91,75 @@ def q_source_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         agg = df.agg(*_integrity()).select(F.lit(fmt).alias("fmt"), "*")
         out = agg if out is None else out.unionByName(agg)
     return out.orderBy("fmt")
+
+
+@query(
+    "source_json_corrupt_quarantine",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, props,
+             CASE WHEN event_id % 37 = 0
+                  THEN substr(props, 1, length(props) - 3)
+                  ELSE props END AS raw
+      FROM events
+    )
+    SELECT CASE WHEN json_valid(raw) THEN 'good' ELSE 'quarantine' END AS lane,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN json_valid(raw)
+                         THEN CAST(raw ->> 'k' AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS k_sum,
+           CAST(SUM(length(raw)) AS BIGINT) AS raw_chars
+    FROM r
+    GROUP BY 1
+    """,
+)
+def q_source_json_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine at the JSON parse boundary: a
+    deterministic ~2.7% of the event payloads arrive truncated
+    (``event_id % 37`` loses its last 3 bytes — an unclosed JSON
+    object, the classic partial-write corruption), and the parse stage
+    routes rows by PARSABILITY through the documented PERMISSIVE-mode
+    corrupt-record column: ``from_json`` with
+    ``columnNameOfCorruptRecord`` fills that column with the raw bytes
+    for malformed input (and NULL for clean rows), which becomes the
+    quarantine lane — rows are RETAINED with their raw bytes (the
+    ``raw_chars`` checksum proves nothing was dropped), never silently
+    nulled into the good lane, and the good lane's ``k_sum`` proves the
+    parse recovered real values.
+
+    The oracle adjudicates by actual JSON validity (``json_valid``),
+    not by replaying the planting rule — if the corruption ever failed
+    to corrupt (or the parser started accepting partial objects), the
+    lanes would diverge. Plan: stateless per-row parse + one bounded
+    aggregate; at 100 TB the quarantine lane is a partitioned sink
+    write and the parse never shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.withColumn(
+        "raw",
+        F.when(
+            F.col("event_id") % 37 == 0,
+            F.expr("substring(props, 1, length(props) - 3)"),
+        ).otherwise(F.col("props")),
+    )
+    parsed = raw.withColumn(
+        "j",
+        F.from_json(
+            "raw",
+            "k BIGINT, _corrupt_record STRING",
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    return (
+        parsed.withColumn(
+            "lane",
+            F.when(
+                F.col("j._corrupt_record").isNotNull(), F.lit("quarantine")
+            ).otherwise(F.lit("good")),
+        )
+        .groupBy("lane")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.coalesce(F.col("j.k"), F.lit(0))).alias("k_sum"),
+            F.sum(F.length("raw")).alias("raw_chars"),
+        )
+    )

@@ -276,3 +276,80 @@ def q_layout_hilbert_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y0").alias("max_y"),
         )
     )
+
+
+@query(
+    "layout_sorted_files",
+    oracle="""
+    SELECT CAST(8 AS BIGINT) AS n_files,
+           COUNT(*) AS n_rows,
+           MIN(o_orderdate) AS key_min,
+           MAX(o_orderdate) AS key_max,
+           TRUE AS ranges_disjoint,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    """,
+)
+def q_layout_sorted_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered sorted layout — the write-side half of zone-map
+    pruning: ``repartitionByRange`` on the time key + an in-partition
+    sort produces files whose key ranges are PAIRWISE DISJOINT, so any
+    time-predicate scan can skip every non-overlapping file from
+    footer statistics alone (this is what ``maintenance_zone_map_prune``
+    consumes, and what Delta/Iceberg OPTIMIZE ... ZORDER degenerates to
+    for a single key).
+
+    The operator performs the real write (8 range partitions of orders
+    by ``o_orderdate``, sorted within each), then AUDITS the layout
+    from the produced files themselves: per-file min/max (an O(files)
+    driver loop — file statistics, never data, cross the driver) are
+    checked for strict disjointness, and content equality is pinned via
+    row count + exact-cents checksum against the oracle's direct scan.
+    RangePartitioner assigns equal keys to one partition, so file
+    intervals can never overlap unless the writer breaks — that is the
+    boolean under adjudication.
+
+    At 100 TB: one range shuffle (sampled boundaries) + local sorts —
+    the standard pay-once layout cost; every later time-bounded scan
+    reads only overlapping files."""
+    import os
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.mkdtemp(prefix="sgq_sorted_"), "orders")
+    (
+        orders.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    files = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    stats = []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+            .collect()[0]
+        )
+        stats.append((r.lo, r.hi))
+    stats.sort()
+    disjoint = all(stats[i][1] < stats[i + 1][0] for i in range(len(stats) - 1))
+    audit = spark.read.parquet(out).agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_orderdate").alias("key_min"),
+        F.max("o_orderdate").alias("key_max"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("revenue_cents"),
+    )
+    return audit.select(
+        F.lit(len(files)).cast("bigint").alias("n_files"),
+        "n_rows",
+        "key_min",
+        "key_max",
+        F.lit(disjoint).alias("ranges_disjoint"),
+        "revenue_cents",
+    )

@@ -271,3 +271,61 @@ def q_incremental_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.count("*").alias("residual_gaps"))
     )
     return backfilled.crossJoin(F.broadcast(residual))
+
+
+@query(
+    "pipeline_observe_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+           MAX(o_orderdate) AS last_orderdate
+    FROM orders
+    """,
+)
+def q_pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via ``DataFrame.observe`` — Spark's
+    zero-extra-pass metrics API: named aggregate expressions ride along
+    with the job's ONE action (here a noop sink write standing in for
+    the production parquet/JDBC sink), accumulated task-side exactly
+    once even under retries, and surface driver-side after the action
+    completes. This is how a 100 TB load emits row counts / revenue
+    checksums / freshness watermarks for its data-quality monitor
+    WITHOUT a second scan — the alternative (a separate ``.agg()``
+    job) doubles the read.
+
+    The observed metrics come back as an O(1) driver-side dict; the
+    returned single-row DataFrame is built from them, and the oracle
+    recomputes the same aggregates from the table — adjudicating that
+    observe's task-side accumulation agrees with a direct aggregate.
+    Money exact cents; freshness is the max order timestamp."""
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("load_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("revenue_cents"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.max("o_orderdate").alias("last_orderdate"),
+    )
+    # The production action (sink write); noop format keeps the probe
+    # I/O-free while still executing every task.
+    observed.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_orders"],
+                m["revenue_cents"],
+                m["n_finished"],
+                m["last_orderdate"],
+            )
+        ],
+        "n_orders bigint, revenue_cents bigint, n_finished bigint, "
+        "last_orderdate timestamp",
+    )

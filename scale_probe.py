@@ -100,6 +100,11 @@ QUERIES = [
     "multimodal_image_resize", "dedup_exact_substring_spans",
     "incremental_scd2_apply", "rag_hybrid_rrf_fusion",
     "window_fifo_allocation", "events_ohlc_hourly", "fn_aes_roundtrip",
+    "privacy_erasure_propagation", "events_session_window_builtin",
+    "sql_execute_immediate", "fn_collation_group",
+    "incremental_partition_backfill",
+    "source_json_corrupt_quarantine", "pipeline_observe_metrics",
+    "layout_sorted_files",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental

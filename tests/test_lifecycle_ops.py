@@ -174,3 +174,59 @@ def test_aes_roundtrip_boolean_is_computed(spark):
     assert all(r.dec is None or r.dec != r.text for r in bad)
     good = REGISTRY["fn_aes_roundtrip"].fn(spark, SF_SMALL).collect()
     assert all(r.roundtrip_ok for r in good)
+
+
+def test_json_quarantine_retains_and_routes(spark):
+    """Quarantine lane size equals the planted corruption count, and no
+    raw bytes are lost across lanes (retention, not dropping)."""
+    rows = {r.lane: r for r in REGISTRY["source_json_corrupt_quarantine"].fn(spark, SF_SMALL).collect()}
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    n = ev.count()
+    n_corrupt = ev.filter("event_id % 37 = 0").count()
+    assert rows["quarantine"].n_rows == n_corrupt
+    assert rows["good"].n_rows == n - n_corrupt
+    assert rows["good"].k_sum > 0
+    assert rows["quarantine"].k_sum == 0
+
+
+def test_observe_metrics_match_direct_aggregate(spark):
+    """The observe()-accumulated metrics equal a direct aggregate over
+    the same table (no retry double-count, no missed partition)."""
+    out = REGISTRY["pipeline_observe_metrics"].fn(spark, SF_SMALL).collect()[0]
+    direct = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+        )
+        .collect()[0]
+    )
+    assert out.n_orders == direct.n
+    assert out.revenue_cents == direct.cents
+
+
+def test_sorted_layout_disjointness_audit_is_real(spark):
+    """Negative control for layout_sorted_files: the same audit run over
+    a HASH-partitioned (unsorted, interleaved) write reports overlap —
+    i.e. ranges_disjoint TRUE is a property of the range layout, not an
+    artifact of the audit loop."""
+    import os
+    import tempfile
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    out = os.path.join(tempfile.mkdtemp(prefix="sgq_unsorted_"), "orders")
+    orders.repartition(8, "o_orderkey").write.mode("overwrite").parquet(out)
+    files = [os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")]
+    stats = []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+            .collect()[0]
+        )
+        stats.append((r.lo, r.hi))
+    stats.sort()
+    disjoint = all(stats[i][1] < stats[i + 1][0] for i in range(len(stats) - 1))
+    assert not disjoint
