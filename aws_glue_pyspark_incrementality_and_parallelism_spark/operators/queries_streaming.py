@@ -525,3 +525,104 @@ def stream_bot_burst_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "stream_watermark_late_drop",
+    oracle="""
+    WITH b AS (
+      SELECT min(ts) AS mn, max(ts) AS mx FROM events
+    ), e AS (
+      SELECT ts,
+             (epoch_us(ts) - (SELECT epoch_us(mn) FROM b)) // 604800000000 AS wk
+      FROM events
+    ), kept AS (
+      SELECT ts FROM e WHERE wk >= 2
+    ), win AS (
+      SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events
+      FROM kept GROUP BY 1
+    )
+    SELECT w.window_start, w.n_events,
+           (SELECT COUNT(*) FROM e WHERE wk < 2) AS n_dropped_late
+    FROM win w, b
+    WHERE w.window_start + INTERVAL 1 HOUR <= b.mx - INTERVAL 7 DAY
+    """,
+)
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROPPING, adjudicated — the one streaming
+    semantic the other stream queries deliberately avoid (their
+    watermarks exceed the data span so nothing is ever late). Here the
+    events arrive OUT OF ORDER by construction: the 30-day corpus is
+    split into calendar weeks staged as one file per micro-batch
+    (``maxFilesPerTrigger=1``) in arrival order [wk2, wk3, wk0, wk1],
+    under a 7-day watermark on an hourly tumbling count in APPEND mode.
+    After the first two batches the watermark stands ~7 days into the
+    data, so the two old weeks arrive > 7 days late and are dropped
+    row-for-row; windows are finalized only once the watermark passes
+    their end.
+
+    The drop/emit boundary semantics this encodes were pinned
+    empirically (tests/test_lifecycle_ops.py session-window pins use
+    the same method): a row is dropped iff its WINDOW END is below the
+    batch's filter watermark (a row with ts below the watermark whose
+    window straddles it survives), the filter watermark trails the
+    eviction watermark by one batch, and a window is emitted when
+    ``end <= final watermark`` (equality emits). The file arrival
+    order leaves ≥ 7-day margins around every such boundary, so the
+    oracle's closed form — kept ⇔ week index ≥ 2, emitted ⇔ window end
+    ≤ max(ts) − 7d — is exact under either the lagged or unlagged
+    filter model, and the total dropped-row count rides along as an
+    O(1) audit scalar.
+
+    At 100 TB this is the semantics that bounds state: without the
+    drop, the hourly state grows with the full reorder horizon of the
+    source; with it, state is (watermark horizon × key cardinality)."""
+    import uuid as _uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    mn = ev.agg(F.min("ts")).collect()[0][0]  # O(1) bookmark-style scalar
+    mn_us = int(mn.replace(tzinfo=__import__("datetime").timezone.utc).timestamp() * 1_000_000)
+    wk = ((F.unix_micros(F.col("ts")) - F.lit(mn_us)) / F.lit(604_800_000_000)).cast(
+        "bigint"
+    )
+    tagged = ev.withColumn("wk", F.least(wk, F.lit(3)))
+
+    src = tempfile.mkdtemp(prefix="sgq_late_src_")
+    for arrival, week in enumerate([2, 3, 0, 1]):
+        part_dir = os.path.join(src, f"_stage_{week}")
+        tagged.filter(F.col("wk") == week).select("event_id", "ts").coalesce(
+            1
+        ).write.parquet(part_dir)
+        part = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"arrival_{arrival}.parquet")
+        shutil.move(os.path.join(part_dir, part), dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (1_700_000_000 + arrival * 100,) * 2)
+
+    ckpt = tempfile.mkdtemp(prefix="sgq_late_ck_") + f"/{_uuid.uuid4().hex[:8]}"
+    out = tempfile.mkdtemp(prefix="sgq_late_out_")
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    (
+        stream.withWatermark("ts", "7 days")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n_events"))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    dropped = tagged.filter(F.col("wk") < 2).agg(
+        F.count("*").alias("n_dropped_late")
+    )
+    return (
+        spark.read.parquet(out)
+        .select(F.col("window.start").alias("window_start"), "n_events")
+        .crossJoin(F.broadcast(dropped))
+    )

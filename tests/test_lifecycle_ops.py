@@ -230,3 +230,26 @@ def test_sorted_layout_disjointness_audit_is_real(spark):
     stats.sort()
     disjoint = all(stats[i][1] < stats[i + 1][0] for i in range(len(stats) - 1))
     assert not disjoint
+
+
+def test_watermark_late_drop_fires_and_bounds(spark):
+    """Late dropping really happened (n_dropped_late > 0 and ~half the
+    corpus), no window is duplicated by late-row state resurrection,
+    and no emitted window ends inside the final 7-day horizon."""
+    import datetime as dt
+
+    rows = REGISTRY["stream_watermark_late_drop"].fn(spark, SF_SMALL).collect()
+    assert rows
+    starts = [r.window_start for r in rows]
+    assert len(starts) == len(set(starts)), "duplicate emitted window"
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    n = ev.count()
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    dropped = rows[0].n_dropped_late
+    assert 0 < dropped < n
+    assert abs(dropped / n - 0.5) < 0.1  # two of four weeks dropped
+    horizon = mx - dt.timedelta(days=7)
+    assert all(r.window_start + dt.timedelta(hours=1) <= horizon for r in rows)
+    # emitted + dropped + unflushed tail == corpus
+    emitted = sum(r.n_events for r in rows)
+    assert emitted + dropped < n  # strict: the tail beyond the horizon is unflushed
