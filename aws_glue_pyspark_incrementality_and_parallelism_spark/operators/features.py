@@ -197,3 +197,68 @@ def q_sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") - 1) % SAMPLE_EVERY == 0)
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "sample_balanced_classes",
+    oracle="""
+    WITH lane AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':bal'), 1, 8))
+                  AS BIGINT) AS u
+      FROM documents
+    ), before AS (
+      SELECT lang, COUNT(*) AS n_before FROM documents GROUP BY lang
+    ), tgt AS (
+      SELECT MIN(n_before) AS target FROM before
+    ), ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
+      FROM lane
+    )
+    SELECT r.lang,
+           b.n_before,
+           COUNT(*) AS n_kept,
+           CAST(SUM(r.doc_id) AS BIGINT) AS kept_id_sum
+    FROM ranked r
+    JOIN before b USING (lang), tgt
+    WHERE r.rn <= tgt.target
+    GROUP BY r.lang, b.n_before
+    """,
+)
+def q_sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling — the training-mix primitive for a
+    skewed label column (here ``lang``): every class is cut to the
+    MINORITY class's size by keeping, per class, the rows with the
+    smallest deterministic md5 lane (a reproducible uniform draw, so
+    reruns and backfills select the identical subset — the property
+    that makes the resulting training set versionable without storing
+    row lists). The kept-id checksum lets a downstream job verify it
+    reconstructed the same subset.
+
+    Plan: one domain-bounded class census (broadcast back as a scalar
+    target), then a per-class ROW_NUMBER over the hash lane. The
+    window is a per-class sort: at 100 TB this becomes the partial
+    top-K aggregate (per-partition K-heaps merged in the reduce — the
+    `sort_limit_topk` plan family) since target ≪ class size; the
+    lane itself needs no shuffle. All counters exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    lane = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":bal"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    tagged = docs.select("doc_id", "lang", lane.alias("u"))
+    before = docs.groupBy("lang").agg(F.count("*").alias("n_before"))
+    target = before.agg(F.min("n_before").alias("target"))
+    ranked = tagged.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("lang").orderBy("u", "doc_id"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(target))
+        .filter(F.col("rn") <= F.col("target"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"), F.sum("doc_id").alias("kept_id_sum"))
+        .join(F.broadcast(before), "lang")
+        .select("lang", "n_before", "n_kept", "kept_id_sum")
+    )

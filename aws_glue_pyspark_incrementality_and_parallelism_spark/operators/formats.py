@@ -163,3 +163,79 @@ def q_source_json_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFr
             F.sum(F.length("raw")).alias("raw_chars"),
         )
     )
+
+
+@query(
+    "source_codec_matrix",
+    oracle="""
+    WITH base AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders
+    )
+    SELECT c.codec, b.n_rows, b.cents, b.key_sum, TRUE AS roundtrip_ok
+    FROM base b,
+         (VALUES ('gzip'), ('snappy'), ('uncompressed'), ('zstd')) c(codec)
+    """,
+)
+def q_source_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec fidelity matrix: the same table written as
+    parquet under every production codec (snappy — the default, zstd —
+    the 100 TB archival choice, gzip — legacy interchange, and
+    uncompressed as the control) and read back, with exact integer
+    checksums (rows / cents / key sum) adjudicated per lane plus a
+    computed equality boolean against the source aggregates. Codec
+    choice is a pure storage trade at 100 TB (zstd ≈ 30-50% smaller
+    than snappy for ~2× write CPU); what this pins is that it is ONLY
+    a storage trade — bit-identical content through every lane, so a
+    mixed-codec lake (old snappy partitions, new zstd) reads uniformly.
+
+    Plan note: each lane is an independent scan→write→scan; the final
+    result is a 4-row unionByName, and the checksums reuse the same
+    partial-aggregate shape as `source_multiformat_roundtrip`."""
+    import os
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("cents"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+    root = tempfile.mkdtemp(prefix="sgq_codec_")
+    out = None
+    for codec in ["gzip", "snappy", "uncompressed", "zstd"]:
+        path = os.path.join(root, codec)
+        orders.write.mode("overwrite").option("compression", codec).parquet(path)
+        lane = (
+            spark.read.parquet(path)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+                ).alias("cents"),
+                F.sum("o_orderkey").alias("key_sum"),
+            )
+            .crossJoin(src.select(
+                F.col("n_rows").alias("_sn"),
+                F.col("cents").alias("_sc"),
+                F.col("key_sum").alias("_sk"),
+            ))
+            .select(
+                F.lit(codec).alias("codec"),
+                "n_rows",
+                "cents",
+                "key_sum",
+                (
+                    (F.col("n_rows") == F.col("_sn"))
+                    & (F.col("cents") == F.col("_sc"))
+                    & (F.col("key_sum") == F.col("_sk"))
+                ).alias("roundtrip_ok"),
+            )
+        )
+        out = lane if out is None else out.unionByName(lane)
+    return out

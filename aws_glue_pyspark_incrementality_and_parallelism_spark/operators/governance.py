@@ -367,3 +367,94 @@ def q_privacy_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame
             F.coalesce("n_erased_lineitems", F.lit(0)).alias("n_erased_lineitems"),
         )
     )
+
+
+@query(
+    "privacy_tokenize_consistent",
+    oracle="""
+    WITH ct AS (
+      SELECT substr(md5('tok:' || CAST(c_custkey AS VARCHAR)), 1, 16) AS token,
+             c_custkey, c_nationkey
+      FROM customer
+    ), ot AS (
+      SELECT substr(md5('tok:' || CAST(o_custkey AS VARCHAR)), 1, 16) AS token
+      FROM orders
+    ), by_token AS (
+      SELECT ct.c_nationkey, COUNT(*) AS n_orders_by_token
+      FROM ot JOIN ct USING (token)
+      GROUP BY 1
+    ), direct AS (
+      SELECT c.c_nationkey, COUNT(*) AS n_orders_direct
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ), toks AS (
+      SELECT c_nationkey, COUNT(*) AS n_customers,
+             COUNT(DISTINCT token) AS n_tokens
+      FROM ct GROUP BY 1
+    )
+    SELECT t.c_nationkey, t.n_customers, t.n_tokens,
+           COALESCE(b.n_orders_by_token, 0) AS n_orders_by_token,
+           COALESCE(d.n_orders_direct, 0) AS n_orders_direct,
+           COALESCE(b.n_orders_by_token, 0) = COALESCE(d.n_orders_direct, 0)
+             AS tokens_consistent
+    FROM toks t
+    LEFT JOIN by_token b USING (c_nationkey)
+    LEFT JOIN direct d USING (c_nationkey)
+    """,
+)
+def q_privacy_tokenize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent pseudonymization — the de-identification mode that
+    PRESERVES JOINABILITY: every customer key is replaced by a keyed
+    deterministic token (md5 lane standing in for HMAC-SHA256 with a
+    vault-held secret) INDEPENDENTLY in the customer and orders tables,
+    and the audit proves the pseudonymized fact still joins to the
+    pseudonymized dimension with exactly the original multiplicities
+    (per-nation order counts via token ≡ via raw key, pinned as a
+    boolean the oracle adjudicates) and that tokenization is injective
+    on this corpus (distinct tokens = customers per nation).
+
+    This is the §2.8-scrub family's missing third mode: redaction
+    (events_pii_scrub) destroys analysis joins; generalization
+    (k-anonymity buckets) destroys row identity; tokenization keeps
+    both while the secret stays outside the warehouse. Plan: two
+    stateless hash projections + the same keyed joins the raw pipeline
+    runs — tokenization adds zero shuffles."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def tok(col):
+        return F.substring(F.md5(F.concat(F.lit("tok:"), col.cast("string"))), 1, 16)
+
+    ct = cust.select(
+        tok(F.col("c_custkey")).alias("token"), "c_custkey", "c_nationkey"
+    )
+    ot = orders.select(tok(F.col("o_custkey")).alias("token"))
+    by_token = (
+        ot.join(ct, "token")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_orders_by_token"))
+    )
+    direct = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_orders_direct"))
+    )
+    toks = ct.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.countDistinct("token").alias("n_tokens"),
+    )
+    return (
+        toks.join(by_token, "c_nationkey", "left")
+        .join(direct, "c_nationkey", "left")
+        .select(
+            "c_nationkey",
+            "n_customers",
+            "n_tokens",
+            F.coalesce("n_orders_by_token", F.lit(0)).alias("n_orders_by_token"),
+            F.coalesce("n_orders_direct", F.lit(0)).alias("n_orders_direct"),
+            (
+                F.coalesce("n_orders_by_token", F.lit(0))
+                == F.coalesce("n_orders_direct", F.lit(0))
+            ).alias("tokens_consistent"),
+        )
+    )

@@ -104,7 +104,9 @@ QUERIES = [
     "sql_execute_immediate", "fn_collation_group",
     "incremental_partition_backfill",
     "source_json_corrupt_quarantine", "pipeline_observe_metrics",
-    "layout_sorted_files",
+    "layout_sorted_files", "stream_watermark_late_drop",
+    "sample_balanced_classes", "privacy_tokenize_consistent",
+    "source_codec_matrix",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental

@@ -253,3 +253,55 @@ def test_watermark_late_drop_fires_and_bounds(spark):
     # emitted + dropped + unflushed tail == corpus
     emitted = sum(r.n_events for r in rows)
     assert emitted + dropped < n  # strict: the tail beyond the horizon is unflushed
+
+
+def test_balanced_classes_equalizes(spark):
+    """Every class is cut to exactly the minority size."""
+    rows = REGISTRY["sample_balanced_classes"].fn(spark, SF_SMALL).collect()
+    assert len(rows) >= 2
+    target = min(r.n_before for r in rows)
+    assert all(r.n_kept == target for r in rows)
+    assert any(r.n_before > target for r in rows)  # something was downsampled
+
+
+def test_tokenization_changes_keys_and_is_stable(spark):
+    """Pseudonyms are not the raw keys, and two independent runs derive
+    the identical token for the same key (the consistency property)."""
+    df = spark.read.parquet(f"{SF_SMALL}/customer.parquet").limit(10)
+    t1 = df.select(
+        "c_custkey",
+        F.substring(
+            F.md5(F.concat(F.lit("tok:"), F.col("c_custkey").cast("string"))), 1, 16
+        ).alias("tok"),
+    ).collect()
+    assert all(r.tok != str(r.c_custkey) for r in t1)
+    t2 = {
+        r.c_custkey: r.tok
+        for r in df.select(
+            "c_custkey",
+            F.substring(
+                F.md5(F.concat(F.lit("tok:"), F.col("c_custkey").cast("string"))), 1, 16
+            ).alias("tok"),
+        ).collect()
+    }
+    assert all(t2[r.c_custkey] == r.tok for r in t1)
+    out = REGISTRY["privacy_tokenize_consistent"].fn(spark, SF_SMALL).collect()
+    assert all(r.tokens_consistent for r in out)
+    assert all(r.n_tokens == r.n_customers for r in out)
+
+
+def test_codec_matrix_actually_varies_codec(spark, tmp_path):
+    """The codec option really reaches the writer: part filenames carry
+    the codec suffix, and sizes differ between uncompressed and gzip."""
+    import os
+
+    df = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    sizes = {}
+    for codec, suffix in [("gzip", ".gz.parquet"), ("uncompressed", ".parquet"), ("zstd", ".zstd.parquet")]:
+        p = str(tmp_path / codec)
+        df.coalesce(1).write.option("compression", codec).parquet(p)
+        parts = [f for f in os.listdir(p) if f.startswith("part-")]
+        assert parts and all(f.endswith(suffix) for f in parts), (codec, parts)
+        sizes[codec] = sum(os.path.getsize(os.path.join(p, f)) for f in parts)
+    assert sizes["gzip"] < sizes["uncompressed"]
+    assert sizes["zstd"] < sizes["uncompressed"]
