@@ -1361,3 +1361,118 @@ def q_dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_small", "doc_big", "n_common", "containment_micro")
         .orderBy("doc_small", "doc_big")
     )
+
+
+#: Incremental-dedup history lane: docs whose u32(md5(doc_id||':ddhist'))
+#: is at or above this (~80%) are "already ingested" history; the rest
+#: arrive as the new batch.
+DDHIST_MIN = 858_993_459
+
+
+@query(
+    "dedup_incremental_new_docs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, source, md5(text) AS fp,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ddhist'), 1, 8))
+                  AS BIGINT) >= {DDHIST_MIN} AS hist
+      FROM documents
+    ), delta AS (
+      -- the new batch: the non-history docs, plus deterministic
+      -- re-submissions of history docs (re-crawl of seen content) and
+      -- double-submissions inside the batch itself
+      SELECT doc_id, source, fp FROM base WHERE NOT hist
+      UNION ALL
+      SELECT doc_id + 10000000, source, fp FROM base WHERE hist AND doc_id % 41 = 0
+      UNION ALL
+      SELECT doc_id + 20000000, source, fp FROM base WHERE NOT hist AND doc_id % 7 = 0
+    ), hist_fp AS (
+      SELECT DISTINCT fp FROM base WHERE hist
+    ), classified AS (
+      SELECT d.doc_id, d.source, d.fp,
+             d.fp IN (SELECT fp FROM hist_fp) AS dup_hist,
+             d.doc_id > MIN(d.doc_id) OVER (PARTITION BY d.fp) AS not_first
+      FROM delta d
+    )
+    SELECT source,
+           COUNT(*) AS n_delta,
+           COUNT(CASE WHEN dup_hist THEN 1 END) AS n_dup_of_history,
+           COUNT(CASE WHEN NOT dup_hist AND not_first THEN 1 END)
+             AS n_dup_within_delta,
+           COUNT(CASE WHEN NOT dup_hist AND NOT not_first THEN 1 END)
+             AS n_new_unique,
+           CAST(SUM(CASE WHEN NOT dup_hist AND NOT not_first THEN doc_id
+                         ELSE 0 END) AS BIGINT) AS new_unique_id_sum
+    FROM classified
+    GROUP BY source
+    """,
+)
+def q_dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact dedup — the form a continuously-ingesting
+    corpus actually runs: the fingerprint store of already-ingested
+    history is a standing table, and each new batch is classified
+    against it in one pass as (a) duplicate of history — a re-crawl,
+    dropped without touching history; (b) duplicate within the batch —
+    only the first (min doc_id) survives; (c) new-unique — admitted and
+    appended to the store. Batch evidence is planted deterministically
+    (re-submissions of every 41st history doc, double-submission of
+    every 7th batch doc) so all three lanes provably fire at every SF
+    — a random split leaves the dup lanes empty (measured 0 at
+    sf0.001), which would vacuously pass.
+
+    Plan: history is touched ONLY through its distinct-fingerprint
+    projection (at 100 TB the store keeps fingerprints, not text — a
+    ~32-byte row per unique doc); the batch classifies with one
+    broadcast-or-hash semi-join against that store plus one
+    within-batch window on fp. Cost scales with the BATCH, not the
+    corpus — the whole point versus rerunning `dedup_exact` globally.
+    All counters exact integers; the admitted-set checksum is what the
+    store-append job re-verifies."""
+    docs = load_table(spark, sf_dir, "documents")
+    lane = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ddhist"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    base = docs.select(
+        "doc_id", "source", F.md5("text").alias("fp"), (lane >= DDHIST_MIN).alias("hist")
+    )
+    non_hist = base.filter(~F.col("hist"))
+    delta = (
+        non_hist.select("doc_id", "source", "fp")
+        .unionByName(
+            base.filter(F.col("hist") & (F.col("doc_id") % 41 == 0)).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"), "source", "fp"
+            )
+        )
+        .unionByName(
+            non_hist.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"), "source", "fp"
+            )
+        )
+    )
+    hist_fp = base.filter("hist").select("fp").distinct()
+    tagged = delta.join(
+        hist_fp.withColumn("dup_hist", F.lit(True)), "fp", "left"
+    ).withColumn("dup_hist", F.coalesce("dup_hist", F.lit(False)))
+    w = Window.partitionBy("fp")
+    classified = tagged.withColumn(
+        "not_first", F.col("doc_id") > F.min("doc_id").over(w)
+    )
+    return classified.groupBy("source").agg(
+        F.count("*").alias("n_delta"),
+        F.count(F.when(F.col("dup_hist"), 1)).alias("n_dup_of_history"),
+        F.count(F.when(~F.col("dup_hist") & F.col("not_first"), 1)).alias(
+            "n_dup_within_delta"
+        ),
+        F.count(F.when(~F.col("dup_hist") & ~F.col("not_first"), 1)).alias(
+            "n_new_unique"
+        ),
+        F.sum(
+            F.when(~F.col("dup_hist") & ~F.col("not_first"), F.col("doc_id")).otherwise(
+                0
+            )
+        ).alias("new_unique_id_sum"),
+    )

@@ -1493,3 +1493,41 @@ def q_sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "EXECUTE IMMEDIATE stmt_exec_imm USING TIMESTAMP '1997-01-01 00:00:00'"
     )
+
+
+@query(
+    "sql_identifier_dynamic_table",
+    oracle="""
+    SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer
+    UNION ALL
+    SELECT 'supplier' AS tbl, COUNT(*) AS n_rows,
+           CAST(SUM(s_suppkey) AS BIGINT) AS key_sum
+    FROM supplier
+    """,
+)
+def q_sql_identifier_dynamic_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic object resolution via the ``IDENTIFIER()`` clause — the
+    SQL-injection-safe way to parameterize a TABLE NAME (a config-driven
+    audit job iterating a table list cannot bind names as values, and
+    string-splicing them is the injection anti-pattern EXECUTE IMMEDIATE
+    was shown avoiding for values). Each (table, key column) pair from
+    the config registry runs the same audit statement with both names
+    bound as parameters through IDENTIFIER, unioned into one report.
+
+    Catalyst resolves IDENTIFIER at analysis time, so the executed plans
+    are the ordinary per-table scan→aggregate — the indirection has zero
+    runtime cost."""
+    for tbl in ("customer", "supplier"):
+        load_table(spark, sf_dir, tbl).createOrReplaceTempView(f"idq_{tbl}")
+    out = None
+    for tbl, key in [("customer", "c_custkey"), ("supplier", "s_suppkey")]:
+        part = spark.sql(
+            "SELECT :tbl AS tbl, COUNT(*) AS n_rows, "
+            "CAST(SUM(IDENTIFIER(:key)) AS BIGINT) AS key_sum "
+            "FROM IDENTIFIER(:view)",
+            args={"tbl": tbl, "key": key, "view": f"idq_{tbl}"},
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

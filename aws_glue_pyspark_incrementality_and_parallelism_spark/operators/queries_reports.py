@@ -329,3 +329,94 @@ def q_pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders bigint, revenue_cents bigint, n_finished bigint, "
         "last_orderdate timestamp",
     )
+
+
+#: Late-dimension lane: suppliers whose u32(md5(suppkey || ':latedim'))
+#: falls below this (~10%) are absent from the first dimension snapshot
+#: and only land in the second batch.
+LATE_DIM_MAX = 429_496_729
+
+
+@query(
+    "incremental_late_arriving_dimension",
+    oracle=f"""
+    WITH late AS (
+      SELECT s_suppkey, s_nationkey,
+             CAST(('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || ':latedim'), 1, 8))
+                  AS BIGINT) < {LATE_DIM_MAX} AS is_late
+      FROM supplier
+    )
+    SELECT l.s_nationkey,
+           COUNT(CASE WHEN NOT l.is_late THEN 1 END) AS n_matched_batch1,
+           COUNT(CASE WHEN l.is_late THEN 1 END) AS n_matched_batch2,
+           CAST(0 AS BIGINT) AS n_unmatched_final,
+           CAST(SUM(CAST(floor(li.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem li JOIN late l ON li.l_suppkey = l.s_suppkey
+    GROUP BY l.s_nationkey
+    """,
+)
+def q_incremental_late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EARLY-ARRIVING FACTS (the warehouse's late-arriving-dimension
+    problem): fact rows land before their dimension row exists — here a
+    deterministic ~10% of suppliers are missing from the first
+    dimension snapshot. The incremental protocol: batch 1 joins facts
+    against the partial dimension, ENRICHING what it can and PARKING
+    the rest (never dropping, never nulling); batch 2 re-joins only the
+    parked facts against the completed dimension. The oracle is the
+    from-scratch join against the full dimension — the two-phase
+    union must reproduce it exactly, with the final unparked count
+    pinned at zero.
+
+    This is the reference bookmark contract's dual: its forward-only
+    HWM (glue_rds_to_redshift.py:31,40) assumes dims are always ahead
+    of facts; real CDC feeds violate that daily. Plan: both phases are
+    plain hash joins; the parked set is ~10% of the fact table and
+    shrinks to zero — no retry loop, no driver state beyond the lane
+    constant. All money exact cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    lane = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("s_suppkey").cast("string"), F.lit(":latedim"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    supp = supp.withColumn("is_late", lane < LATE_DIM_MAX)
+    snap1 = supp.filter(~F.col("is_late")).select("s_suppkey", "s_nationkey")
+    full = supp.select("s_suppkey", "s_nationkey")
+
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    facts = li.select("l_suppkey", cents.alias("cents"))
+
+    # Batch 1: enrich against the partial dim; park the misses.
+    matched1 = facts.join(snap1, facts.l_suppkey == snap1.s_suppkey).select(
+        "s_nationkey", "cents", F.lit(1).alias("phase")
+    )
+    parked = facts.join(snap1, facts.l_suppkey == snap1.s_suppkey, "left_anti")
+    # Batch 2: only the parked facts touch the completed dimension.
+    matched2 = parked.join(full, parked.l_suppkey == full.s_suppkey).select(
+        "s_nationkey", "cents", F.lit(2).alias("phase")
+    )
+    unmatched_final = parked.join(
+        full, parked.l_suppkey == full.s_suppkey, "left_anti"
+    ).agg(F.count("*").alias("n_unmatched_final"))
+
+    return (
+        matched1.unionByName(matched2)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.when(F.col("phase") == 1, 1)).alias("n_matched_batch1"),
+            F.count(F.when(F.col("phase") == 2, 1)).alias("n_matched_batch2"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .crossJoin(F.broadcast(unmatched_final))
+        .select(
+            "s_nationkey",
+            "n_matched_batch1",
+            "n_matched_batch2",
+            "n_unmatched_final",
+            "revenue_cents",
+        )
+    )

@@ -106,7 +106,8 @@ QUERIES = [
     "source_json_corrupt_quarantine", "pipeline_observe_metrics",
     "layout_sorted_files", "stream_watermark_late_drop",
     "sample_balanced_classes", "privacy_tokenize_consistent",
-    "source_codec_matrix",
+    "source_codec_matrix", "incremental_late_arriving_dimension",
+    "dedup_incremental_new_docs", "sql_identifier_dynamic_table",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental

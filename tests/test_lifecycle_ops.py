@@ -305,3 +305,29 @@ def test_codec_matrix_actually_varies_codec(spark, tmp_path):
         sizes[codec] = sum(os.path.getsize(os.path.join(p, f)) for f in parts)
     assert sizes["gzip"] < sizes["uncompressed"]
     assert sizes["zstd"] < sizes["uncompressed"]
+
+
+def test_late_dim_phases_fire_and_cover(spark):
+    """Both enrichment phases carry rows, nothing stays unmatched, and
+    phase totals reconcile with the full join."""
+    rows = REGISTRY["incremental_late_arriving_dimension"].fn(spark, SF_SMALL).collect()
+    assert sum(r.n_matched_batch1 for r in rows) > 0
+    assert sum(r.n_matched_batch2 for r in rows) > 0
+    assert all(r.n_unmatched_final == 0 for r in rows)
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    supp = spark.read.parquet(f"{SF_SMALL}/supplier.parquet")
+    total = li.join(supp, li.l_suppkey == supp.s_suppkey).count()
+    assert total == sum(r.n_matched_batch1 + r.n_matched_batch2 for r in rows)
+
+
+def test_incremental_dedup_lanes_all_fire(spark):
+    """All three classification lanes carry rows at the smallest SF, and
+    the batch decomposes exactly into the three lanes."""
+    rows = REGISTRY["dedup_incremental_new_docs"].fn(spark, SF_SMALL).collect()
+    tot = lambda f: sum(getattr(r, f) for r in rows)  # noqa: E731
+    assert tot("n_dup_of_history") > 0
+    assert tot("n_dup_within_delta") > 0
+    assert tot("n_new_unique") > 0
+    assert tot("n_delta") == (
+        tot("n_dup_of_history") + tot("n_dup_within_delta") + tot("n_new_unique")
+    )
