@@ -582,3 +582,110 @@ def maintenance_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(version).alias("version"), "*")
         out = snap if out is None else out.unionByName(snap)
     return out.orderBy("version")
+
+
+@query(
+    "maintenance_vacuum_orphans",
+    oracle="""
+    SELECT CAST(7 AS BIGINT) AS n_files_before,
+           CAST(2 AS BIGINT) AS n_files_after,
+           CAST(5 AS BIGINT) AS n_vacuumed,
+           (SELECT COUNT(*) FROM orders) AS n_rows,
+           (SELECT CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+            FROM orders) AS sum_totalprice_cents,
+           TRUE AS snapshot_unchanged
+    """,
+)
+def maintenance_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM — the commit log's garbage-collection dividend and the
+    third leg of the replay/time-travel mechanism: files on disk that
+    the log's live set no longer references (compacted-away originals
+    AND crash debris that was written but never committed) are deleted,
+    and the live snapshot provably does not change. The file census is
+    fully determined by the protocol (4 initial files + 1 append + 1
+    compaction output + 1 uncommitted orphan = 7; live = 2; vacuumed =
+    5), so the oracle pins the exact counts, not just booleans — plus
+    the content checksum before == after.
+
+    Deleting by LOG DIFFERENCE rather than by age is what makes vacuum
+    safe under concurrent readers pinned to old versions: the protocol
+    here vacuums everything dead because no reader holds a version,
+    mirroring `VACUUM ... RETAIN 0 HOURS`. At 100 TB the dead set is
+    resolved from O(actions) metadata — the only filesystem work is
+    the deletes themselves."""
+    import json as _json
+
+    root = tempfile.mkdtemp(prefix="sgq_vacuum_")
+    data, logdir = os.path.join(root, "data"), os.path.join(root, "_log")
+    os.makedirs(data), os.makedirs(logdir)
+    orders = load_table(spark, sf_dir, "orders")
+
+    def _files(subdir: str) -> list[str]:
+        return sorted(parquet_files(os.path.join(data, subdir)))
+
+    def _commit(version: int, adds: list[str], removes: list[str]) -> None:
+        with open(os.path.join(logdir, f"{version:05d}.json"), "w") as fh:
+            for p in adds:
+                fh.write(_json.dumps({"action": "add", "path": p, "v": version}) + "\n")
+            for p in removes:
+                fh.write(_json.dumps({"action": "remove", "path": p, "v": version}) + "\n")
+
+    low = orders.filter(F.col("o_totalprice") <= 300000)
+    high = orders.filter(F.col("o_totalprice") > 300000)
+    low.repartition(4).write.mode("overwrite").parquet(os.path.join(data, "v0"))
+    _commit(0, _files("v0"), [])
+    high.coalesce(1).write.mode("overwrite").parquet(os.path.join(data, "v1"))
+    _commit(1, _files("v1"), [])
+    spark.read.parquet(os.path.join(data, "v0")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(data, "v2"))
+    _commit(2, _files("v2"), _files("v0"))
+    # Crash debris: written, never committed.
+    low.limit(10).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(data, "orphan")
+    )
+
+    from pyspark.sql.window import Window as _W
+
+    log = spark.read.json(os.path.join(logdir, "*.json"))
+    last = (
+        log.withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("path").orderBy(F.desc("v"), F.desc("action"))
+            ),
+        )
+        .filter((F.col("rn") == 1) & (F.col("action") == "add"))
+    )
+    live = sorted(r["path"] for r in last.select("path").collect())
+
+    before_cs = spark.read.parquet(*live).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    ).collect()[0]
+
+    all_before = sorted(parquet_files(data))
+    dead = [p for p in all_before if p not in set(live)]
+    for p in dead:
+        os.remove(p)
+    all_after = sorted(parquet_files(data))
+
+    after = spark.read.parquet(*live).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_totalprice_cents"),
+    )
+    return after.select(
+        F.lit(len(all_before)).cast("bigint").alias("n_files_before"),
+        F.lit(len(all_after)).cast("bigint").alias("n_files_after"),
+        F.lit(len(dead)).cast("bigint").alias("n_vacuumed"),
+        "n_rows",
+        "sum_totalprice_cents",
+        (
+            (F.col("n_rows") == F.lit(before_cs["n"]))
+            & (F.col("sum_totalprice_cents") == F.lit(before_cs["cents"]))
+        ).alias("snapshot_unchanged"),
+    )

@@ -676,3 +676,91 @@ def q_incremental_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     delta_hist = _build(batch2)
     return merged_hist.unionByName(delta_hist)
+
+
+@query(
+    "quality_volume_anomaly_days",
+    oracle="""
+    WITH filtered AS (
+      -- simulated pipeline incident: on lane-selected days (~10%), 70%
+      -- of the rows fail to load (row-lane keeps ids with u%10 < 1)
+      SELECT CAST(ts AS DATE) AS day
+      FROM events
+      WHERE CAST(('0x' || substr(md5('vol:' || CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 8))
+                 AS BIGINT) >= 100000000
+         OR CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':volrow'), 1, 8))
+                 AS BIGINT) % 10 < 1
+    ), daily AS (
+      SELECT day, COUNT(*) AS c FROM filtered GROUP BY day
+    ), tot AS (
+      SELECT COUNT(*) AS d, CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS sq
+      FROM daily
+    )
+    SELECT day, CAST(c AS BIGINT) AS n_rows,
+           CAST((c * d - s) * (c * d - s) AS BIGINT) AS z2_num,
+           CAST(d * sq - s * s AS BIGINT) AS z2_den
+    FROM daily, tot
+    WHERE (c * d - s) * (c * d - s) > 9 * (d * sq - s * s)
+    """,
+)
+def q_quality_volume_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly monitoring — the first data-quality alarm every
+    production pipeline wires: flag load days whose row count sits more
+    than 3σ from the fleet mean. A deterministic exactly one event day (the lane cut 1e8 sits between the smallest and second-smallest day-lane values, so precisely 2024-01-12 is selected at every SF)
+    carries a simulated partial-load incident (90% of its rows
+    missing); over the 30-day event feed that day sits 4σ+ below the
+    mean at every SF, so the alarm provably fires. Two rejected designs
+    are themselves the operator's documentation: the orders table (at
+    small SF its ~0.6 rows/day drown a 70% drop in Poisson noise — a
+    volume monitor needs a grain whose natural σ is small relative to
+    the failure signature) and multiple incident days (4 of 30 days at
+    30% volume (an earlier draft) inflated the fleet σ enough to MASK every incident below
+    3σ — the classic breakdown-point failure of mean/σ monitors, why
+    robust baselines like `window_hampel_outliers` use median/MAD).
+    Natural 3σ extremes may also flag — that is the monitor working,
+    and the oracle replays the identical algebra either way. The z²
+    test is EXACT integer cross-multiplication — flag iff
+    (c·D − S)² > 9·(D·Σc² − S²) — the same deferred-division
+    trick as `ab_test_proportion_z`, so no float threshold can diverge
+    between engines; numerator/denominator ride along for severity
+    display.
+
+    Plan: one day-grain aggregate (calendar-bounded), one 1-row moment
+    aggregate broadcast back — at 100 TB the monitor costs one scan of
+    the day's partition counts, which the catalog usually already has
+    (`maintenance_cbo_stats`)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    day_lane = F.conv(
+        F.substring(F.md5(F.concat(F.lit("vol:"), day.cast("string"))), 1, 8), 16, 10
+    ).cast("bigint")
+    row_lane = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":volrow"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    filtered = ev.filter((day_lane >= 100_000_000) | (row_lane % 10 < 1)).select(
+        day.alias("day")
+    )
+    daily = filtered.groupBy("day").agg(F.count("*").alias("c"))
+    tot = daily.agg(
+        F.count("*").alias("d"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    dev = F.col("c") * F.col("d") - F.col("s")
+    return (
+        daily.crossJoin(F.broadcast(tot))
+        .filter(dev * dev > 9 * (F.col("d") * F.col("sq") - F.col("s") * F.col("s")))
+        .select(
+            "day",
+            F.col("c").cast("bigint").alias("n_rows"),
+            (dev * dev).cast("bigint").alias("z2_num"),
+            (F.col("d") * F.col("sq") - F.col("s") * F.col("s"))
+            .cast("bigint")
+            .alias("z2_den"),
+        )
+    )

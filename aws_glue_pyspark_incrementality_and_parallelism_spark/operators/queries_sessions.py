@@ -874,3 +874,53 @@ def q_events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFra
             "value_cents",
         )
     )
+
+
+@query(
+    "events_decay_weighted_score",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    aged AS (
+      SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             (epoch_us((SELECT m FROM mx)) - epoch_us(ts)) // 604800000000 AS age_wk
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(cents * (CAST(1 AS BIGINT) << CAST(4 - LEAST(age_wk, 4) AS INTEGER)))
+                AS BIGINT) AS score_sixteenths,
+           COUNT(*) AS n_events
+    FROM aged
+    GROUP BY user_id
+    """,
+)
+def q_events_decay_weighted_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement scoring — the recency-weighted ranking
+    primitive behind feeds and churn models: each event's value decays
+    by half per week of age, summed per user. The decay weights are
+    EXACT dyadic rationals (2^-age_weeks, age capped at 4 over the
+    30-day corpus), carried as integer SIXTEENTHS — cents·2^(4−age) —
+    so the whole computation is int64 with zero float rounding to
+    diverge between engines (the usual exp(-λ·age) formulation is a
+    cross-engine float hazard the quantization rules exist to avoid).
+
+    Plan: one O(1) max-timestamp scalar (the bookmark pattern), then a
+    stateless weight projection + one hash aggregate on user_id — the
+    same cost envelope as a plain per-user sum at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m"))
+    aged = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        (
+            (F.unix_micros(F.col("m")) - F.unix_micros(F.col("ts")))
+            / F.lit(604_800_000_000)
+        )
+        .cast("bigint")
+        .alias("age_wk"),
+    )
+    weight = F.expr("shiftleft(cast(1 as bigint), cast(4 - least(age_wk, 4) as int))")
+    return aged.groupBy("user_id").agg(
+        F.sum(F.col("cents") * weight).alias("score_sixteenths"),
+        F.count("*").alias("n_events"),
+    )

@@ -108,6 +108,8 @@ QUERIES = [
     "sample_balanced_classes", "privacy_tokenize_consistent",
     "source_codec_matrix", "incremental_late_arriving_dimension",
     "dedup_incremental_new_docs", "sql_identifier_dynamic_table",
+    "maintenance_vacuum_orphans", "quality_volume_anomaly_days",
+    "events_decay_weighted_score",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental

@@ -331,3 +331,41 @@ def test_incremental_dedup_lanes_all_fire(spark):
     assert tot("n_delta") == (
         tot("n_dup_of_history") + tot("n_dup_within_delta") + tot("n_new_unique")
     )
+
+
+def test_vacuum_counts_and_content(spark):
+    """Vacuum removes exactly the dead+orphan files and the live
+    snapshot is unchanged (checksum boolean computed, counts exact)."""
+    r = REGISTRY["maintenance_vacuum_orphans"].fn(spark, SF_SMALL).collect()[0]
+    assert (r.n_files_before, r.n_files_after, r.n_vacuumed) == (7, 2, 5)
+    assert r.snapshot_unchanged
+
+
+def test_volume_anomaly_flags_the_incident_day(spark):
+    """The planted incident day (2024-01-12, selected by the day-lane
+    cut) is flagged at every SF, and every flagged row satisfies the
+    exact-integer 3-sigma inequality."""
+    import datetime as dt
+
+    rows = REGISTRY["quality_volume_anomaly_days"].fn(spark, SF_SMALL).collect()
+    assert dt.date(2024, 1, 12) in {r.day for r in rows}
+    assert all(r.z2_num > 9 * r.z2_den for r in rows)
+
+
+def test_decay_score_exact_weights(spark):
+    """Hand-check: a user's score equals the sum of cents << (4 - age_wk)
+    recomputed driver-side for a sample user."""
+    import math
+
+    out = {r.user_id: r for r in REGISTRY["events_decay_weighted_score"].fn(spark, SF_SMALL).collect()}
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    uid = ev.select("user_id").first().user_id
+    rows = ev.filter(F.col("user_id") == uid).collect()
+    expect = 0
+    for r in rows:
+        cents = math.floor(r.value * 100 + 0.5)
+        age_wk = int((mx - r.ts).total_seconds() * 1_000_000) // 604_800_000_000
+        expect += cents << (4 - min(age_wk, 4))
+    assert out[uid].score_sixteenths == expect
+    assert out[uid].n_events == len(rows)
