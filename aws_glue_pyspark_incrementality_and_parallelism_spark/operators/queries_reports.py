@@ -257,7 +257,11 @@ def q_incremental_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFr
         16,
         10,
     ).cast("bigint")
-    dayagg = dayagg.withColumn("_lane", lane)
+    # Materialize the O(days) aggregate once: every later branch
+    # (listing, gap anti-join, backfill, residual audit) reuses it, so
+    # the FACT table is scanned exactly once — without this, Catalyst
+    # re-derives the aggregate per branch (7 fact scans observed).
+    dayagg = dayagg.withColumn("_lane", lane).localCheckpoint(eager=True)
     expected = dayagg.select("day")
     sink_existing = dayagg.filter(F.col("_lane") >= BACKFILL_MAX)
     # Gap detection: expected days with no sink partition.

@@ -565,3 +565,66 @@ def test_image_resize_is_scan_bound_arrow_pass(spark):
     # one Exchange above (in `head`) is the presentation orderBy.
     tree_below = tail.split("(1) Scan")[0]
     assert "Exchange" not in tree_below, tree_below
+
+
+def test_erasure_cascade_joins_are_hash_or_broadcast_no_nested_loop(spark):
+    """The GDPR cascade must stay keyed joins — a nested-loop anywhere
+    would be quadratic in the fact table at scale."""
+    plan = _plan(spark, "privacy_erasure_propagation")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_session_window_builtin_single_shuffle_no_join(spark):
+    """Native sessionization is one user_id shuffle + in-partition
+    session assembly — no self-join, no window-function pass."""
+    plan = _plan(spark, "events_session_window_builtin")
+    assert "Join" not in plan
+    assert "Window" not in plan.replace("SessionWindow", "").replace(
+        "session_window", ""
+    )
+
+
+def test_execute_immediate_pushes_date_predicate(spark):
+    """The dynamically assembled statement still plans to a pushed-down
+    scan — dynamic SQL costs nothing at plan time."""
+    plan = _plan(spark, "sql_execute_immediate")
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_partition_backfill_day_grain_set_algebra(spark):
+    """Gap detection runs at day grain: the fact table feeds ONE
+    materialized day aggregate (localCheckpoint), and every branch of
+    the set algebra reuses it — without the checkpoint Catalyst
+    re-derived the aggregate per branch (7 fact scans observed)."""
+    plan = _plan(spark, "incremental_partition_backfill")
+    assert "Scan parquet" not in plan  # fact scan happened pre-checkpoint
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    # only the 1-row residual scalar may broadcast-nested-loop (tree
+    # line counted; formatted mode repeats the node in the detail list)
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 1
+
+
+def test_decay_score_is_single_aggregate(spark):
+    """Decay weighting is a stateless projection + one hash aggregate —
+    no window, no join beyond the O(1) broadcast max-ts scalar."""
+    plan = _plan(spark, "events_decay_weighted_score")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan  # the 1-row scalar
+    assert plan.count("HashAggregate") >= 2  # partial + final on user_id
+
+
+def test_balanced_classes_lane_needs_no_shuffle_before_window(spark):
+    """The md5 lane is computed scan-side; the only fact-grain exchange
+    is the per-class window's hashpartitioning on lang."""
+    plan = _plan(spark, "sample_balanced_classes")
+    assert "NestedLoop" not in plan or "BroadcastNestedLoop" in plan  # scalar target join is broadcast
+    assert "Window" in plan
+
+
+def test_quarantine_parse_never_shuffles_rows(spark):
+    """Corrupt-record routing is a stateless parse: the only exchange is
+    the 2-row lane aggregate's."""
+    plan = _plan(spark, "source_json_corrupt_quarantine")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg exchange (+AQE read)
