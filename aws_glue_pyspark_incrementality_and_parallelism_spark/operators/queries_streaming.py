@@ -626,3 +626,101 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("window_start"), "n_events")
         .crossJoin(F.broadcast(dropped))
     )
+
+
+@query(
+    "stream_stateful_hwm_dedup",
+    oracle="""
+    WITH f0 AS (
+      SELECT user_id, event_id, value FROM events WHERE event_id % 3 <> 0
+    ), hwm AS (
+      SELECT user_id, MAX(event_id) AS h FROM f0 GROUP BY user_id
+    ), emitted AS (
+      SELECT user_id, event_id, value FROM f0
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.value
+      FROM events e JOIN hwm ON e.user_id = hwm.user_id
+      WHERE e.event_id > hwm.h
+    )
+    SELECT user_id,
+           COUNT(*) AS n_emitted,
+           CAST(SUM(event_id) AS BIGINT) AS emitted_id_sum,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM emitted
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_hwm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-key stateful streaming via ``applyInPandasWithState``
+    (the GroupState API — the repo's only stateful-streaming surface
+    that runs in this container; transformWithState needs protobuf),
+    adjudicated end-to-end: a per-user HIGH-WATER-MARK dedup processor
+    (emit only event_ids above the user's checkpointed HWM — the
+    reference's global bookmark made per-key and streaming) runs over
+    an AT-LEAST-ONCE delivery simulation: micro-batch 1 delivers a
+    partial feed (event_id % 3 <> 0), micro-batch 2 REDELIVERS the
+    whole feed. The state suppresses every replayed row; only each
+    user's genuinely-new tail (ids above their batch-1 max) emits.
+
+    The oracle states the closed form of that two-batch execution —
+    batch1 ∪ (full feed above per-user batch1-max) — which is exactly
+    once: a replayed id equals the HWM at best and the filter is
+    strictly greater. Deterministic because the file source processes
+    the two staged files in mtime order (same machinery as
+    `stream_watermark_late_drop`).
+
+    At 100 TB: state is ONE int64 per user (O(keys), never O(events)),
+    Arrow-batched per key — this is the pattern that makes exactly-once
+    ingestion from an at-least-once bus cheap."""
+    import uuid as _uuid
+
+    from ..streaming.stateful import hwm_dedup_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="sgq_hwm_src_")
+    batches = [
+        ev.filter(F.col("event_id") % 3 != 0),  # partial first delivery
+        ev,  # full redelivery
+    ]
+    for i, b in enumerate(batches):
+        part_dir = os.path.join(src, f"_stage_{i}")
+        b.select("user_id", "event_id", "event_type", "value").coalesce(1).write.parquet(
+            part_dir
+        )
+        part = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"delivery_{i}.parquet")
+        shutil.move(os.path.join(part_dir, part), dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    ckpt = tempfile.mkdtemp(prefix="sgq_hwm_ck_") + f"/{_uuid.uuid4().hex[:8]}"
+    out = tempfile.mkdtemp(prefix="sgq_hwm_out_")
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, event_id bigint, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    (
+        hwm_dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_emitted"),
+            F.sum("event_id").alias("emitted_id_sum"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+    )

@@ -721,3 +721,57 @@ def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bar_hour")
     )
+
+
+@query(
+    "window_range_between_numeric",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority, cents,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_price_neighbors,
+           CAST(SUM(cents) OVER w AS BIGINT) AS neighbor_cents_sum
+    FROM c
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents
+                 RANGE BETWEEN 1000000 PRECEDING AND 1000000 FOLLOWING)
+    """,
+)
+def q_window_range_between_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric RANGE frame — the window family's value-based sibling of
+    the time-range frame (`window_range_frame_1h`): for every order,
+    aggregate over all orders of the same priority within ±$10,000 of
+    its price (a peer-group/price-band statistic: 'how crowded is this
+    order's price neighborhood'). RANGE frames bound by VALUE, not row
+    count, so ties and gaps behave correctly where a ROWS frame would
+    not; money is quantized to exact cents BEFORE ordering so frame
+    membership (a <= comparison on the order key) is decided on
+    identical integers in both engines — a double ordering key would
+    make the frame boundary itself a float hazard.
+
+    Plan: one shuffle on the priority key + an in-partition sort;
+    Spark evaluates the sliding frame with two moving endpoints over
+    the sorted run — O(n) per partition, not O(n²). The per-priority
+    total order is the scale bound, the same trade every RANGE window
+    carries; a 100 TB deployment banding by finer keys (priority ×
+    price-decile) keeps partitions bounded."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("cents")
+        .rangeBetween(-1_000_000, 1_000_000)
+    )
+    return c.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "cents",
+        F.count("*").over(w).cast("bigint").alias("n_price_neighbors"),
+        F.sum("cents").over(w).cast("bigint").alias("neighbor_cents_sum"),
+    )

@@ -21,6 +21,8 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+
+from ..session import pickle_module_by_value
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -86,3 +88,8 @@ def dedup_within_watermark_stream(
     drops) at 100 TB/day volumes where "all keys ever" cannot be state.
     """
     return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(list(keys))
+
+
+# Executor pythons do not have the repo on sys.path; the stateful
+# processor must travel by value inside the serialized closure.
+pickle_module_by_value(__name__)
