@@ -5,6 +5,8 @@ predicates and from_json structured parsing."""
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -323,4 +325,113 @@ def q_udf_sql_registered_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sgq_orders_udf_v
         GROUP BY 1 ORDER BY 1
         """
+    )
+
+
+@query(
+    "udf_cogroup_asof_merge",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           (SELECT v.event_id FROM events v
+             WHERE v.user_id = p.user_id AND v.event_type = 'view'
+               AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 24 HOUR
+             ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_id
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_udf_cogroup_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (``groupBy().cogroup()``): per-user as-of
+    attribution — each purchase matched to the latest view within 24h.
+
+    This is the one Pandas-UDF API surface the registry didn't cover:
+    TWO grouped relations arrive per key as a pandas DataFrame pair, so
+    per-key logic that needs both sides (``pd.merge_asof``, custom
+    reconciliation, panel alignment) runs in one co-partitioned pass —
+    the engine shuffles both inputs by the key ONCE and never
+    materializes the unmatched cross product the SQL formulation would
+    risk. The reference pipeline's only join is a keyed equi-join
+    (glue_rds_to_redshift.py:55-58); this is the escape hatch for join
+    semantics Spark's built-ins lack entirely.
+
+    Determinism: views are sorted (ts, event_id) so merge_asof's
+    last-match tie-break picks the max event_id among equal timestamps —
+    mirrored by the oracle's ORDER BY ts DESC, event_id DESC LIMIT 1.
+    Scale: both sides hash-partition by user_id (bounded per-user
+    cardinality); no driver state, no cross join.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    purchases = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    views = ev.filter(F.col("event_type") == "view").drop("event_type")
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values(["ts", "event_id"])
+        right = right.sort_values(["ts", "event_id"]).rename(
+            columns={"event_id": "view_id"}
+        )
+        merged = pd.merge_asof(
+            left,
+            right[["ts", "view_id"]],
+            on="ts",
+            direction="backward",
+            tolerance=pd.Timedelta(hours=24),
+        )
+        out = pd.DataFrame(
+            {
+                "user_id": left["user_id"].values,
+                "purchase_id": left["event_id"].values,
+                "view_id": merged["view_id"].astype("Int64").values,
+            }
+        )
+        return out
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(asof, schema="user_id bigint, purchase_id bigint, view_id bigint")
+    )
+
+
+@query(
+    "udf_iterator_batch_scoring",
+    oracle="""
+    SELECT doc_id, lang,
+           n_chars * (CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 5
+                                WHEN 'fr' THEN 4 WHEN 'es' THEN 2
+                                WHEN 'zh' THEN 6 ELSE 1 END) + 7
+             AS quality_score
+    FROM documents
+    """,
+)
+def q_udf_iterator_batch_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form scalar Pandas UDF (``Iterator[Tuple[Series, ...]] ->
+    Iterator[Series]``): the amortized-initialization pattern for model
+    scoring — the "model" (here a per-language weight table) loads ONCE
+    per executor task, then streams over every Arrow batch of that task,
+    instead of re-initializing per batch as the plain scalar form would.
+
+    This is how a 100 TB corpus gets scored by a real classifier: the
+    expensive step (loading an ONNX/quality model) costs O(tasks), not
+    O(batches), and batches stream through without concatenation. The
+    scoring itself is deliberately integer-exact (n_chars * weight +
+    bias) so the oracle adjudicates the iterator plumbing — batch
+    boundaries, multi-column tuples, task-scoped init — not float noise.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def score(batches: Iterator[Tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        # Task-scoped "model load": runs once per task, not per batch.
+        weights = {"en": 3, "de": 5, "fr": 4, "es": 2, "zh": 6}
+        bias = 7
+        for n_chars, lang in batches:
+            w = lang.map(weights).fillna(1).astype("int64")
+            yield n_chars.astype("int64") * w + bias
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        score(F.col("n_chars"), F.col("lang")).alias("quality_score"),
     )
