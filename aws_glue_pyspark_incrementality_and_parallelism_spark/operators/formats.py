@@ -239,3 +239,124 @@ def q_source_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = lane if out is None else out.unionByName(lane)
     return out
+
+
+@query(
+    "source_hive_partitioned_prune",
+    oracle="""
+    SELECT COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           (SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders)
+               AS n_partitions,
+           TRUE AS partition_pruned
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_source_hive_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout (``key=value`` directories) with
+    STATIC partition pruning — the complement of the DPP query
+    (bucketed.py): here the predicate is a literal, so pruning happens
+    at PLANNING time from the directory listing alone, before a single
+    parquet footer is opened.
+
+    This is the canonical 100 TB lake layout (the reference's Redshift
+    sink has no notion of it; Glue catalogs express exactly this via
+    partition keys): a filter on the partition column must reduce the
+    scan to the matching directories. Three audits ride on the result:
+
+    * ``partition_pruned`` — the physical scan's PartitionFilters
+      carries the literal predicate (plan-derived, same mechanism as
+      the DPP/bucketed audits).
+    * ``n_partitions`` — counted from the REAL directory listing via
+      ``inputFiles()`` on the unfiltered read, adjudicated against
+      COUNT(DISTINCT) of the partition column.
+    * the revenue aggregate — content survives the partitioned
+      rewrite byte-exactly (partition values round-trip through
+      directory names, including the '1-URGENT' hyphen/digit mix).
+    """
+    base = tempfile.mkdtemp(prefix="sgq_hivepart_")
+    path = os.path.join(base, "orders_by_priority")
+    load_table(spark, sf_dir, "orders").write.partitionBy(
+        "o_orderpriority"
+    ).mode("overwrite").parquet(path)
+
+    fact = spark.read.parquet(path)
+    parts = {
+        seg
+        for f in fact.inputFiles()
+        for seg in f.split("/")
+        if seg.startswith("o_orderpriority=")
+    }
+    pruned = fact.filter(F.col("o_orderpriority") == "1-URGENT")
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = pruned._jdf.queryExecution().explainString(mode)
+    low = plan.lower()
+    has_prune = "partitionfilters" in low and "1-urgent" in low
+
+    return pruned.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    ).select(
+        "n_orders",
+        "revenue_cents",
+        F.lit(len(parts)).cast("bigint").alias("n_partitions"),
+        F.lit(has_prune).alias("partition_pruned"),
+    )
+
+
+@query(
+    "source_schema_evolution_merge",
+    oracle="""
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'missing' ELSE lang END AS lang_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution at READ time (``mergeSchema``): an old
+    producer wrote (doc_id, n_chars); a new producer added ``lang``.
+    One read over both batches must surface the superset schema, with
+    NULLs exactly where the old files lack the column — no row lost,
+    no value invented.
+
+    ``setop_union_by_name_evolution`` covers the DataFrame-level form;
+    this is the SOURCE-level form a 100 TB lake actually hits — readers
+    cannot assume every historical file carries today's schema, and
+    schema merging must happen from parquet footers, not from user
+    code. The even/odd doc split plants both generations at every SF;
+    the per-language rollup (old rows bucketed 'missing') adjudicates
+    the null placement and the lossless union in one aggregate.
+
+    Scale note: mergeSchema reads a footer per file at planning time —
+    at 100 TB you bound that with a catalog schema instead, but the
+    read-side semantics pinned here are identical.
+    """
+    base = tempfile.mkdtemp(prefix="sgq_evolve_")
+    p_old = os.path.join(base, "batch_old")
+    p_new = os.path.join(base, "batch_new")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(p_old)
+    docs.filter(F.col("doc_id") % 2 != 0).select(
+        "doc_id", "n_chars", "lang"
+    ).write.mode("overwrite").parquet(p_new)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p_old, p_new)
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("lang"), F.lit("missing")).alias("lang_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang_bucket")
+    )
