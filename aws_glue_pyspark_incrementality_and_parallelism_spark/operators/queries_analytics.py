@@ -1531,3 +1531,94 @@ def q_sql_identifier_dynamic_table(spark: SparkSession, sf_dir: str) -> DataFram
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+@query(
+    "ts_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+             CAST(COUNT(*) AS HUGEINT) AS cnt
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(cnt) AS HUGEINT) AS tot
+      FROM daily
+    ), dev AS (
+      SELECT day, (SELECT n FROM s) * cnt - (SELECT tot FROM s) AS d FROM daily
+    ), den AS (
+      SELECT SUM(d * d) AS den FROM dev
+    ), pairs AS (
+      SELECT l.lag_days, COUNT(*) AS n_pairs, SUM(a.d * b.d) AS num
+      FROM (SELECT 1 AS lag_days UNION ALL SELECT 2 UNION ALL SELECT 7) l
+      JOIN dev a ON TRUE
+      JOIN dev b ON b.day = a.day + l.lag_days
+      GROUP BY 1
+    )
+    SELECT CAST(lag_days AS INT) AS lag_days,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(floor(CAST(num AS DOUBLE) / CAST((SELECT den FROM den) AS DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) AS acf_micro
+    FROM pairs ORDER BY 1
+    """,
+)
+def q_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation (ACF at k=1,2,7) of the daily order-count
+    series, exact-integer end-to-end: with n days, total S and counts x,
+    the deviation n*x_t - S is an integer, so numerator
+    sum((n*x_t - S)(n*x_{t+k} - S)) and denominator sum((n*x_t - S)^2)
+    are exact DECIMAL(38,0)/HUGEINT aggregates; only the final ratio is
+    a double, formed from IDENTICAL integers on both engines and
+    quantized with the shared floor(x*1e6+0.5) rule.
+
+    Missing calendar days make LAG/LEAD wrong here — the pair relation
+    is built by self-joining the day series on day+k, so only days
+    where BOTH endpoints exist pair up (n_pairs is part of the result).
+    Scale: the raw scan collapses to the O(days) daily relation first;
+    the self-join, the broadcast scalar stats and the lag fan-out all
+    run on that tiny series — the same collapse-before-expensive-work
+    shape as ts_cusum_changepoint. The weekly lag (k=7) exposes the
+    seasonality ts_weekday_seasonality_index measures from the other
+    direction.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count("*").cast("decimal(38,0)").alias("cnt"))
+    )
+    stats = daily.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("cnt").cast("decimal(38,0)").alias("tot"),
+    )
+    dev = daily.crossJoin(F.broadcast(stats)).select(
+        "day", (F.col("n") * F.col("cnt") - F.col("tot")).alias("d")
+    )
+    den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("den"))
+    lags = spark.createDataFrame([(1,), (2,), (7,)], "lag_days int")
+    a = dev.crossJoin(F.broadcast(lags))
+    pairs = a.alias("a").join(
+        dev.alias("b"),
+        F.col("b.day") == F.col("a.day") + F.col("a.lag_days"),
+    )
+    num = pairs.groupBy("a.lag_days").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("a.d") * F.col("b.d")).alias("num"),
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag_days").cast("int").alias("lag_days"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.floor(
+                F.col("num").cast("double") / F.col("den").cast("double") * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("acf_micro"),
+        )
+        .orderBy("lag_days")
+    )

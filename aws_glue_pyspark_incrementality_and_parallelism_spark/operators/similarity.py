@@ -1236,3 +1236,128 @@ def q_rag_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@query(
+    "sim_mmr_diversify",
+    oracle="""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ), rel AS MATERIALIZED (
+      SELECT q.vec_id, q.qv,
+             CAST(list_sum(list_transform(
+                 list_zip(q.qv, (SELECT qv FROM q WHERE vec_id = 0)),
+                 p -> p[1]*p[2])) AS BIGINT) AS rel
+      FROM q WHERE q.vec_id <> 0
+    ), short AS MATERIALIZED (
+      SELECT vec_id, qv, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 20
+    ), sims AS MATERIALIZED (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                                          p -> p[1]*p[2])) AS BIGINT) AS sim
+      FROM short a JOIN short b ON a.vec_id <> b.vec_id
+    ), s1 AS MATERIALIZED (
+      SELECT 1 AS step, vec_id, 7 * rel AS mmr
+      FROM short ORDER BY mmr DESC, vec_id LIMIT 1
+    ), s2 AS MATERIALIZED (
+      SELECT 2 AS step, c.vec_id, 7 * c.rel - 3 * MAX(s.sim) AS mmr
+      FROM short c JOIN sims s ON s.va = c.vec_id
+      WHERE s.vb IN (SELECT vec_id FROM s1)
+        AND c.vec_id NOT IN (SELECT vec_id FROM s1)
+      GROUP BY c.vec_id, c.rel ORDER BY mmr DESC, c.vec_id LIMIT 1
+    ), sel2 AS MATERIALIZED (
+      SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2
+    ), s3 AS MATERIALIZED (
+      SELECT 3 AS step, c.vec_id, 7 * c.rel - 3 * MAX(s.sim) AS mmr
+      FROM short c JOIN sims s ON s.va = c.vec_id
+      WHERE s.vb IN (SELECT vec_id FROM sel2)
+        AND c.vec_id NOT IN (SELECT vec_id FROM sel2)
+      GROUP BY c.vec_id, c.rel ORDER BY mmr DESC, c.vec_id LIMIT 1
+    ), sel3 AS MATERIALIZED (
+      SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3
+    ), s4 AS MATERIALIZED (
+      SELECT 4 AS step, c.vec_id, 7 * c.rel - 3 * MAX(s.sim) AS mmr
+      FROM short c JOIN sims s ON s.va = c.vec_id
+      WHERE s.vb IN (SELECT vec_id FROM sel3)
+        AND c.vec_id NOT IN (SELECT vec_id FROM sel3)
+      GROUP BY c.vec_id, c.rel ORDER BY mmr DESC, c.vec_id LIMIT 1
+    ), sel4 AS MATERIALIZED (
+      SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM s4
+    ), s5 AS MATERIALIZED (
+      SELECT 5 AS step, c.vec_id, 7 * c.rel - 3 * MAX(s.sim) AS mmr
+      FROM short c JOIN sims s ON s.va = c.vec_id
+      WHERE s.vb IN (SELECT vec_id FROM sel4)
+        AND c.vec_id NOT IN (SELECT vec_id FROM sel4)
+      GROUP BY c.vec_id, c.rel ORDER BY mmr DESC, c.vec_id LIMIT 1
+    )
+    SELECT step, vec_id, CAST(mmr AS BIGINT) AS mmr_score FROM (
+      SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+      UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5
+    ) ORDER BY step
+    """,
+)
+def q_sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the RAG diversification step after retrieval: from the
+    top-20 shortlist for a fixed query vector (vec_id 0), greedily pick
+    5 results maximizing lambda*relevance - (1-lambda)*max-similarity-
+    to-already-picked, lambda=0.7.
+
+    Exactness: relevance and pairwise similarity are int64 dots of
+    micro-quantized vectors, and lambda is carried as the integer pair
+    (7, 3) (scores scaled x10) — the greedy argmax chain is pure
+    integer comparison on both engines, tie-broken by vec_id. The
+    DuckDB oracle unrolls the 5 greedy steps as chained MATERIALIZED
+    CTEs (the BPE-loop technique); step 1's empty-selection max-sim
+    term is defined as 0 on both sides.
+
+    Scale shape: retrieval (the expensive part) is the distributed
+    TakeOrdered top-k every ANN query here uses; the greedy O(k^2)
+    rerank runs executor-side in one applyInPandas over the k-row
+    shortlist — k is a query parameter, never corpus-sized, the same
+    bounded-rerank stance as sim_ivf_topk's exact rerank stage.
+    """
+    from .embeddings import int_dot, microquant
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", microquant().alias("qv"))
+    qv0 = q.filter(F.col("vec_id") == 0).select(F.col("qv").alias("qv0"))
+    short = (
+        q.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv0))
+        .select("vec_id", "qv", int_dot("qv", "qv0", 64).alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(20)
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(pdf["qv"].tolist(), dtype=np.int64)
+        rel = pdf["rel"].to_numpy(dtype=np.int64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        sims = mat @ mat.T
+        selected: list[int] = []
+        remaining = list(range(len(pdf)))
+        rows = []
+        for step in range(1, 6):
+            best = None
+            for i in remaining:
+                ms = max(int(sims[i][j]) for j in selected) if selected else 0
+                score = 7 * int(rel[i]) - 3 * ms
+                key = (-score, int(ids[i]))
+                if best is None or key < best[0]:
+                    best = (key, i, score)
+            _, bi, bs = best
+            selected.append(bi)
+            remaining.remove(bi)
+            rows.append((step, int(ids[bi]), bs))
+        return pd.DataFrame(rows, columns=["step", "vec_id", "mmr_score"])
+
+    return (
+        short.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(greedy, schema="step int, vec_id bigint, mmr_score bigint")
+        .orderBy("step")
+    )
