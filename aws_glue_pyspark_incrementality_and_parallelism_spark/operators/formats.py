@@ -360,3 +360,88 @@ def q_source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("lang_bucket")
     )
+
+
+@query(
+    "source_python_datasource_agg",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(0, 8000)) AS event_id),
+    s1 AS (SELECT event_id,
+           (xor(CAST(42 AS HUGEINT), CAST(event_id AS HUGEINT))
+            + 11400714819323198485::HUGEINT)
+             % 18446744073709551616::HUGEINT AS a FROM ids),
+    m1 AS (SELECT event_id, xor(a, a >> 30) AS x FROM s1),
+    s2 AS (SELECT event_id,
+           ((x * 484763065::HUGEINT) % 18446744073709551616::HUGEINT
+            + ((x * 3210233709::HUGEINT) % 4294967296::HUGEINT)
+              * 4294967296::HUGEINT)
+             % 18446744073709551616::HUGEINT AS b FROM m1),
+    m2 AS (SELECT event_id, xor(b, b >> 27) AS y FROM s2),
+    s3 AS (SELECT event_id,
+           ((y * 321982955::HUGEINT) % 18446744073709551616::HUGEINT
+            + ((y * 2496678331::HUGEINT) % 4294967296::HUGEINT)
+              * 4294967296::HUGEINT)
+             % 18446744073709551616::HUGEINT AS c FROM m2),
+    rows_ AS (
+      SELECT event_id,
+             xor(c, c >> 31) AS h
+      FROM s3
+    ), decoded AS (
+      SELECT event_id,
+             CAST(h % 100 AS BIGINT) AS user_id,
+             (['view', 'click', 'cart', 'purchase'])[CAST((h >> 8) % 4 AS INT) + 1]
+               AS event_type,
+             CAST((h >> 16) % 10000 AS BIGINT) AS cents
+      FROM rows_
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM decoded GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_source_python_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read through the PySpark Python Data Source API
+    (``spark.read.format("synthetic_events")``, sources/pysource.py) —
+    the engine's extension point for sources Spark has no connector
+    for, the batch twin of the streaming reader pytest already pins.
+
+    The oracle replays the connector's PUBLIC generation contract (row
+    i = splitmix64(seed xor i), documented in the module) entirely in
+    SQL — 64-bit wrapping arithmetic done in HUGEINT with split 32-bit
+    multiplies — so the row adjudicates the actual DataSource
+    machinery: registration, ``partitions()`` split planning,
+    executor-side ``read()`` generation, Arrow conversion, and the
+    exact float contract of the ``value`` column (recovered as integer
+    cents via the shared floor rule). sf_dir is deliberately unused:
+    the source IS the dataset (options pin partitions=8 x 1000 rows,
+    100 users, seed 42).
+
+    Scale: ``partitions()`` declares the split plan, so the scan
+    parallelizes like a file read; the driver plans partition ids only
+    and never materializes rows — the same discipline a real external
+    connector (Kafka admin metadata, REST cursor pages) must keep.
+    """
+    from ..sources.pysource import register_python_sources
+
+    register_python_sources(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("partitions", 8)
+        .option("rows_per_partition", 1000)
+        .option("n_users", 100)
+        .option("seed", 42)
+        .load()
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )

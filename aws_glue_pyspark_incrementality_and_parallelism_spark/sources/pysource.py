@@ -155,3 +155,11 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
 def register_python_sources(spark: SparkSession) -> None:
     """Register all custom Python data sources on the session."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# DataSource classes ship to Python workers via cloudpickle; the repo
+# is not on executor sys.path (worker-closure rule), so this module
+# must pickle by value.
+from ..session import pickle_module_by_value  # noqa: E402
+
+pickle_module_by_value(__name__)
