@@ -1589,6 +1589,11 @@ def q_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("day")
         .agg(F.count("*").cast("decimal(38,0)").alias("cnt"))
+        # The daily series feeds stats, the denominator and BOTH sides of
+        # the lag self-join — without a checkpoint Catalyst re-derives it
+        # per branch and the 100 TB fact scans 12 times (measured).
+        # Checkpointing the O(days) aggregate pins exactly one scan.
+        .localCheckpoint(eager=True)
     )
     stats = daily.agg(
         F.count("*").cast("decimal(38,0)").alias("n"),

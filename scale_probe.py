@@ -110,6 +110,11 @@ QUERIES = [
     "dedup_incremental_new_docs", "sql_identifier_dynamic_table",
     "maintenance_vacuum_orphans", "quality_volume_anomaly_days",
     "events_decay_weighted_score",
+    # sixth-session additions (source_python_datasource_agg is
+    # SF-invariant by design — nothing to probe)
+    "udf_cogroup_asof_merge", "udf_iterator_batch_scoring",
+    "ts_autocorrelation", "sim_mmr_diversify",
+    "source_hive_partitioned_prune", "source_schema_evolution_merge",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental

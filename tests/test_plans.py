@@ -628,3 +628,82 @@ def test_quarantine_parse_never_shuffles_rows(spark):
     plan = _plan(spark, "source_json_corrupt_quarantine")
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # partial->final agg exchange (+AQE read)
+
+
+def test_cogroup_asof_is_single_cogrouped_pass(spark):
+    """The cogrouped as-of merge co-partitions both event lanes by
+    user_id into ONE FlatMapCoGroupsInPandas pass — no join node, no
+    cartesian fallback anywhere in the plan."""
+    plan = _plan(spark, "udf_cogroup_asof_merge")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "NestedLoop" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_iterator_udf_is_map_only(spark):
+    """Iterator-form scoring is a stateless Arrow projection: zero
+    shuffle exchanges between the parquet scan and the output."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.bucketed import (
+        shuffle_exchange_count,
+    )
+
+    df = REGISTRY["udf_iterator_batch_scoring"].fn(spark, SF_SMALL)
+    assert shuffle_exchange_count(df) == 0
+    assert "ArrowEvalPython" in _plan(spark, "udf_iterator_batch_scoring")
+
+
+def test_autocorrelation_joins_only_the_day_series(spark):
+    """The ACF plan must join the O(days) checkpointed series, never the
+    fact table: after the daily collapse (which runs inside the eager
+    checkpoint) the final plan contains NO parquet scan at all."""
+    plan = _plan(spark, "ts_autocorrelation")
+    assert "Scan parquet" not in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed day series
+
+
+def test_mmr_shortlist_is_take_ordered(spark):
+    """MMR retrieval stays a distributed top-k (TakeOrdered), never a
+    global sort; the greedy rerank is one applyInPandas over k rows."""
+    plan = _plan(spark, "sim_mmr_diversify")
+    assert "TakeOrderedAndProject" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    # retrieval never shuffle-joins: the 1-row query side broadcasts
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_hive_partition_prune_reads_one_partition(spark):
+    """Static partition pruning audit: the pruned read's row count per
+    partition directory — only the matching directory contributes."""
+    row = REGISTRY["source_hive_partitioned_prune"].fn(spark, SF_SMALL).collect()[0]
+    assert row["partition_pruned"] is True
+    assert row["n_partitions"] == 5
+
+
+def test_schema_evolution_nulls_only_in_old_generation(spark):
+    """mergeSchema read: lang is NULL exactly for the old-producer (even
+    doc_id) rows — bucketed under 'missing' — and never for new rows."""
+    rows = {
+        r["lang_bucket"]: r["n_docs"]
+        for r in REGISTRY["source_schema_evolution_merge"].fn(spark, SF_SMALL).collect()
+    }
+    assert "missing" in rows and rows["missing"] > 0
+    assert set(rows) - {"missing"} == {"en", "de", "fr", "es", "zh"}
+
+
+def test_python_datasource_batch_parallelizes(spark):
+    """The Python DataSource batch scan honors its declared split plan:
+    8 input partitions, rows generated executor-side."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.pysource import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("partitions", 8)
+        .option("rows_per_partition", 1000)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 8000
