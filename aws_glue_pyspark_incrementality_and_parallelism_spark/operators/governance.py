@@ -458,3 +458,114 @@ def q_privacy_tokenize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("tokens_consistent"),
         )
     )
+
+
+@query(
+    "privacy_t_closeness",
+    oracle="""
+    WITH b AS (
+      SELECT c_nationkey, CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS bal_bucket
+      FROM customer
+    ), cell AS (
+      SELECT c_nationkey, bal_bucket, CAST(COUNT(*) AS BIGINT) AS c_j
+      FROM b GROUP BY 1, 2
+    ), nations AS (SELECT DISTINCT c_nationkey FROM b),
+    buckets AS (SELECT DISTINCT bal_bucket FROM b),
+    gdist AS (
+      SELECT bal_bucket, CAST(COUNT(*) AS BIGINT) AS g_j FROM b GROUP BY 1
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM b),
+    cls AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_c FROM b GROUP BY 1),
+    grid AS (
+      SELECT n.c_nationkey, k.bal_bucket, COALESCE(cell.c_j, 0) AS c_j
+      FROM nations n CROSS JOIN buckets k
+      LEFT JOIN cell ON cell.c_nationkey = n.c_nationkey
+                    AND cell.bal_bucket = k.bal_bucket
+    ), terms AS (
+      SELECT g.c_nationkey, g.bal_bucket,
+             g.c_j * (SELECT n_total FROM tot) - gl.g_j * cl.n_c AS term,
+             cl.n_c
+      FROM grid g JOIN gdist gl USING (bal_bucket) JOIN cls cl USING (c_nationkey)
+    ), cum AS (
+      SELECT c_nationkey, n_c,
+             SUM(term) OVER (PARTITION BY c_nationkey ORDER BY bal_bucket) AS d_i
+      FROM terms
+    )
+    SELECT c_nationkey,
+           ANY_VALUE(n_c) AS n_rows,
+           CAST(SUM(ABS(d_i)) AS BIGINT) AS emd_scaled,
+           50 * SUM(ABS(d_i)) >
+             ANY_VALUE(n_c) * (SELECT n_total FROM tot)
+               * ((SELECT COUNT(*) FROM buckets) - 1)
+             AS t_violation
+    FROM cum GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    third rung of the privacy-release ladder after [[privacy_k_anonymity]]
+    and l-diversity: an equivalence class leaks if the DISTRIBUTION of
+    the sensitive ordered attribute inside the class sits further than t
+    from the global distribution, measured by Earth Mover's Distance.
+
+    For an ordered attribute with m buckets, EMD is the mean absolute
+    cumulative difference sum_i |sum_{j<=i}(p_j - q_j)| / (m-1). Both
+    fractions are cross-multiplied away (the agg_ks_two_sample ECDF
+    technique): D_i = sum_{j<=i}(c_j*N - g_j*n_c) is an exact integer,
+    the class verdict is the integer comparison 50*sum|D_i| >
+    n_c*N*(m-1) (t = 0.02, chosen so violating AND conforming classes
+    both exist at sf0.001/0.01/0.1 — measured 25/21/3 of 25), and
+    emd_scaled itself is adjudicated so the audit carries evidence even
+    where the verdict lane is uniform.
+
+    Scale: one fact-grain aggregate to the (class x bucket) cell
+    relation; everything after runs on the QI-domain-bounded grid
+    (class count x bucket count, never row count) — grid completion
+    (missing cells MUST materialize as zeros or cumulative sums skip
+    buckets, the chi-square lesson), two broadcast scalar relations,
+    one window over the tiny grid.
+    """
+    b = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("bigint").alias("bal_bucket"),
+    )
+    cell = b.groupBy("c_nationkey", "bal_bucket").agg(F.count("*").alias("c_j"))
+    nations = cell.select("c_nationkey").distinct()
+    buckets = cell.select("bal_bucket").distinct()
+    gdist = cell.groupBy("bal_bucket").agg(F.sum("c_j").alias("g_j"))
+    cls = cell.groupBy("c_nationkey").agg(F.sum("c_j").alias("n_c"))
+    tot = cell.agg(
+        F.sum("c_j").alias("n_total"), F.countDistinct("bal_bucket").alias("m")
+    )
+    grid = (
+        nations.crossJoin(buckets)
+        .join(cell, ["c_nationkey", "bal_bucket"], "left")
+        .withColumn("c_j", F.coalesce(F.col("c_j"), F.lit(0)))
+    )
+    from pyspark.sql.window import Window
+
+    terms = (
+        grid.join(F.broadcast(gdist), "bal_bucket")
+        .join(F.broadcast(cls), "c_nationkey")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "term", F.col("c_j") * F.col("n_total") - F.col("g_j") * F.col("n_c")
+        )
+    )
+    cum = terms.withColumn(
+        "d_i",
+        F.sum("term").over(
+            Window.partitionBy("c_nationkey").orderBy("bal_bucket")
+        ),
+    )
+    return (
+        cum.groupBy("c_nationkey")
+        .agg(
+            F.first("n_c").alias("n_rows"),
+            F.sum(F.abs(F.col("d_i"))).cast("bigint").alias("emd_scaled"),
+            (
+                F.lit(50) * F.sum(F.abs(F.col("d_i")))
+                > F.first("n_c") * F.first("n_total") * (F.first("m") - 1)
+            ).alias("t_violation"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -724,3 +724,70 @@ def stream_stateful_hwm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "stream_sliding_complete_mode",
+    oracle="""
+    WITH ks AS (SELECT 0 AS k UNION ALL SELECT 1),
+    ex AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) - k * INTERVAL 1 HOUR
+               AS window_start,
+             value
+      FROM events, ks
+    )
+    SELECT window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM ex GROUP BY 1
+    """,
+)
+def stream_sliding_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING streaming window (2h span, 1h slide) in COMPLETE output
+    mode to a memory sink — the two streaming surfaces the registry
+    lacked: overlapping windows (each event lands in exactly two) and
+    the output mode whose every emission is the full result table.
+
+    Complete mode is the one mode that is batch-equivalent WITHOUT a
+    merge sink: the final emission after the last availableNow
+    micro-batch is the whole aggregate by definition, so the memory
+    sink's table needs no keyed upsert — contrast with
+    [[stream_hourly_rollup_merge]], where update mode makes the sink do
+    that folding. The batch oracle materializes the slide explicitly:
+    every event contributes to window starts trunc_hour(ts) and
+    trunc_hour(ts) - 1h.
+
+    Scale stance: complete mode re-emits ALL state every trigger, so it
+    is only for domain-bounded aggregates (dashboards over bounded key
+    sets — here O(hours) windows); unbounded-key rollups belong in
+    update mode + merge sink. State doubles vs the tumbling twin
+    (2 windows per event), still O(active windows) with a production
+    watermark.
+    """
+    src = _stage_events_dir(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="sgq_stream_ckpt_")
+    qname = "sgq_sliding_complete_" + os.path.basename(ckpt).split("_")[-1]
+
+    schema = load_table(spark, sf_dir, "events").schema
+    events = spark.readStream.schema(schema).parquet(src)
+    rollup = (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    (
+        rollup.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(qname).select(
+        F.col("w.start").alias("window_start"), "n_events", "total_value"
+    )
