@@ -1358,3 +1358,111 @@ from ..session import pickle_module_by_value  # noqa: E402
 # This module defines worker-side (Arrow/Pandas UDF) functions: ship them
 # by value so executors never need the package on their own sys.path.
 pickle_module_by_value(__name__)
+
+
+@query(
+    "text_dsir_importance",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents
+    ), feat AS (
+        SELECT doc_id, lang,
+               (('0x' || substr(md5(word), 1, 8))::BIGINT) % 64 AS bucket,
+               COUNT(*) AS tf
+        FROM tok GROUP BY 1, 2, 3
+    ), raw AS (
+        SELECT bucket, CAST(SUM(tf) AS BIGINT) AS cnt_r FROM feat GROUP BY 1
+    ), tgt AS (
+        SELECT bucket, CAST(SUM(tf) AS BIGINT) AS cnt_t
+        FROM feat WHERE lang = 'en' GROUP BY 1
+    ), tot AS (
+        SELECT (SELECT SUM(cnt_r) FROM raw) AS r_total,
+               (SELECT COALESCE(SUM(cnt_t), 0) FROM tgt) AS t_total
+    ), lr AS (
+        SELECT raw.bucket,
+               CAST(floor(LN(
+                   CAST((COALESCE(tgt.cnt_t, 0) + 1) * (t.r_total + 64) AS DOUBLE)
+                   / CAST((raw.cnt_r + 1) * (t.t_total + 64) AS DOUBLE))
+                   * 10000 + 0.5) AS BIGINT) AS lr_q
+        FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot t
+    )
+    SELECT f.doc_id, CAST(SUM(f.tf * lr.lr_q) AS BIGINT) AS dsir_x10k
+    FROM feat f JOIN lr ON f.bucket = lr.bucket
+    GROUP BY 1 ORDER BY dsir_x10k DESC, doc_id LIMIT 15
+    """,
+)
+def q_text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much its hashed-n-gram feature distribution looks like the
+    TARGET corpus (here lang='en') versus the RAW pool — the standard
+    pretraining-data selection signal.
+
+    Features are unigrams hashed into 64 buckets via the portable md5
+    lane; the per-bucket log-ratio ln(p_target/p_raw) (add-one
+    smoothed, fractions cross-multiplied into exact integer products
+    before the single LN) is quantized to 1e-4 units BEFORE the per-doc
+    sum — the BM25 rule — so no float summation order crosses engines.
+    Top-15 documents by importance weight, the resampling pool's head.
+
+    Scale: ONE tokenize pass collapses to the (doc, bucket, tf) feature
+    matrix (checkpointed: raw counts, target counts and doc weights all
+    derive from it — without the checkpoint Catalyst re-runs the explode
+    per branch); bucket stats are 64-row broadcasts; the weight
+    aggregate is one keyed shuffle on doc_id. The bucket count is the
+    production knob (DSIR uses 10k buckets at 100 TB — still a
+    broadcastable table).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+    )
+    feat = (
+        tok.withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("bigint") % 64,
+        )
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    raw = feat.groupBy("bucket").agg(F.sum("tf").cast("bigint").alias("cnt_r"))
+    tgt = (
+        feat.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.sum("tf").cast("bigint").alias("cnt_t"))
+    )
+    tot = raw.agg(F.sum("cnt_r").alias("r_total")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("cnt_t"), F.lit(0)).alias("t_total"))
+    )
+    lr = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("cnt_t"), F.lit(0)) + 1)
+                        * (F.col("r_total") + 64)
+                    ).cast("double")
+                    / ((F.col("cnt_r") + 1) * (F.col("t_total") + 64)).cast("double")
+                )
+                * 10000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lr_q"),
+        )
+    )
+    return (
+        feat.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("lr_q")).cast("bigint").alias("dsir_x10k"))
+        .orderBy(F.desc("dsir_x10k"), "doc_id")
+        .limit(15)
+    )
