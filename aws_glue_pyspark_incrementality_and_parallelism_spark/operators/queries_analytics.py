@@ -1627,3 +1627,120 @@ def q_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_days")
     )
+
+
+@query(
+    "events_wilson_ctr_ranking",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id % 50 AS cohort,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n
+      FROM events
+      WHERE event_type IN ('click', 'view')
+      GROUP BY 1
+    ), scored AS (
+      SELECT cohort, x, n,
+             CAST(floor(
+               ((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                 + 3.8416 / (2 * CAST(n AS DOUBLE))
+                 - 1.96 * sqrt(((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (1 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                                + 3.8416 / (4 * CAST(n AS DOUBLE)))
+                               / CAST(n AS DOUBLE)))
+                / (1 + 3.8416 / CAST(n AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT) AS wilson_lb_micro
+      FROM counts WHERE n > 0
+    )
+    SELECT cohort, x, n, wilson_lb_micro
+    FROM scored ORDER BY wilson_lb_micro DESC, cohort LIMIT 10
+    """,
+)
+def q_events_wilson_ctr_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking under uncertainty: top user cohorts by the WILSON score
+    lower bound of their click-through rate (z=1.96), not the raw rate —
+    the standard fix for small-sample leaders (a 1/1 cohort must not
+    outrank a 900/1000 one; the raw-rate ranking does exactly that).
+
+    Cross-engine exactness without integerizing the formula: x and n
+    are exact integers, every float op is written in the IDENTICAL
+    order on both engines from the single double D = CAST(n AS DOUBLE)
+    (z^2 carried as the literal 3.8416), and sqrt is correctly rounded
+    by IEEE 754 — so both engines walk the same double chain and the
+    floor(x*1e6+0.5) quantization cannot straddle an ulp. Same
+    discipline as the cosine oracles, applied to a branchier formula.
+
+    Scale: one fact-grain filtered aggregate to O(cohorts) rows; the
+    scoring projection and top-k run on the tiny relation (TakeOrdered,
+    no global sort).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    counts = ev.groupBy((F.col("user_id") % 50).alias("cohort")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    d = F.col("n").cast("double")
+    p = F.col("x").cast("double") / d
+    lb = (
+        p
+        + F.lit(3.8416) / (2 * d)
+        - F.lit(1.96) * F.sqrt((p * (1 - p) + F.lit(3.8416) / (4 * d)) / d)
+    ) / (1 + F.lit(3.8416) / d)
+    return (
+        counts.filter(F.col("n") > 0)
+        .select(
+            "cohort",
+            "x",
+            "n",
+            F.floor(lb * 1000000 + F.lit(0.5)).cast("bigint").alias("wilson_lb_micro"),
+        )
+        .orderBy(F.desc("wilson_lb_micro"), "cohort")
+        .limit(10)
+    )
+
+
+@query(
+    "sql_named_parameters",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    WHERE o_totalprice > 200000.0 AND o_orderstatus = 'F'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized ``spark.sql`` (Spark 3.4+): named ``:minp`` /
+    ``:status`` markers bound via ``args=`` plus a DataFrame injected
+    through the ``{orders}`` template slot — the injection-safe way to
+    thread runtime values into SQL text, complementing the SQL-side
+    pair (EXECUTE IMMEDIATE ... USING in [[sql_execute_immediate]] and
+    IDENTIFIER() in [[sql_identifier_dynamic_table]]).
+
+    Parameters are bound in the PARSER as typed literals, never string-
+    spliced, so Catalyst still constant-folds and pushes them into the
+    parquet scan exactly like hand-written literals (the reference
+    concatenates job args straight into its connection options,
+    glue_rds_to_redshift.py:33-39 — this is that pattern done safely).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM {orders}
+        WHERE o_totalprice > :minp AND o_orderstatus = :status
+        GROUP BY 1 ORDER BY 1
+        """,
+        args={"minp": 200000.0, "status": "F"},
+        orders=orders,
+    )
