@@ -737,3 +737,91 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("view_ts")).alias("view_ts"),
         stale.alias("dropped_stale"),
     )
+
+
+@query(
+    "join_interval_overlap_binned",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey, o_orderpriority,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               + o_orderkey % 7 + 1 AS e
+      FROM orders
+    ),
+    a AS (SELECT * FROM iv WHERE o_orderkey % 10 = 0),
+    b AS (SELECT * FROM iv WHERE o_orderkey % 10 = 5)
+    SELECT a.o_orderpriority AS a_priority,
+           b.o_orderpriority AS b_priority,
+           COUNT(*) AS n_overlaps,
+           CAST(SUM(LEAST(a.e, b.e) - GREATEST(a.s, b.s) + 1) AS BIGINT)
+             AS overlap_days
+    FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval OVERLAP join, scale-safe: two interval sets
+    (disjoint order samples, validity = orderdate + orderkey%7+1 days)
+    joined on overlap, aggregated to the priority-pair matrix with
+    exact overlap-day sums.
+
+    [[join_interval_binned]] handles point-in-interval; interval-
+    interval adds a hazard that technique alone doesn't cover: two
+    intervals can SHARE SEVERAL time buckets, so the bucket equi-join
+    yields duplicate candidate pairs. Deduplication is by RESPONSIBILITY
+    ASSIGNMENT, not a distinct: a pair is counted only in the bucket
+    containing max(a.start, b.start) — a bucket both intervals provably
+    explode into (the later start lies inside both intervals), so each
+    overlapping pair survives exactly once, with no second shuffle and
+    no pair-key distinct. Spark would otherwise plan the raw overlap
+    predicate as a BroadcastNestedLoopJoin (pinned away in tests).
+
+    Scale: bucket width (8 days) ~ max interval length, so each
+    interval lands in <= 2 buckets (explosion <= 2x) and candidates are
+    bucket-local; the oracle is the definitional overlap join DuckDB
+    plans as IEJoin.
+    """
+    iv = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("s"),
+    )
+    iv = iv.withColumn("e", F.col("s") + F.col("o_orderkey") % 7 + 1)
+    a = iv.filter(F.col("o_orderkey") % 10 == 0)
+    b = iv.filter(F.col("o_orderkey") % 10 == 5)
+
+    def binned(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col("o_orderpriority").alias(f"{side}_priority"),
+            F.col("s").alias(f"{side}_s"),
+            F.col("e").alias(f"{side}_e"),
+            F.explode(
+                F.sequence(F.floor(F.col("s") / 8), F.floor(F.col("e") / 8))
+            ).alias("bucket"),
+        )
+
+    cand = binned(a, "a").join(binned(b, "b"), "bucket")
+    hits = cand.filter(
+        (F.col("a_s") <= F.col("b_e"))
+        & (F.col("b_s") <= F.col("a_e"))
+        # responsibility assignment: count the pair only in the bucket
+        # holding the later start (shared by construction)
+        & (F.col("bucket") == F.floor(F.greatest(F.col("a_s"), F.col("b_s")) / 8))
+    )
+    return (
+        hits.groupBy("a_priority", "b_priority")
+        .agg(
+            F.count("*").alias("n_overlaps"),
+            F.sum(
+                F.least(F.col("a_e"), F.col("b_e"))
+                - F.greatest(F.col("a_s"), F.col("b_s"))
+                + 1
+            )
+            .cast("bigint")
+            .alias("overlap_days"),
+        )
+        .orderBy("a_priority", "b_priority")
+    )

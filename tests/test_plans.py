@@ -707,3 +707,13 @@ def test_python_datasource_batch_parallelizes(spark):
     )
     assert df.rdd.getNumPartitions() == 8
     assert df.count() == 8000
+
+
+def test_interval_overlap_join_is_bucketed_equijoin(spark):
+    """Interval-interval overlap must candidate via the bucket equi-join
+    (hash-joinable), never a nested-loop range join; and the overlap
+    relation actually fires at the smallest SF."""
+    plan = _plan(spark, "join_interval_overlap_binned")
+    assert "NestedLoop" not in plan
+    rows = REGISTRY["join_interval_overlap_binned"].fn(spark, SF_SMALL).collect()
+    assert sum(r["n_overlaps"] for r in rows) > 0
