@@ -402,3 +402,97 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+#: Bellman-Ford relaxation rounds — shortest weighted paths using at
+#: most this many edges (the oracle's recursive depth cap must match).
+SSSP_ROUNDS = 4
+
+
+@query(
+    "graph_sssp_bellman_ford",
+    oracle=f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
+      FROM documents WHERE doc_id < 100
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT i.doc_a, i.doc_b FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.5
+    ), sym AS (
+      SELECT doc_a, doc_b, (doc_a + doc_b) % 7 + 1 AS wt FROM pairs
+      UNION SELECT doc_b, doc_a, (doc_a + doc_b) % 7 + 1 FROM pairs
+    ), walk(node, d, depth) AS (
+      SELECT doc_id, 0, 0 FROM documents WHERE doc_id < 100 AND doc_id % 10 = 0
+      UNION
+      SELECT s.doc_b, w.d + s.wt, w.depth + 1
+      FROM walk w JOIN sym s ON w.node = s.doc_a
+      WHERE w.depth < {SSSP_ROUNDS}
+    )
+    SELECT node AS doc_id, CAST(MIN(d) AS INT) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def q_graph_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source-set shortest WEIGHTED paths by distributed
+    Bellman-Ford: {SSSP_ROUNDS} relaxation rounds over the near-dup
+    edge set ([[graph_bfs_levels]]' graph, deterministic integer weight
+    (a+b)%7+1), multi-source seeds doc_id%10=0.
+
+    The fourth iterative-graph shape: BFS's loop state is the frontier,
+    PageRank's the rank vector — Bellman-Ford's is the DISTANCE relation
+    itself, and each round is edges⋈dist -> candidate relaxations ->
+    keyed MIN fold (union + groupBy), checkpointed so lineage stays
+    flat. K rounds compute exactly min-weight-over-<=K-edge-paths, which
+    the recursive-CTE oracle mirrors with its depth cap — no convergence
+    guessing, the round count IS the semantics (hop-bounded distances,
+    the standard scale trade: web-graph SSSP runs bounded relaxations).
+
+    Scale: the per-round shuffle is O(edges) for the join plus O(nodes)
+    for the min fold — never materializing paths; weights ride the edge
+    relation, so skew handling and partitioning are inherited from the
+    edge layout, exactly like the BFS/PageRank passes.
+    """
+    from .dedup import q_dedup_ngram_jaccard
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    wt = (F.col("doc_a") + F.col("doc_b")) % 7 + 1
+    sym = (
+        pairs.select("doc_a", "doc_b", wt.alias("wt"))
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"),
+                F.col("doc_a").alias("doc_b"),
+                wt.alias("wt"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    dist = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(SSSP_ROUNDS):
+        cand = sym.join(dist, sym.doc_a == dist.doc_id).select(
+            F.col("doc_b").alias("doc_id"),
+            (F.col("dist") + F.col("wt")).alias("dist"),
+        )
+        dist = (
+            dist.union(cand)
+            .groupBy("doc_id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("doc_id", F.col("dist").cast("int").alias("dist"))
