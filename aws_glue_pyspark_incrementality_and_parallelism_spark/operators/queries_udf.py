@@ -8,6 +8,7 @@ from __future__ import annotations
 from typing import Iterator, Tuple
 
 import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -434,4 +435,48 @@ def q_udf_iterator_batch_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         score(F.col("n_chars"), F.col("lang")).alias("quality_score"),
+    )
+
+
+@query(
+    "udf_arrow_native_scalar",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(length(text) AS BIGINT) AS n_chars_utf8
+    FROM documents
+    """,
+)
+def q_udf_arrow_native_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-NATIVE scalar UDF (Spark 4.1 ``@arrow_udf``): the batch
+    arrives as a ``pyarrow.Array`` and returns one — no pandas
+    materialization at all, unlike ``@pandas_udf`` which round-trips
+    Arrow -> pandas -> Arrow per batch. For string/binary-heavy columns
+    that conversion IS the cost (pandas boxes every string into a
+    Python object; Arrow keeps the contiguous UTF-8 buffer), so this is
+    the right UDF tier for 100 TB text pipelines where the logic is
+    expressible in ``pyarrow.compute`` kernels.
+
+    The computation — UTF-8 byte length vs codepoint length per
+    document — is exact-integer and deliberately byte-semantics-
+    sensitive (multibyte codepoints make the two differ), adjudicated
+    against DuckDB's strlen/length pair.
+    """
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("bigint")
+    def n_bytes(v: pa.Array) -> pa.Array:
+        return pc.cast(pc.binary_length(v), pa.int64())
+
+    @arrow_udf("bigint")
+    def n_chars(v: pa.Array) -> pa.Array:
+        return pc.cast(pc.utf8_length(v), pa.int64())
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        n_bytes(F.col("text")).alias("n_bytes"),
+        n_chars(F.col("text")).alias("n_chars_utf8"),
     )
