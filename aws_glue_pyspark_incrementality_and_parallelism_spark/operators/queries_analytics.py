@@ -1744,3 +1744,85 @@ def q_sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
         args={"minp": 200000.0, "status": "F"},
         orders=orders,
     )
+
+
+@query(
+    "ab_did_two_period",
+    oracle="""
+    WITH tagged AS (
+      SELECT (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT) % 2
+               AS treated,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 0 ELSE 1 END
+               AS period,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+      FROM events
+    ), cells AS (
+      SELECT treated, period,
+             CAST(SUM(is_purchase) AS BIGINT) AS purchases,
+             COUNT(*) AS n_events
+      FROM tagged GROUP BY 1, 2
+    ), wide AS (
+      SELECT
+        MAX(CASE WHEN treated = 1 AND period = 0 THEN purchases END) AS t_pre,
+        MAX(CASE WHEN treated = 1 AND period = 1 THEN purchases END) AS t_post,
+        MAX(CASE WHEN treated = 0 AND period = 0 THEN purchases END) AS c_pre,
+        MAX(CASE WHEN treated = 0 AND period = 1 THEN purchases END) AS c_post
+      FROM cells
+    )
+    SELECT t_pre, t_post, c_pre, c_post,
+           (t_post - t_pre) - (c_post - c_pre) AS did_estimate
+    FROM wide
+    """,
+)
+def q_ab_did_two_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: purchase-count change for the treated
+    cohort minus the change for control across a fixed period boundary
+    (Jan 16) — the quasi-experimental estimator for rollouts without
+    randomized exposure, complementing [[ab_test_proportion_z]]'s
+    randomized-test z-score.
+
+    Assignment is the portable md5 lane on user_id (bit-identical
+    cross-engine, and consistent with how every split/tokenization
+    query assigns units), so cohorts are stable under data growth; all
+    four cells and the estimate are exact integers. Scale: one
+    fact-grain aggregate to 4 cells, then a 4-row pivot — the estimator
+    costs one scan regardless of corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 2
+        ).alias("treated"),
+        F.when(F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), 0)
+        .otherwise(1)
+        .alias("period"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_purchase"),
+    )
+    cells = tagged.groupBy("treated", "period").agg(
+        F.sum("is_purchase").cast("bigint").alias("purchases")
+    )
+    wide = cells.agg(
+        F.max(
+            F.when((F.col("treated") == 1) & (F.col("period") == 0), F.col("purchases"))
+        ).alias("t_pre"),
+        F.max(
+            F.when((F.col("treated") == 1) & (F.col("period") == 1), F.col("purchases"))
+        ).alias("t_post"),
+        F.max(
+            F.when((F.col("treated") == 0) & (F.col("period") == 0), F.col("purchases"))
+        ).alias("c_pre"),
+        F.max(
+            F.when((F.col("treated") == 0) & (F.col("period") == 1), F.col("purchases"))
+        ).alias("c_post"),
+    )
+    return wide.select(
+        "t_pre",
+        "t_post",
+        "c_pre",
+        "c_post",
+        (
+            (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre"))
+        ).alias("did_estimate"),
+    )
