@@ -111,10 +111,15 @@ QUERIES = [
     "maintenance_vacuum_orphans", "quality_volume_anomaly_days",
     "events_decay_weighted_score",
     # sixth-session additions (source_python_datasource_agg is
-    # SF-invariant by design — nothing to probe)
+    # SF-invariant by design, graph_sssp_bellman_ford's graph is
+    # bounded by the doc_id<100 cap like the other graph queries)
     "udf_cogroup_asof_merge", "udf_iterator_batch_scoring",
     "ts_autocorrelation", "sim_mmr_diversify",
     "source_hive_partitioned_prune", "source_schema_evolution_merge",
+    "privacy_t_closeness", "stream_sliding_complete_mode",
+    "stream_restart_resume_counts", "text_dsir_importance",
+    "events_wilson_ctr_ranking", "join_interval_overlap_binned",
+    "udf_arrow_native_scalar", "ab_did_two_period", "sql_named_parameters",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
