@@ -825,3 +825,68 @@ def q_join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("a_priority", "b_priority")
     )
+
+
+@query(
+    "join_hint_strategy_invariance",
+    oracle="""
+    WITH agg AS (
+      SELECT COUNT(*) AS n_items,
+             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT strategy, n_items, revenue_cents, TRUE AS hint_honored
+    FROM agg, (SELECT 'broadcast' AS strategy UNION ALL
+               SELECT 'merge' UNION ALL SELECT 'shuffle_hash') s
+    ORDER BY strategy
+    """,
+)
+def q_join_hint_strategy_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy HINTS as a first-class tuning surface: the same
+    fact⋈dim join executed under BROADCAST, MERGE and SHUFFLE_HASH
+    hints must (a) actually flip the physical operator — adjudicated
+    per-lane via a plan-derived ``hint_honored`` boolean, since a hint
+    Catalyst silently ignores is a 100 TB incident waiting (an
+    accidental broadcast of a huge build side OOMs every executor; an
+    accidental SMJ of a skewed key spills for hours) — and (b) leave
+    the RESULT bit-identical, which the shared oracle aggregate pins
+    across all three lanes.
+
+    Hints override the size-based planner choice (broadcast >
+    merge > shuffle_hash in Spark's resolution order, each beating
+    autoBroadcastJoinThreshold), so this also documents the override
+    contract the engine relies on when statistics are wrong — the
+    AQE-era replacement for hand-setting the threshold per job.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    lanes = {
+        "broadcast": ("BroadcastHashJoin", o.hint("broadcast")),
+        "merge": ("SortMergeJoin", o.hint("merge")),
+        "shuffle_hash": ("ShuffledHashJoin", o.hint("shuffle_hash")),
+    }
+    out = None
+    for name, (node, dim) in lanes.items():
+        j = l.join(dim, l.l_orderkey == dim.o_orderkey)
+        plan = j._jdf.queryExecution().explainString(mode)
+        honored = node in plan
+        lane = j.agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        ).select(
+            F.lit(name).alias("strategy"),
+            "n_items",
+            "revenue_cents",
+            F.lit(honored).alias("hint_honored"),
+        )
+        out = lane if out is None else out.unionByName(lane)
+    return out.orderBy("strategy")
