@@ -1826,3 +1826,95 @@ def q_ab_did_two_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre"))
         ).alias("did_estimate"),
     )
+
+
+@query(
+    "window_largest_remainder_apportion",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey,
+             CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total FROM rev),
+    quota AS (
+      SELECT c_nationkey, rev_cents,
+             (100000 * rev_cents) // (SELECT total FROM tot) AS base,
+             (100000 * rev_cents) % (SELECT total FROM tot) AS rem
+      FROM rev
+    ), extra AS (
+      SELECT CAST(100000 - SUM(base) AS BIGINT) AS n_extra FROM quota
+    ), ranked AS (
+      SELECT c_nationkey, rev_cents, base, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, c_nationkey) AS rk
+      FROM quota
+    )
+    SELECT c_nationkey, rev_cents,
+           CAST(base + CASE WHEN rk <= (SELECT n_extra FROM extra)
+                            THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+           rk <= (SELECT n_extra FROM extra) AS got_extra
+    FROM ranked ORDER BY c_nationkey
+    """,
+)
+def q_window_largest_remainder_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment (Hamilton's method): split a
+    fixed budget of 100,000 units across nations proportional to
+    revenue so that the allocations are integers AND sum to the budget
+    EXACTLY — naive floor division strands units, naive rounding
+    over-allocates; the method floors every quota and hands the
+    leftover units to the largest fractional remainders (tie: nation
+    key). The standard exact algorithm for quota sharding, budget
+    splitting, sampling-quota assignment — anywhere "proportional but
+    integral and conservation-exact" is the contract.
+
+    Everything is integer: quota = budget*rev, base = quota div total,
+    remainder = quota mod total (DuckDB ``//``/``%`` on BIGINT, Spark
+    ``div``/``%`` — the one integer-division pairing both engines
+    compute identically, per the repo's exactness rules). The
+    conservation property (sum(alloc) == budget) is pinned in pytest;
+    the got_extra lane is non-degenerate by construction (0 < leftover
+    < n_classes almost surely, and the oracle adjudicates it anyway).
+
+    Scale: one fact-grain join+aggregate to O(nations) rows; ranking
+    and correction run on the tiny relation — the global (unpartitioned)
+    rank window is safe ONLY because its input is domain-bounded (the
+    nation list), never fact-grain; fact-grain global orderings use the
+    bin+offset prefix-sum technique instead (text_sequence_pack).
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    tot = rev.agg(F.sum("rev_cents").cast("bigint").alias("total"))
+    quota = rev.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey",
+        "rev_cents",
+        F.expr("(100000 * rev_cents) div total").alias("base"),
+        ((F.lit(100000) * F.col("rev_cents")) % F.col("total")).alias("rem"),
+    )
+    extra = quota.agg((F.lit(100000) - F.sum("base")).cast("bigint").alias("n_extra"))
+    w = Window.orderBy(F.desc("rem"), F.asc("c_nationkey"))
+    ranked = quota.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(extra))
+        .select(
+            "c_nationkey",
+            "rev_cents",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("n_extra"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc"),
+            (F.col("rk") <= F.col("n_extra")).alias("got_extra"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -717,3 +717,22 @@ def test_interval_overlap_join_is_bucketed_equijoin(spark):
     assert "NestedLoop" not in plan
     rows = REGISTRY["join_interval_overlap_binned"].fn(spark, SF_SMALL).collect()
     assert sum(r["n_overlaps"] for r in rows) > 0
+
+
+def test_apportionment_conserves_budget_exactly(spark):
+    """Largest-remainder allocation must sum to the budget EXACTLY (the
+    conservation contract naive rounding breaks) and hand out a
+    non-trivial correction (0 <= extras < n_classes)."""
+    rows = (
+        REGISTRY["window_largest_remainder_apportion"].fn(spark, SF_SMALL).collect()
+    )
+    assert sum(r["alloc"] for r in rows) == 100000
+    extras = sum(1 for r in rows if r["got_extra"])
+    assert 0 <= extras < len(rows)
+
+
+def test_join_hints_all_honored(spark):
+    """All three strategy hints must flip the physical join operator."""
+    rows = REGISTRY["join_hint_strategy_invariance"].fn(spark, SF_SMALL).collect()
+    assert all(r["hint_honored"] for r in rows), rows
+    assert len({(r["n_items"], r["revenue_cents"]) for r in rows}) == 1
