@@ -689,3 +689,119 @@ def maintenance_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("sum_totalprice_cents") == F.lit(before_cs["cents"]))
         ).alias("snapshot_unchanged"),
     )
+
+
+@query(
+    "maintenance_two_table_atomic_publish",
+    oracle="""
+    WITH snap AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+    a AS (
+      SELECT 'by_priority' AS report, o_orderpriority AS k,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM snap GROUP BY 2
+    ), b AS (
+      SELECT 'by_status' AS report, o_orderstatus AS k,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM snap GROUP BY 2
+    )
+    SELECT report, k, n, cents,
+           CAST(1 AS BIGINT) AS orphan_versions,
+           TRUE AS snapshot_consistent
+    FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    ORDER BY report, k
+    """,
+)
+def q_maintenance_two_table_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-TABLE atomic publish: two derived reports must move between
+    snapshot versions TOGETHER or not at all — the multi-table
+    extension of the single-table commit log
+    ([[maintenance_commit_log_replay]]), and the consistency contract
+    the reference silently lacks (its two Redshift reports commit
+    independently, so a crash between them leaves the warehouse mixing
+    report generations — SURVEY's bug ledger, B10).
+
+    Protocol: data versions are immutable dirs (tables/a/v1, ...); a
+    MANIFEST file lists one version per table; CURRENT is a one-line
+    pointer swapped by atomic rename. The simulated incident writes
+    v2 of table A, then CRASHES before v2 of table B — so manifest-2
+    is never written and CURRENT still names manifest-1. The reader
+    resolves CURRENT -> manifest -> paths and must see BOTH reports at
+    v1 (the even-orderkey snapshot), with exactly one orphaned version
+    dir on disk (audited from a real listing, invisible to reads).
+    The oracle recomputes both reports from the v1 snapshot predicate.
+
+    Scale: readers never list data dirs (the manifest IS the listing —
+    the object-store pattern where LIST is slow and eventually
+    consistent); the commit point is one rename regardless of how many
+    tables or petabytes a snapshot spans.
+    """
+    import json
+
+    root = tempfile.mkdtemp(prefix="sgq_atomicpub_")
+    tables = {"a": os.path.join(root, "tables", "a"), "b": os.path.join(root, "tables", "b")}
+    manifests = os.path.join(root, "manifests")
+    os.makedirs(manifests, exist_ok=True)
+
+    orders = load_table(spark, sf_dir, "orders")
+    snap_v1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+
+    def report_a(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_orderpriority").alias("k")).agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+
+    def report_b(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_orderstatus").alias("k")).agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+
+    # committed snapshot v1: both tables written, manifest-1 + CURRENT
+    report_a(snap_v1).write.parquet(os.path.join(tables["a"], "v1"))
+    report_b(snap_v1).write.parquet(os.path.join(tables["b"], "v1"))
+    m1 = os.path.join(manifests, "manifest-1.json")
+    with open(m1, "w") as f:
+        json.dump({"a": "v1", "b": "v1"}, f)
+    tmp_ptr = os.path.join(root, ".CURRENT.tmp")
+    with open(tmp_ptr, "w") as f:
+        f.write("manifest-1.json")
+    os.rename(tmp_ptr, os.path.join(root, "CURRENT"))  # the atomic commit
+
+    # incident: v2 of A lands, crash before B's v2 and before manifest-2
+    report_a(orders).write.parquet(os.path.join(tables["a"], "v2"))
+
+    # reader protocol: CURRENT -> manifest -> per-table version paths
+    with open(os.path.join(root, "CURRENT")) as f:
+        current = json.load(open(os.path.join(manifests, f.read().strip())))
+    seen = {
+        t: spark.read.parquet(os.path.join(tables[t], v)) for t, v in current.items()
+    }
+    listed = {
+        (t, v)
+        for t, d in tables.items()
+        for v in os.listdir(d)
+        if os.path.isdir(os.path.join(d, v))
+    }
+    orphans = len(listed - set(current.items()))
+    consistent = set(current.values()) == {"v1"}
+
+    out = seen["a"].select(F.lit("by_priority").alias("report"), "k", "n", "cents").unionByName(
+        seen["b"].select(F.lit("by_status").alias("report"), "k", "n", "cents")
+    )
+    return out.select(
+        "report",
+        "k",
+        "n",
+        "cents",
+        F.lit(orphans).cast("bigint").alias("orphan_versions"),
+        F.lit(consistent).alias("snapshot_consistent"),
+    ).orderBy("report", "k")
