@@ -569,3 +569,92 @@ def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "privacy_randomized_response",
+    oracle="""
+    WITH resp AS (
+      SELECT c_nationkey,
+             CASE WHEN c_acctbal > 5000.0 THEN 1 ELSE 0 END AS truth,
+             (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT) % 2
+               AS honest_coin,
+             (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8))::BIGINT) % 2
+               AS noise_coin
+      FROM customer
+    ), ans AS (
+      SELECT c_nationkey, truth,
+             CASE WHEN honest_coin = 1 THEN truth ELSE noise_coin END AS answer
+      FROM resp
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n,
+           CAST(SUM(truth) AS BIGINT) AS true_yes,
+           CAST(SUM(answer) AS BIGINT) AS reported_yes,
+           CAST(floor(CAST(4 * SUM(answer) - COUNT(*) AS DOUBLE)
+                      / CAST(2 * COUNT(*) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             AS est_rate_micro
+    FROM ans GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL differential privacy via randomized response (Warner 1965):
+    each respondent answers the sensitive predicate (acctbal > 5000)
+    truthfully on one coin flip and with a random answer on the other —
+    ln(3)-LDP, the mechanism behind RAPPOR-style telemetry where the
+    collector must never see a trustworthy individual bit. The
+    debiased population estimate is pi_hat = (4*Y - n) / (2*n), from
+    E[yes] = pi/2 + 1/4. Complements [[privacy_dp_noisy_counts]]: that
+    one privatizes the AGGREGATE (central DP, trusted curator), this
+    privatizes every ROW before aggregation.
+
+    Reproducibility over randomness, as everywhere in the repo: both
+    coins are disjoint md5 lanes of the respondent key (hex chars 1-8
+    and 9-16), so both engines flip identical coins and the release is
+    replayable; the estimator is quantized from exact integer (Y, n)
+    through the shared floor rule. true_yes rides along so the
+    estimator's bias is inspectable per class.
+
+    Scale: stateless per-row projection + one aggregate — the
+    privatization adds zero shuffles; at 100 TB the mechanism's cost
+    is two hash lanes per row.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    resp = c.select(
+        "c_nationkey",
+        F.when(F.col("c_acctbal") > 5000.0, 1).otherwise(0).alias("truth"),
+        (
+            F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 2
+        ).alias("honest_coin"),
+        (
+            F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 9, 8), 16, 10)
+            .cast("bigint")
+            % 2
+        ).alias("noise_coin"),
+    )
+    ans = resp.select(
+        "c_nationkey",
+        "truth",
+        F.when(F.col("honest_coin") == 1, F.col("truth"))
+        .otherwise(F.col("noise_coin"))
+        .alias("answer"),
+    )
+    return (
+        ans.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("truth").cast("bigint").alias("true_yes"),
+            F.sum("answer").cast("bigint").alias("reported_yes"),
+            F.floor(
+                (4 * F.sum("answer") - F.count("*")).cast("double")
+                / (2 * F.count("*")).cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("est_rate_micro"),
+        )
+        .orderBy("c_nationkey")
+    )
