@@ -1361,3 +1361,130 @@ def q_sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(greedy, schema="step int, vec_id bigint, mmr_score bigint")
         .orderBy("step")
     )
+
+
+#: RBO(p=0.9, depth 10) exact-integer coefficients: 9^(d-1) * 10^(10-d)
+#: * (2520/d) — 2520 = lcm(1..10) clears every per-depth division, so
+#: each term (and the fused score) is an exact int64.
+_RBO_COEFS = [(d, 9 ** (d - 1) * 10 ** (10 - d) * (2520 // d)) for d in range(1, 11)]
+
+
+@query(
+    "rag_rank_biased_overlap",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
+    ), stats AS (
+        SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf
+        FROM tok WHERE word IN ('spark', 'join', 'filter') GROUP BY 1, 2
+    ), df AS (
+        SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok
+        WHERE word IN ('spark', 'join', 'filter') GROUP BY 1
+    ), bm25 AS (
+        SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS s FROM (
+          SELECT tf.doc_id,
+                 CAST(floor(
+                     LN(1.0 + (CAST(s.n_docs - df.df AS DOUBLE) + 0.5)
+                              / (CAST(df.df AS DOUBLE) + 0.5))
+                     * ((tf.tf * 2.2)
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))))
+                     * 10000 + 0.5) AS BIGINT) AS term_score
+          FROM tf JOIN df USING (word) JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats s
+        ) GROUP BY doc_id
+    ), lex AS (
+        SELECT doc_id AS id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rl
+        FROM bm25 QUALIFY rl <= 10
+    ), q AS (
+        SELECT vec_id,
+               [CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                FOR x IN embedding] AS qv
+        FROM embeddings
+    ), dots AS (
+        SELECT q.vec_id AS id,
+               list_sum([qv.qv[i + 1] * q.qv[i + 1] FOR i IN range(0, 64)]) AS dot
+        FROM q, (SELECT qv FROM q WHERE vec_id = 0) qv
+        WHERE q.vec_id != 0
+    ), vec AS (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY dot DESC, id) AS rv
+        FROM dots QUALIFY rv <= 10
+    ), matches AS (
+        SELECT GREATEST(lex.rl, vec.rv) AS first_common_depth
+        FROM lex JOIN vec USING (id)
+    ), coefs(d, coef) AS (
+        VALUES {", ".join(f"({d}, {c})" for d, c in _RBO_COEFS)}
+    )
+    SELECT c.d AS depth,
+           CAST(COALESCE(COUNT(m.first_common_depth), 0) AS BIGINT) AS overlap_n,
+           CAST(c.coef * COALESCE(COUNT(m.first_common_depth), 0) AS BIGINT)
+             AS term_scaled
+    FROM coefs c LEFT JOIN matches m ON m.first_common_depth <= c.d
+    GROUP BY 1, c.coef ORDER BY 1
+    """,
+)
+def q_rag_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (Webber et al. 2010, p=0.9, depth 10) between
+    the lexical (BM25) and dense (int-dot) top-10 rankings — the
+    standard top-weighted agreement measure for comparing retrieval
+    systems, and the evaluation companion to [[rag_hybrid_rrf_fusion]]
+    (RRF fuses the two lists; RBO quantifies how much they agree, which
+    is what decides whether hybrid retrieval is worth its cost).
+
+    Exactness: RBO = (1-p) * sum_d p^(d-1) * |S_d ∩ T_d| / d is a
+    rational for rational p, so each depth term is carried as the exact
+    int64 9^(d-1) * 10^(10-d) * (2520/d) * overlap_d (2520 = lcm(1..10)
+    clears the division; the (1-p)/10^10/2520 normalizer is constant
+    and left un-applied). Per-depth overlap derives from each matched
+    id's FIRST common depth max(rank_lex, rank_dense) — one tiny join,
+    no per-depth rescan. Both rankings reuse the established
+    deterministic scores (BM25 exact ints, micro-quantized dots).
+
+    Scale: both rankings are distributed TakeOrdered top-k; everything
+    after runs on <= 10-row relations.
+    """
+    from .embeddings import int_dot, microquant
+    from .text import q_text_bm25_topk
+
+    lex = q_text_bm25_topk(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25_x10k"), F.asc("doc_id")))
+        .alias("rl"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", microquant().alias("qv"))
+    qv0 = q.filter(F.col("vec_id") == 0).select(F.col("qv").alias("qv0"))
+    vec = (
+        q.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv0))
+        .select(F.col("vec_id").alias("id"), int_dot("qv", "qv0", 64).alias("dot"))
+        .orderBy(F.desc("dot"), "id")
+        .limit(10)
+        .select(
+            "id",
+            F.row_number().over(Window.orderBy(F.desc("dot"), F.asc("id"))).alias("rv"),
+        )
+    )
+    matches = lex.join(vec, "id").select(
+        F.greatest(F.col("rl"), F.col("rv")).alias("first_common_depth")
+    )
+    coefs = spark.createDataFrame(_RBO_COEFS, "d int, coef bigint")
+    return (
+        coefs.join(
+            matches, matches.first_common_depth <= coefs.d, "left"
+        )
+        .groupBy(F.col("d").alias("depth"), "coef")
+        .agg(F.count("first_common_depth").cast("bigint").alias("overlap_n"))
+        .select(
+            "depth",
+            "overlap_n",
+            (F.col("coef") * F.col("overlap_n")).cast("bigint").alias("term_scaled"),
+        )
+        .orderBy("depth")
+    )
