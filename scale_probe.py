@@ -120,6 +120,9 @@ QUERIES = [
     "stream_restart_resume_counts", "text_dsir_importance",
     "events_wilson_ctr_ranking", "join_interval_overlap_binned",
     "udf_arrow_native_scalar", "ab_did_two_period", "sql_named_parameters",
+    "join_hint_strategy_invariance", "window_largest_remainder_apportion",
+    "maintenance_two_table_atomic_publish", "privacy_randomized_response",
+    "rag_rank_biased_overlap",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
