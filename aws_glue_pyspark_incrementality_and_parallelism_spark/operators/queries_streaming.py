@@ -864,3 +864,90 @@ def stream_restart_resume_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_once()
 
     return spark.read.parquet(report).select("day", "event_type", "n_events")
+
+
+@query(
+    "incremental_agg_retraction",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), cur AS (
+      SELECT c.c_nationkey,
+             CASE WHEN k % 8 = 0 THEN cents + k % 1000 + 1 ELSE cents END
+               AS cents
+      FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE k % 8 <> 4
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM cur GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_incremental_agg_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance WITH RETRACTIONS: the
+    insert-only HWM protocol ([[incremental_agg_merge]]) cannot absorb
+    updates or deletes — real incremental view maintenance folds a
+    signed delta stream into the standing aggregate: an INSERT
+    contributes (+1, +cents), a DELETE (-1, -old_cents), an UPDATE
+    (0, new-old) — never touching the already-aggregated base rows.
+
+    The changelog is planted deterministically: base = orderkey%4 != 3,
+    inserts = the %4 == 3 rows, updates reprice the %8 == 0 rows by
+    +(key%1000+1) cents, deletes remove the %8 == 4 rows (both subsets
+    of the base, disjoint from inserts). The returned MAINTAINED
+    aggregate is adjudicated against the oracle's FROM-SCRATCH
+    recompute of the post-changelog table — so the parity check itself
+    is the IVM correctness proof (maintained ≡ recomputed), the same
+    proof shape as [[incremental_join_merge]] for the join algebra.
+
+    Scale: the base aggregate is the standing state (O(nations)); each
+    maintenance cycle shuffles only the delta batch, grouped on the
+    same key — the algebra behind Spark's own update-mode streaming
+    aggregates and every warehouse MERGE-based rollup refresh.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rows = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "k", "c_nationkey", "cents"
+    )
+
+    base = rows.filter(F.col("k") % 4 != 3)
+    base_agg = base.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("cents")
+    )
+
+    inserts = rows.filter(F.col("k") % 4 == 3).select(
+        "c_nationkey", F.lit(1).alias("dn"), F.col("cents").alias("dc")
+    )
+    updates = base.filter(F.col("k") % 8 == 0).select(
+        "c_nationkey",
+        F.lit(0).alias("dn"),
+        (F.col("k") % 1000 + 1).alias("dc"),
+    )
+    deletes = base.filter(F.col("k") % 8 == 4).select(
+        "c_nationkey", F.lit(-1).alias("dn"), (-F.col("cents")).alias("dc")
+    )
+    delta_agg = (
+        inserts.unionByName(updates)
+        .unionByName(deletes)
+        .groupBy("c_nationkey")
+        .agg(F.sum("dn").alias("dn"), F.sum("dc").alias("dc"))
+    )
+
+    merged = base_agg.join(delta_agg, "c_nationkey", "full_outer").select(
+        "c_nationkey",
+        (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_orders"),
+        (F.coalesce(F.col("cents"), F.lit(0)) + F.coalesce(F.col("dc"), F.lit(0)))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+    return merged.filter(F.col("n_orders") > 0).orderBy("c_nationkey")
