@@ -480,3 +480,56 @@ def q_udf_arrow_native_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bytes(F.col("text")).alias("n_bytes"),
         n_chars(F.col("text")).alias("n_chars_utf8"),
     )
+
+
+@query(
+    "udf_udtf_analyze_schema",
+    oracle="""
+    SELECT doc_id,
+           string_split_regex(trim(text), '\\s+')[1] AS w1,
+           string_split_regex(trim(text), '\\s+')[2] AS w2,
+           string_split_regex(trim(text), '\\s+')[3] AS w3
+    FROM documents
+    """,
+)
+def q_udf_udtf_analyze_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF with a static ``analyze()`` method (Spark 4): the output
+    SCHEMA is computed at plan time from the call's literal arguments —
+    here ``sgq_lead_words(text, 3)`` resolves to columns (w1, w2, w3)
+    because analyze() reads the foldable ``3``. This is the half of the
+    UDTF contract [[udf_udtf_sentences]] doesn't cover (its schema is
+    fixed at registration): polymorphic table functions — dynamic
+    pivots, configurable feature extractors, schema-per-call parsers —
+    need the planner to ask the function what it will return.
+
+    The body emits each document's first N whitespace words (Python
+    ``str.split()`` ≡ the oracle's regex split after trim), padded with
+    NULLs — so null placement for short documents is adjudicated too.
+    Scale: LATERAL UDTF application is a stateless per-row Arrow pass,
+    zero shuffles, same as any scalar projection.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    @udtf
+    class LeadWords:
+        @staticmethod
+        def analyze(text_arg, n_arg):
+            n = int(n_arg.value)
+            return AnalyzeResult(
+                StructType(
+                    [StructField(f"w{i + 1}", StringType()) for i in range(n)]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            words = (text or "").split()
+            yield tuple(words[i] if i < len(words) else None for i in range(n))
+
+    spark.udtf.register("sgq_lead_words", LeadWords)
+    docs = load_table(spark, sf_dir, "documents")
+    return spark.sql(
+        "SELECT d.doc_id, t.* FROM {docs} d, LATERAL sgq_lead_words(d.text, 3) t",
+        docs=docs,
+    )
