@@ -262,3 +262,114 @@ def q_sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(before), "lang")
         .select("lang", "n_before", "n_kept", "kept_id_sum")
     )
+
+
+@query(
+    "sample_negative_unigram_cdf",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+      FROM documents
+    ), cnt AS (
+      SELECT word, COUNT(*) AS n FROM tok GROUP BY 1
+    ), vocab AS (
+      SELECT word, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS w_q
+      FROM cnt ORDER BY n DESC, word LIMIT 50
+    ), cdf AS (
+      SELECT word, w_q,
+             SUM(w_q) OVER (ORDER BY w_q DESC, word) AS hi,
+             SUM(w_q) OVER (ORDER BY w_q DESC, word) - w_q AS lo
+      FROM vocab
+    ), tot AS (SELECT CAST(SUM(w_q) AS BIGINT) AS total FROM vocab),
+    draws AS (
+      SELECT (('0x' || substr(md5('neg' || CAST(i AS VARCHAR)), 1, 8))::BIGINT)
+               % (SELECT total FROM tot) AS u
+      FROM range(0, 1000) t(i)
+    ), hits AS (
+      SELECT c.word, COUNT(*) AS n_drawn
+      FROM draws d JOIN cdf c ON d.u >= c.lo AND d.u < c.hi
+      GROUP BY 1
+    )
+    SELECT c.word, c.w_q,
+           CAST(COALESCE(h.n_drawn, 0) AS BIGINT) AS n_drawn
+    FROM cdf c LEFT JOIN hits h ON c.word = h.word
+    ORDER BY c.word
+    """,
+)
+def q_sample_negative_unigram_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sampling from a tempered unigram distribution (the
+    word2vec/contrastive-training noise distribution): 1000 draws from
+    the top-50 vocabulary weighted by count^0.5, via inverse-CDF range
+    lookup. Tempering flattens the head so frequent words don't
+    monopolize the negatives; 0.5 (not word2vec's 0.75) is deliberate —
+    sqrt is IEEE-correctly-rounded so both engines quantize identical
+    weights, while pow(x, 0.75) carries a cross-engine last-ulp hazard
+    the repo's exactness rules exclude.
+
+    Draw i maps to u = md5('neg'||i) % total, then to the vocabulary
+    row whose cumulative range [lo, hi) contains u — reproducible,
+    growth-stable draws, zero RNG state. The full 50-row vocabulary is
+    emitted with zero-draw rows materialized (grid completion), so the
+    oracle adjudicates the whole CDF, not just the hit set.
+
+    Scale: the vocabulary CDF is O(vocab) and broadcasts; draws resolve
+    via broadcast range probe (at a 100k-word vocabulary the probe
+    becomes a bucketized range join — the join_interval_binned
+    technique — never a shuffle of the draw stream).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    )
+    cnt = tok.groupBy("word").agg(F.count("*").alias("n"))
+    vocab = (
+        cnt.orderBy(F.desc("n"), "word")
+        .limit(50)
+        .select(
+            "word",
+            "n",
+            F.floor(F.sqrt(F.col("n").cast("double")) * 1000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("w_q"),
+        )
+    )
+    w = Window.orderBy(F.desc("w_q"), F.asc("word"))
+    cdf = vocab.select(
+        "word",
+        "w_q",
+        F.sum("w_q").over(w).alias("hi"),
+        (F.sum("w_q").over(w) - F.col("w_q")).alias("lo"),
+    )
+    tot = vocab.agg(F.sum("w_q").cast("bigint").alias("total"))
+    draws = (
+        spark.range(1000)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("neg"), F.col("id").cast("string"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("total")
+            ).alias("u")
+        )
+    )
+    hits = (
+        draws.crossJoin(F.broadcast(cdf))
+        .filter((F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_drawn"))
+    )
+    return (
+        cdf.join(hits, "word", "left")
+        .select(
+            "word",
+            "w_q",
+            F.coalesce(F.col("n_drawn"), F.lit(0)).cast("bigint").alias("n_drawn"),
+        )
+        .orderBy("word")
+    )
