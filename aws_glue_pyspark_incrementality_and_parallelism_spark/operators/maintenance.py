@@ -805,3 +805,105 @@ def q_maintenance_two_table_atomic_publish(spark: SparkSession, sf_dir: str) -> 
         F.lit(orphans).cast("bigint").alias("orphan_versions"),
         F.lit(consistent).alias("snapshot_consistent"),
     ).orderBy("report", "k")
+
+
+@query(
+    "maintenance_merge_on_read",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), cur AS (
+      SELECT o_orderpriority,
+             CASE WHEN k % 8 = 0 THEN cents + k % 1000 + 1 ELSE cents END AS cents
+      FROM o WHERE k % 8 <> 4
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           TRUE AS read_paths_agree
+    FROM cur GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_maintenance_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ vs READ-OPTIMIZED: the two lakehouse read paths
+    for a base file plus a delta log (Hudi's MoR/RO split, Iceberg's
+    merge-on-read deletes). The WRITE side appends deltas cheaply —
+    upsert batch then tombstone batch — and the READ side either
+    reconstructs at query time (base ANTI-JOIN all delta keys, UNION
+    surviving upserts — delta precedence by log order) or reads the
+    compacted rewrite. Both paths must return identical content, and
+    the oracle recomputes that content from the planted predicates
+    (same changelog as [[incremental_agg_retraction]]: reprice k%8=0,
+    insert k%4=3, delete k%8=4).
+
+    ``read_paths_agree`` is computed from a REAL anti-join between the
+    two materialized reads (count of differing rows == 0), not assumed.
+    Scale: MoR reads shuffle only the delta (the base is anti-joined by
+    key — broadcast when the delta is small); compaction amortizes that
+    read cost once write traffic quiets — exactly the trade the two
+    paths exist for.
+    """
+    root = tempfile.mkdtemp(prefix="sgq_mor_")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    base = o.filter(F.col("k") % 4 != 3)
+    base_path = os.path.join(root, "base")
+    base.write.parquet(base_path)
+
+    upserts = (
+        o.filter((F.col("k") % 8 == 0) | (F.col("k") % 4 == 3))
+        .withColumn(
+            "cents",
+            F.when(F.col("k") % 8 == 0, F.col("cents") + F.col("k") % 1000 + 1).otherwise(
+                F.col("cents")
+            ),
+        )
+        .withColumn("op", F.lit("U"))
+    )
+    tombstones = o.filter(F.col("k") % 8 == 4).select(
+        "k", "o_orderpriority", "cents", F.lit("D").alias("op")
+    )
+    delta_path = os.path.join(root, "delta")
+    upserts.withColumn("seq", F.lit(1)).write.parquet(os.path.join(delta_path, "d1"))
+    tombstones.withColumn("seq", F.lit(2)).write.parquet(os.path.join(delta_path, "d2"))
+
+    # merge-on-read: last delta per key wins over base
+    deltas = spark.read.option("recursiveFileLookup", "true").parquet(delta_path)
+    from pyspark.sql.window import Window
+
+    last = (
+        deltas.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("k").orderBy(F.desc("seq")))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    base_r = spark.read.parquet(base_path)
+    mor = base_r.join(last.select("k"), "k", "left_anti").unionByName(
+        last.filter(F.col("op") == "U").select("k", "o_orderpriority", "cents")
+    )
+
+    # read-optimized: compact once, read the rewrite
+    ro_path = os.path.join(root, "compacted")
+    mor.write.parquet(ro_path)
+    ro = spark.read.parquet(ro_path)
+
+    n_diff = (
+        mor.exceptAll(ro).count() + ro.exceptAll(mor).count()
+    )
+    agree = n_diff == 0
+
+    return (
+        ro.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .withColumn("read_paths_agree", F.lit(agree))
+        .orderBy("o_orderpriority")
+    )
