@@ -122,7 +122,9 @@ QUERIES = [
     "udf_arrow_native_scalar", "ab_did_two_period", "sql_named_parameters",
     "join_hint_strategy_invariance", "window_largest_remainder_apportion",
     "maintenance_two_table_atomic_publish", "privacy_randomized_response",
-    "rag_rank_biased_overlap",
+    "rag_rank_biased_overlap", "incremental_agg_retraction",
+    "udf_udtf_analyze_schema", "sample_negative_unigram_cdf",
+    "maintenance_merge_on_read",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
