@@ -496,3 +496,111 @@ def q_graph_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return dist.select("doc_id", F.col("dist").cast("int").alias("dist"))
+
+
+#: k-core peeling parameters: degree threshold and unrolled rounds (the
+#: oracle unrolls the same number; extra rounds past convergence are
+#: no-ops on both engines, so the cap only needs to be large enough).
+KCORE_K = 2
+KCORE_ROUNDS = 6
+
+
+@query(
+    "graph_kcore_peel",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
+      FROM documents WHERE doc_id < 100
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS MATERIALIZED (
+      SELECT i.doc_a, i.doc_b FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.5
+    ), sym AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    a0 AS MATERIALIZED (SELECT DISTINCT doc_a AS node FROM sym),
+    a1 AS MATERIALIZED (
+      SELECT s.doc_a AS node FROM sym s
+      JOIN a0 x ON s.doc_a = x.node JOIN a0 y ON s.doc_b = y.node
+      GROUP BY 1 HAVING COUNT(*) >= {KCORE_K}),
+    a2 AS MATERIALIZED (
+      SELECT s.doc_a AS node FROM sym s
+      JOIN a1 x ON s.doc_a = x.node JOIN a1 y ON s.doc_b = y.node
+      GROUP BY 1 HAVING COUNT(*) >= {KCORE_K}),
+    a3 AS MATERIALIZED (
+      SELECT s.doc_a AS node FROM sym s
+      JOIN a2 x ON s.doc_a = x.node JOIN a2 y ON s.doc_b = y.node
+      GROUP BY 1 HAVING COUNT(*) >= {KCORE_K}),
+    a4 AS MATERIALIZED (
+      SELECT s.doc_a AS node FROM sym s
+      JOIN a3 x ON s.doc_a = x.node JOIN a3 y ON s.doc_b = y.node
+      GROUP BY 1 HAVING COUNT(*) >= {KCORE_K}),
+    a5 AS MATERIALIZED (
+      SELECT s.doc_a AS node FROM sym s
+      JOIN a4 x ON s.doc_a = x.node JOIN a4 y ON s.doc_b = y.node
+      GROUP BY 1 HAVING COUNT(*) >= {KCORE_K}),
+    a6 AS MATERIALIZED (
+      SELECT s.doc_a AS node FROM sym s
+      JOIN a5 x ON s.doc_a = x.node JOIN a5 y ON s.doc_b = y.node
+      GROUP BY 1 HAVING COUNT(*) >= {KCORE_K})
+    SELECT s.doc_a AS doc_id, CAST(COUNT(*) AS INT) AS core_degree
+    FROM sym s
+    JOIN a6 x ON s.doc_a = x.node JOIN a6 y ON s.doc_b = y.node
+    GROUP BY 1
+    """,
+)
+def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling (k=KCORE_K): repeatedly
+    drop nodes whose degree WITHIN THE SURVIVING SUBGRAPH falls below k
+    until fixpoint — the standard dense-substructure filter (spam/bot
+    ring detection, community cores, dedup-cluster hubs). Fifth
+    iterative-graph shape: the loop invariant is the ACTIVE NODE SET,
+    and each round is one edges⋈active⋈active semi-restriction + a
+    degree aggregate, checkpointed — peeling cascades (removing a node
+    can sink its neighbors below k next round), which no single-pass
+    degree filter captures.
+
+    KCORE_ROUNDS unrolled rounds on both engines: rounds past
+    convergence are idempotent, so the fixed cap adjudicates the true
+    fixpoint wherever peeling has converged (it has, on this graph —
+    pinned in pytest) without convergence-detection divergence.
+    Output: surviving nodes with their in-core degree.
+
+    Scale: per round the edge relation shrinks monotonically; the join
+    is edges⋈active (broadcastable once the active set is small), the
+    same per-round shuffle budget as BFS/Bellman-Ford.
+    """
+    from .dedup import q_dedup_ngram_jaccard
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+
+    active = sym.select(F.col("doc_a").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    for _ in range(KCORE_ROUNDS):
+        restricted = sym.join(
+            active.withColumnRenamed("node", "doc_a"), "doc_a"
+        ).join(active.withColumnRenamed("node", "doc_b"), "doc_b")
+        active = (
+            restricted.groupBy("doc_a")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select(F.col("doc_a").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+    final = sym.join(active.withColumnRenamed("node", "doc_a"), "doc_a").join(
+        active.withColumnRenamed("node", "doc_b"), "doc_b"
+    )
+    return final.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count("*").cast("int").alias("core_degree")
+    )

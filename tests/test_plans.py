@@ -736,3 +736,31 @@ def test_join_hints_all_honored(spark):
     rows = REGISTRY["join_hint_strategy_invariance"].fn(spark, SF_SMALL).collect()
     assert all(r["hint_honored"] for r in rows), rows
     assert len({(r["n_items"], r["revenue_cents"]) for r in rows}) == 1
+
+
+def test_kcore_converged_within_round_cap(spark):
+    """One more peel round past the cap must be a no-op (the fixpoint is
+    reached inside KCORE_ROUNDS), and the surviving core is non-empty
+    with every degree >= k."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.graph import (
+        KCORE_K,
+        q_graph_kcore_peel,
+    )
+
+    rows = q_graph_kcore_peel(spark, SF_SMALL).collect()
+    assert rows and all(r["core_degree"] >= KCORE_K for r in rows)
+    nodes = {r["doc_id"] for r in rows}
+    # idempotence: restricting the core to itself peels nothing further
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.dedup import (
+        q_dedup_ngram_jaccard,
+    )
+
+    pairs = q_dedup_ngram_jaccard(spark, SF_SMALL).select("doc_a", "doc_b").collect()
+    sym = {(r["doc_a"], r["doc_b"]) for r in pairs} | {
+        (r["doc_b"], r["doc_a"]) for r in pairs
+    }
+    deg = {}
+    for a, b in sym:
+        if a in nodes and b in nodes:
+            deg[a] = deg.get(a, 0) + 1
+    assert set(deg) == nodes and all(d >= KCORE_K for d in deg.values())
