@@ -1466,3 +1466,126 @@ def q_text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dsir_x10k"), "doc_id")
         .limit(15)
     )
+
+
+@query(
+    "text_rake_keywords",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, word, pos,
+             word IN ('the','and','of','to','a','in','is','it','you','that')
+               AS is_stop
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word,
+               unnest(range(1, len(string_split_regex(lower(trim(text)), '\\s+')) + 1))
+                 AS pos
+        FROM documents
+      )
+    ), marked AS (
+      SELECT doc_id, word, pos, is_stop,
+             SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM tok
+    ), phrase_words AS (
+      SELECT doc_id, island, word, pos FROM marked WHERE NOT is_stop
+    ), phrases AS (
+      SELECT doc_id, island,
+             string_agg(word, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS n_words
+      FROM phrase_words GROUP BY 1, 2
+    ), usable AS (
+      SELECT * FROM phrases WHERE n_words <= 4
+    ), occur AS (
+      SELECT pw.word, u.n_words
+      FROM phrase_words pw JOIN usable u USING (doc_id, island)
+    ), wstat AS (
+      SELECT word,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(n_words) AS BIGINT) AS degree
+      FROM occur GROUP BY 1
+    ), wscore AS (
+      SELECT word, (degree * 10000) // freq AS score_q FROM wstat
+    ), per_occ AS (
+      SELECT u.doc_id, u.island, u.phrase,
+             CAST(SUM(s.score_q) AS BIGINT) AS rake_score_x10k
+      FROM usable u
+      JOIN phrase_words pw USING (doc_id, island)
+      JOIN wscore s USING (word)
+      GROUP BY 1, 2, 3
+    )
+    SELECT phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(rake_score_x10k) AS BIGINT) AS rake_score_x10k
+    FROM per_occ GROUP BY 1
+    ORDER BY rake_score_x10k DESC, phrase LIMIT 15
+    """,
+)
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free runs (segmented with the gaps-and-islands
+    technique — the running stopword count IS the island id), each word
+    scores degree/frequency (degree = total length of phrases its
+    occurrences sit in), and a phrase scores the sum of its words'
+    scores. Identical phrases share one corpus-level score; top-15.
+
+    ZERO floats: the only division, degree/freq, is carried as the
+    integer (degree * 10000) div freq — Spark ``div`` / DuckDB ``//``
+    on BIGINT, the repo's one blessed integer-division pairing — and
+    phrase scores are integer sums of those quanta (the
+    quantize-before-sum rule taken to its no-float limit). Phrases cap
+    at 4 words, RAKE's standard guard against degenerate giant runs.
+
+    Scale: tokenize+posexplode is one map pass; the island window
+    partitions by doc_id (bounded by document length); word stats and
+    phrase scores are two keyed aggregates; top-15 is TakeOrdered.
+    """
+    en_stops = STOPWORDS["en"]
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos0", "word"
+        ),
+    ).select(
+        "doc_id", "word", (F.col("pos0") + 1).alias("pos"),
+        F.col("word").isin(en_stops).alias("is_stop"),
+    )
+    w_isl = Window.partitionBy("doc_id").orderBy("pos")
+    marked = tok.withColumn(
+        "island", F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(w_isl)
+    )
+    phrase_words = marked.filter(~F.col("is_stop")).select(
+        "doc_id", "island", "word", "pos"
+    )
+    phrases = phrase_words.groupBy("doc_id", "island").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, word))),"
+            " x -> x.word), ' ')"
+        ).alias("phrase"),
+        F.count("*").alias("n_words"),
+    )
+    usable = phrases.filter(F.col("n_words") <= 4)
+    occur = phrase_words.join(
+        usable.select("doc_id", "island", "n_words"), ["doc_id", "island"]
+    )
+    wstat = occur.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("n_words").cast("bigint").alias("degree"),
+    )
+    wscore = wstat.select("word", F.expr("(degree * 10000) div freq").alias("score_q"))
+    per_phrase = (
+        usable.join(phrase_words, ["doc_id", "island"])
+        .join(F.broadcast(wscore), "word")
+        .groupBy("doc_id", "island", "phrase")
+        .agg(F.sum("score_q").cast("bigint").alias("rake_score_x10k"))
+    )
+    return (
+        per_phrase.groupBy("phrase")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.first("rake_score_x10k").alias("rake_score_x10k"),
+        )
+        .orderBy(F.desc("rake_score_x10k"), "phrase")
+        .limit(15)
+    )
