@@ -124,7 +124,7 @@ QUERIES = [
     "maintenance_two_table_atomic_publish", "privacy_randomized_response",
     "rag_rank_biased_overlap", "incremental_agg_retraction",
     "udf_udtf_analyze_schema", "sample_negative_unigram_cdf",
-    "maintenance_merge_on_read",
+    "maintenance_merge_on_read", "graph_kcore_peel", "text_rake_keywords",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
