@@ -663,94 +663,92 @@ def q_privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame
 @query(
     "sample_temporal_split_leakage",
     oracle="""
-    WITH per_user AS (
-      SELECT user_id,
-             MIN(ts) AS first_ts,
-             COUNT(*) AS n_events,
-             SUM(CASE WHEN ts < TIMESTAMP '2024-01-21 00:00:00'
+    WITH per_c AS (
+      SELECT o_custkey,
+             MIN(o_orderdate) AS first_d,
+             COUNT(*) AS n_orders,
+             SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-06-01 00:00:00'
                       THEN 1 ELSE 0 END) AS n_naive_train
-      FROM events GROUP BY 1
+      FROM orders GROUP BY 1
     ), assigned AS (
       SELECT *,
-             CASE WHEN first_ts < TIMESTAMP '2024-01-21 00:00:00'
+             CASE WHEN first_d < TIMESTAMP '1995-06-01 00:00:00'
                   THEN 'train' ELSE 'test' END AS split,
-             CASE WHEN n_naive_train > 0 AND n_naive_train < n_events
+             CASE WHEN n_naive_train > 0 AND n_naive_train < n_orders
                   THEN 1 ELSE 0 END AS straddles
-      FROM per_user
-    ), straddle AS (
-      SELECT CAST(SUM(straddles) AS BIGINT) AS n_straddling_users FROM assigned
+      FROM per_c
     )
     SELECT split,
-           CAST(SUM(n_events) AS BIGINT) AS n_events,
-           COUNT(*) AS n_users,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           COUNT(*) AS n_customers,
            CAST(SUM(CASE WHEN split = 'train'
-                         THEN n_events - n_naive_train
+                         THEN n_orders - n_naive_train
                          ELSE n_naive_train END) AS BIGINT)
-             AS n_events_crossing_boundary,
-           (SELECT n_straddling_users FROM straddle) AS n_straddling_users
+             AS n_rows_crossing_boundary,
+           (SELECT CAST(SUM(straddles) AS BIGINT) FROM assigned)
+             AS n_straddling_customers
     FROM assigned GROUP BY 1 ORDER BY 1
     """,
 )
 def q_sample_temporal_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temporal train/test split with a LEAKAGE AUDIT: every user is
-    assigned whole to train or test by their FIRST event time (boundary
-    2024-01-21) — the entity-level temporal split evaluation integrity
-    requires, versus the naive row-level time cut that puts one user's
-    history on both sides of the boundary and leaks their behavior into
-    the test set.
+    """Temporal train/test split with a LEAKAGE AUDIT: every customer is
+    assigned whole to train or test by their FIRST order date (boundary
+    1995-06-01, chosen so both splits are populated at every SF:
+    67/83 entities at sf0.001 up to 6935/8064 at sf0.1) — the
+    entity-level temporal split evaluation integrity requires, versus
+    the naive row-level time cut that puts one entity's history on both
+    sides of the boundary and leaks its behavior into the test set.
 
-    Two derived audits ride the result: ``n_events_crossing_boundary``
-    (rows whose naive row-level side disagrees with their user's
+    Two derived audits ride the result: ``n_rows_crossing_boundary``
+    (rows whose naive row-level side disagrees with their entity's
     split — the volume the naive cut WOULD have leaked) and
-    ``n_straddling_users`` (users active on both sides of the boundary
-    — each one a leak under row-level splitting). Both are nonzero
-    whenever any early user stays active past the boundary, so the
-    evidence fires at every SF; both are recomputed by the oracle, not
-    asserted.
+    ``n_straddling_customers`` (entities active on both sides — each
+    one a leak under row-level splitting; nonzero at every SF, and
+    recomputed by the oracle, not asserted).
 
-    Scale: ONE fact pass collapses to the O(users) relation carrying
-    first_ts + naive tallies (checkpointed — split totals and the
-    straddle scalar both derive from it, and without the checkpoint
-    Catalyst re-runs the fact aggregate per branch); everything after
-    is aggregate algebra on the collapse.
+    Scale: ONE fact pass collapses to the O(customers) relation
+    carrying first date + naive tallies (checkpointed — split totals
+    and the straddle scalar both derive from it, and without the
+    checkpoint Catalyst re-runs the fact aggregate per branch);
+    everything after is aggregate algebra on the collapse.
     """
-    ev = load_table(spark, sf_dir, "events")
-    boundary = F.lit("2024-01-21 00:00:00").cast("timestamp")
-    per_user = (
-        ev.groupBy("user_id")
+    o = load_table(spark, sf_dir, "orders")
+    boundary = F.lit("1995-06-01 00:00:00").cast("timestamp")
+    per_c = (
+        o.groupBy("o_custkey")
         .agg(
-            F.min("ts").alias("first_ts"),
-            F.count("*").alias("n_events"),
-            F.sum(F.when(F.col("ts") < boundary, 1).otherwise(0)).alias(
+            F.min("o_orderdate").alias("first_d"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("o_orderdate") < boundary, 1).otherwise(0)).alias(
                 "n_naive_train"
             ),
         )
         .withColumn(
             "split",
-            F.when(F.col("first_ts") < boundary, "train").otherwise("test"),
+            F.when(F.col("first_d") < boundary, "train").otherwise("test"),
         )
         .localCheckpoint(eager=True)
     )
-    straddle = per_user.agg(
+    straddle = per_c.agg(
         F.sum(
             F.when(
                 (F.col("n_naive_train") > 0)
-                & (F.col("n_naive_train") < F.col("n_events")),
+                & (F.col("n_naive_train") < F.col("n_orders")),
                 1,
             ).otherwise(0)
         )
         .cast("bigint")
-        .alias("n_straddling_users")
+        .alias("n_straddling_customers")
     )
     crossing = F.when(
-        F.col("split") == "train", F.col("n_events") - F.col("n_naive_train")
+        F.col("split") == "train", F.col("n_orders") - F.col("n_naive_train")
     ).otherwise(F.col("n_naive_train"))
     return (
-        per_user.groupBy("split")
+        per_c.groupBy("split")
         .agg(
-            F.sum("n_events").cast("bigint").alias("n_events"),
-            F.count("*").alias("n_users"),
-            F.sum(crossing).cast("bigint").alias("n_events_crossing_boundary"),
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.count("*").alias("n_customers"),
+            F.sum(crossing).cast("bigint").alias("n_rows_crossing_boundary"),
         )
         .crossJoin(F.broadcast(straddle))
         .orderBy("split")
