@@ -924,3 +924,102 @@ def q_events_decay_weighted_score(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(F.col("cents") * weight).alias("score_sixteenths"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "events_markov_stationary_power",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ), trans AS MATERIALIZED (
+      SELECT event_type AS src, next_type AS dst, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ), rowtot AS MATERIALIZED (
+      SELECT src, CAST(SUM(c) AS BIGINT) AS r FROM trans GROUP BY 1
+    ), v0 AS MATERIALIZED (
+      SELECT src AS state, CAST(1000000 AS BIGINT) AS vq FROM rowtot
+    ), v1 AS MATERIALIZED (
+      SELECT t.dst AS state, CAST(SUM((v.vq * t.c) // rt.r) AS BIGINT) AS vq
+      FROM v0 v JOIN trans t ON t.src = v.state
+      JOIN rowtot rt ON rt.src = v.state
+      GROUP BY 1
+    ), v2 AS MATERIALIZED (
+      SELECT t.dst AS state, CAST(SUM((v.vq * t.c) // rt.r) AS BIGINT) AS vq
+      FROM v1 v JOIN trans t ON t.src = v.state
+      JOIN rowtot rt ON rt.src = v.state
+      GROUP BY 1
+    ), v3 AS MATERIALIZED (
+      SELECT t.dst AS state, CAST(SUM((v.vq * t.c) // rt.r) AS BIGINT) AS vq
+      FROM v2 v JOIN trans t ON t.src = v.state
+      JOIN rowtot rt ON rt.src = v.state
+      GROUP BY 1
+    )
+    SELECT v3.state AS event_type, v3.vq AS stationary_micro,
+           v3.vq - v0.vq AS drift_from_uniform_micro
+    FROM v3 JOIN v0 ON v3.state = v0.state
+    ORDER BY 1
+    """,
+)
+def q_events_markov_stationary_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    by POWER ITERATION — three v <- vP passes from the uniform vector,
+    the matrix-algebra-as-relational-algebra shape (each pass is one
+    join of the state vector against the transition relation plus a
+    keyed sum; PageRank is this same loop with teleport).
+
+    Exactness without rational blow-up: multiplying exact fractions
+    c_ij/r_i compounds denominators past any fixed-width type in two
+    passes, so each term quantizes FIRST — (vq * c) div r in pure
+    integers (the blessed div/// pairing), summed per destination state
+    — and the oracle unrolls the identical three passes as chained
+    MATERIALIZED CTEs (the BPE/MMR technique). Micro-unit state mass is
+    conserved to within 5 ulps/pass by construction, and the drift
+    column exposes how far the chain's stationary mass sits from
+    uniform — nonzero at every SF (the event generator is not
+    symmetric in transitions).
+
+    Scale: the fact-grain work is the ONE lead() window per user that
+    [[events_markov_transitions]] already pays; all three iterations
+    run on the O(types^2) transition relation.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    seq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(seq_w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    rowtot = trans.groupBy("src").agg(F.sum("c").cast("bigint").alias("r"))
+    tr = trans.join(rowtot, "src").localCheckpoint(eager=True)
+
+    v0 = rowtot.select(F.col("src").alias("state"), F.lit(1000000).cast("bigint").alias("vq"))
+    v = v0
+    for _ in range(3):
+        v = (
+            tr.join(v, tr.src == v.state)
+            .select("dst", F.expr("(vq * c) div r").alias("t"))
+            .groupBy(F.col("dst").alias("state_new"))
+            .agg(F.sum("t").cast("bigint").alias("vq"))
+            .select(F.col("state_new").alias("state"), "vq")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        v.join(v0.select(F.col("state"), F.col("vq").alias("vq0")), "state")
+        .select(
+            F.col("state").alias("event_type"),
+            F.col("vq").alias("stationary_micro"),
+            (F.col("vq") - F.col("vq0")).alias("drift_from_uniform_micro"),
+        )
+        .orderBy("event_type")
+    )
