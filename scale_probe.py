@@ -125,6 +125,7 @@ QUERIES = [
     "rag_rank_biased_overlap", "incremental_agg_retraction",
     "udf_udtf_analyze_schema", "sample_negative_unigram_cdf",
     "maintenance_merge_on_read", "graph_kcore_peel", "text_rake_keywords",
+    "sample_temporal_split_leakage", "events_markov_stationary_power",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
