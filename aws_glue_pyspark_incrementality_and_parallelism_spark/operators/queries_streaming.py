@@ -951,3 +951,102 @@ def q_incremental_agg_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue_cents"),
     )
     return merged.filter(F.col("n_orders") > 0).orderBy("c_nationkey")
+
+
+@query(
+    "incremental_sliding_refresh",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-04-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-04-01 00:00:00'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_incremental_sliding_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window aggregate REFRESH by slide, the third incremental
+    maintenance shape: [[incremental_agg_merge]] absorbs inserts,
+    [[incremental_agg_retraction]] absorbs updates/deletes — a trailing
+    "last 365 days" dashboard instead EVICTS BY TIME as the window
+    advances. Sliding from window-end 1998-01-01 to 1998-04-01, the
+    refresh touches only the two 90-day EDGE slices — ADD [1998-01-01,
+    1998-04-01) and EVICT [1997-01-01, 1997-04-01) — never the ~9
+    months of interior the naive recompute re-reads.
+
+    The maintained state (old standing aggregate + add - evict) is
+    returned and adjudicated against the oracle's from-scratch
+    recompute of the new window — maintained ≡ recomputed, the same
+    proof shape as the other two. With date-partitioned layout the
+    edge slices are partition-pruned scans, so the refresh cost is
+    O(slide), not O(window) — the whole point of trailing-window IVM
+    at 100 TB.
+
+    Scale: three partition-prunable filtered aggregates to O(groups)
+    rows each, merged with coalesce arithmetic on the tiny relation.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+
+    def window_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"), F.sum("cents").alias("cents")
+        )
+
+    ts = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    standing = window_agg(
+        o.filter((F.col("o_orderdate") >= ts("1997-01-01 00:00:00"))
+                 & (F.col("o_orderdate") < ts("1998-01-01 00:00:00")))
+    )
+    add = window_agg(
+        o.filter((F.col("o_orderdate") >= ts("1998-01-01 00:00:00"))
+                 & (F.col("o_orderdate") < ts("1998-04-01 00:00:00")))
+    )
+    evict = window_agg(
+        o.filter((F.col("o_orderdate") >= ts("1997-01-01 00:00:00"))
+                 & (F.col("o_orderdate") < ts("1997-04-01 00:00:00")))
+    )
+    merged = (
+        standing.select("o_orderpriority", "n", "cents")
+        .join(
+            add.select(
+                "o_orderpriority",
+                F.col("n").alias("n_add"),
+                F.col("cents").alias("c_add"),
+            ),
+            "o_orderpriority",
+            "full_outer",
+        )
+        .join(
+            evict.select(
+                "o_orderpriority",
+                F.col("n").alias("n_evict"),
+                F.col("cents").alias("c_evict"),
+            ),
+            "o_orderpriority",
+            "full_outer",
+        )
+        .select(
+            "o_orderpriority",
+            (
+                F.coalesce(F.col("n"), F.lit(0))
+                + F.coalesce(F.col("n_add"), F.lit(0))
+                - F.coalesce(F.col("n_evict"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_orders"),
+            (
+                F.coalesce(F.col("cents"), F.lit(0))
+                + F.coalesce(F.col("c_add"), F.lit(0))
+                - F.coalesce(F.col("c_evict"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
+    return merged.filter(F.col("n_orders") > 0).orderBy("o_orderpriority")
