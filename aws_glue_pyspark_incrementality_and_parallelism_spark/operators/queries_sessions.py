@@ -1023,3 +1023,147 @@ def q_events_markov_stationary_power(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_littles_law_audit",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), marks AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM ordered
+    ), sess AS MATERIALIZED (
+        SELECT user_id, session_seq,
+               epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) + 1 AS e_us
+        FROM (
+            SELECT user_id, ts,
+                   SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM marks
+        )
+        GROUP BY user_id, session_seq
+    ), direct AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(e_us - s_us) AS BIGINT) AS total_session_us,
+               CAST(MIN(s_us) AS BIGINT) AS lo,
+               CAST(MAX(e_us) AS BIGINT) AS hi
+        FROM sess
+    ), deltas AS (
+        SELECT s_us AS at_us, 1 AS delta FROM sess
+        UNION ALL SELECT e_us, -1 FROM sess
+    ), sweep AS (
+        SELECT at_us,
+               SUM(delta) OVER (ORDER BY at_us, delta
+                                ROWS UNBOUNDED PRECEDING) AS concurrent,
+               LEAD(at_us) OVER (ORDER BY at_us, delta) AS next_us
+        FROM deltas
+    ), integ AS (
+        SELECT CAST(SUM(concurrent * (next_us - at_us)) AS BIGINT) AS integral_us,
+               CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent
+        FROM sweep WHERE next_us IS NOT NULL
+    )
+    SELECT d.n_sessions, d.total_session_us, i.integral_us,
+           i.integral_us = d.total_session_us AS identity_ok,
+           i.peak_concurrent,
+           CAST(CAST(i.integral_us AS HUGEINT) * 1000000
+                // (d.hi - d.lo) AS BIGINT) AS l_avg_micro,
+           CAST(i.integral_us // d.n_sessions AS BIGINT) AS w_mean_us,
+           CAST(CAST(d.n_sessions AS HUGEINT) * 3600000000000
+                // (d.hi - d.lo) AS BIGINT) AS lambda_per_hour_milli
+    FROM direct d, integ i
+    """,
+)
+def q_events_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law over user sessions, audited as an EXACT conservation
+    identity: the time integral of concurrency (computed from the
+    +1/−1 boundary sweep, concurrency x gap summed across sweep
+    intervals) must equal the direct sum of session durations — two
+    INDEPENDENT derivations of the same microsecond total, so
+    ``identity_ok`` catches sweep bugs (lost boundaries, tie
+    mis-ordering, off-by-one eviction) that each derivation alone
+    would hide. From the conserved quantities the queueing triple
+    derives in integer micro-units: L = integral/horizon,
+    W = integral/n, lambda = n/horizon — L = lambda*W then holds by
+    construction (their common numerator IS the identity), which is
+    Little's law's content.
+
+    Scale: same shape as [[events_max_concurrent_sessions]] — per-user
+    gap sessionization, then everything runs on the collapsed 2-rows-
+    per-session boundary relation; the HUGEINT/DECIMAL(38,0) carriers
+    keep the rate arithmetic exact at any horizon.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marks = events.withColumn("prev_ts", F.lag("ts").over(w_user)).withColumn(
+        "is_start",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+                > 1800000000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    w_cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = (
+        marks.withColumn("session_seq", F.sum("is_start").over(w_cum))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s_us"),
+            (F.unix_micros(F.max("ts")) + 1).alias("e_us"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    direct = sess.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum(F.col("e_us") - F.col("s_us")).cast("bigint").alias("total_session_us"),
+        F.min("s_us").cast("bigint").alias("lo"),
+        F.max("e_us").cast("bigint").alias("hi"),
+    )
+    deltas = sess.select(F.col("s_us").alias("at_us"), F.lit(1).alias("delta")).unionByName(
+        sess.select(F.col("e_us").alias("at_us"), F.lit(-1).alias("delta"))
+    )
+    w_sweep = Window.orderBy("at_us", "delta")
+    sweep = deltas.select(
+        "at_us",
+        F.sum("delta").over(w_sweep.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "concurrent"
+        ),
+        F.lead("at_us").over(w_sweep).alias("next_us"),
+    )
+    integ = sweep.filter(F.col("next_us").isNotNull()).agg(
+        F.sum(F.col("concurrent") * (F.col("next_us") - F.col("at_us")))
+        .cast("bigint")
+        .alias("integral_us"),
+        F.max("concurrent").cast("bigint").alias("peak_concurrent"),
+    )
+    return (
+        direct.crossJoin(F.broadcast(integ))
+        .select(
+            "n_sessions",
+            "total_session_us",
+            "integral_us",
+            (F.col("integral_us") == F.col("total_session_us")).alias("identity_ok"),
+            "peak_concurrent",
+            F.expr(
+                "CAST(CAST(integral_us AS DECIMAL(38,0)) * 1000000"
+                " div (hi - lo) AS BIGINT)"
+            ).alias("l_avg_micro"),
+            F.expr("integral_us div n_sessions").alias("w_mean_us"),
+            F.expr(
+                "CAST(CAST(n_sessions AS DECIMAL(38,0)) * 3600000000000"
+                " div (hi - lo) AS BIGINT)"
+            ).alias("lambda_per_hour_milli"),
+        )
+    )
