@@ -764,3 +764,85 @@ def q_quality_volume_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("z2_den"),
         )
     )
+
+
+@query(
+    "quality_functional_dependency_audit",
+    oracle="""
+    WITH fd1 AS (
+      SELECT 'l_orderkey->l_returnflag' AS fd,
+             COUNT(*) AS n_keys,
+             CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_keys,
+             CAST(MAX(k) AS BIGINT) AS max_variants
+      FROM (SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS k
+            FROM lineitem GROUP BY 1)
+    ), fd2 AS (
+      SELECT 'l_partkey->l_suppkey' AS fd,
+             COUNT(*) AS n_keys,
+             CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(MAX(k) AS BIGINT)
+      FROM (SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS k
+            FROM lineitem GROUP BY 1)
+    ), fd3 AS (
+      SELECT 'o_custkey->o_orderpriority' AS fd,
+             COUNT(*) AS n_keys,
+             CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(MAX(k) AS BIGINT)
+      FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS k
+            FROM orders GROUP BY 1)
+    ), fd4 AS (
+      SELECT 'o_orderkey->o_orderdate' AS fd,
+             COUNT(*) AS n_keys,
+             CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(MAX(k) AS BIGINT)
+      FROM (SELECT o_orderkey, COUNT(DISTINCT o_orderdate) AS k
+            FROM orders GROUP BY 1)
+    )
+    SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+    UNION ALL SELECT * FROM fd3 UNION ALL SELECT * FROM fd4
+    ORDER BY fd
+    """,
+)
+def q_quality_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery audit: for candidate FDs X -> Y,
+    count determinant keys whose Y-set has more than one member — the
+    profiling primitive behind schema inference, normalization advice,
+    and "is this column derivable?" questions (the reference's star
+    schema silently ASSUMES user_id -> user_name holds; this measures
+    such assumptions instead). Four planted candidates span the
+    spectrum: a true key FD (o_orderkey->o_orderdate, violations
+    pinned 0 by uniqueness), a strongly-violated one
+    (o_custkey->o_orderpriority — customers order at many priorities),
+    and two line-level ones whose violation depends on the generator
+    (partkey->suppkey multi-sourcing, orderkey->returnflag).
+
+    All counts exact integers; ``max_variants`` bounds how badly the
+    worst key violates. Scale: each FD is one hash aggregate at
+    determinant grain followed by an O(1) rollup — FD profiling over a
+    100 TB table costs one shuffle per candidate, trivially batched by
+    sharing the determinant grouping where determinants coincide.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def audit(df: DataFrame, det: str, dep: str, name: str) -> DataFrame:
+        per_key = df.groupBy(det).agg(F.countDistinct(dep).alias("k"))
+        return per_key.agg(
+            F.lit(name).alias("fd"),
+            F.count("*").alias("n_keys"),
+            F.sum(F.when(F.col("k") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_keys"),
+            F.max("k").cast("bigint").alias("max_variants"),
+        )
+    lanes = [
+        audit(l, "l_orderkey", "l_returnflag", "l_orderkey->l_returnflag"),
+        audit(l, "l_partkey", "l_suppkey", "l_partkey->l_suppkey"),
+        audit(o, "o_custkey", "o_orderpriority", "o_custkey->o_orderpriority"),
+        audit(o, "o_orderkey", "o_orderdate", "o_orderkey->o_orderdate"),
+    ]
+    out = lanes[0]
+    for lane in lanes[1:]:
+        out = out.unionByName(lane)
+    return out.orderBy("fd")
