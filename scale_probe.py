@@ -126,6 +126,8 @@ QUERIES = [
     "udf_udtf_analyze_schema", "sample_negative_unigram_cdf",
     "maintenance_merge_on_read", "graph_kcore_peel", "text_rake_keywords",
     "sample_temporal_split_leakage", "events_markov_stationary_power",
+    "incremental_sliding_refresh", "events_littles_law_audit",
+    "quality_functional_dependency_audit",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
