@@ -323,6 +323,8 @@ def q_sample_negative_unigram_cdf(spark: SparkSession, sf_dir: str) -> DataFrame
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
     )
     cnt = tok.groupBy("word").agg(F.count("*").alias("n"))
+    # vocab feeds the CDF (used twice) and the total — checkpointed so
+    # the corpus tokenize + top-k runs once, not three times.
     vocab = (
         cnt.orderBy(F.desc("n"), "word")
         .limit(50)
@@ -333,6 +335,7 @@ def q_sample_negative_unigram_cdf(spark: SparkSession, sf_dir: str) -> DataFrame
             .cast("bigint")
             .alias("w_q"),
         )
+        .localCheckpoint(eager=True)
     )
     w = Window.orderBy(F.desc("w_q"), F.asc("word"))
     cdf = vocab.select(

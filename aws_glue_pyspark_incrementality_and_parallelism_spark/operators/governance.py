@@ -528,7 +528,13 @@ def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         F.floor(F.col("c_acctbal") / 2000.0).cast("bigint").alias("bal_bucket"),
     )
-    cell = b.groupBy("c_nationkey", "bal_bucket").agg(F.count("*").alias("c_j"))
+    # six branches (nations/buckets/gdist/cls/tot/grid) derive from the
+    # cell aggregate — checkpointed so the customer scan runs once.
+    cell = (
+        b.groupBy("c_nationkey", "bal_bucket")
+        .agg(F.count("*").alias("c_j"))
+        .localCheckpoint(eager=True)
+    )
     nations = cell.select("c_nationkey").distinct()
     buckets = cell.select("bal_bucket").distinct()
     gdist = cell.groupBy("bal_bucket").agg(F.sum("c_j").alias("g_j"))

@@ -846,10 +846,18 @@ def q_maintenance_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths exist for.
     """
     root = tempfile.mkdtemp(prefix="sgq_mor_")
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"),
-        "o_orderpriority",
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    # o feeds three independent write actions — checkpointed so the
+    # fact scan + projection runs once.
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .localCheckpoint(eager=True)
     )
     base = o.filter(F.col("k") % 4 != 3)
     base_path = os.path.join(root, "base")
@@ -884,8 +892,14 @@ def q_maintenance_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
     base_r = spark.read.parquet(base_path)
-    mor = base_r.join(last.select("k"), "k", "left_anti").unionByName(
-        last.filter(F.col("op") == "U").select("k", "o_orderpriority", "cents")
+    # mor feeds the compaction write plus both exceptAll directions —
+    # checkpointed so the reconstruction runs once.
+    mor = (
+        base_r.join(last.select("k"), "k", "left_anti")
+        .unionByName(
+            last.filter(F.col("op") == "U").select("k", "o_orderpriority", "cents")
+        )
+        .localCheckpoint(eager=True)
     )
 
     # read-optimized: compact once, read the rewrite

@@ -914,8 +914,12 @@ def q_incremental_agg_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
     )
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    rows = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
-        "k", "c_nationkey", "cents"
+    # rows feeds the base aggregate + three delta lanes — four branches
+    # with non-pushable % filters; checkpointed so the fact scans once.
+    rows = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("k", "c_nationkey", "cents")
+        .localCheckpoint(eager=True)
     )
 
     base = rows.filter(F.col("k") % 4 != 3)

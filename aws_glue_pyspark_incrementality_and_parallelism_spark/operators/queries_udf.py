@@ -524,7 +524,13 @@ def q_udf_udtf_analyze_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def eval(self, text: str, n: int):
-            words = (text or "").split()
+            import re as _re
+
+            # Mirror the oracle EXACTLY: DuckDB trim() strips spaces
+            # only, and RE2's \s is the ASCII class — Python
+            # str.split() would diverge on empty/whitespace-only text
+            # (oracle emits w1 = '') and on non-ASCII whitespace.
+            words = _re.split("[ \t\n\x0b\f\r]+", (text or "").strip(" "))
             yield tuple(words[i] if i < len(words) else None for i in range(n))
 
     spark.udtf.register("sgq_lead_words", LeadWords)

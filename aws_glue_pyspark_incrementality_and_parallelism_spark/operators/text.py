@@ -1555,8 +1555,13 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = tok.withColumn(
         "island", F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(w_isl)
     )
-    phrase_words = marked.filter(~F.col("is_stop")).select(
-        "doc_id", "island", "word", "pos"
+    # phrase_words feeds phrases, word stats and the per-phrase join —
+    # checkpointed so the tokenize + island window runs once (the
+    # token-grain materialization is the price of the single pass).
+    phrase_words = (
+        marked.filter(~F.col("is_stop"))
+        .select("doc_id", "island", "word", "pos")
+        .localCheckpoint(eager=True)
     )
     phrases = phrase_words.groupBy("doc_id", "island").agg(
         F.expr(
@@ -1565,7 +1570,7 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("phrase"),
         F.count("*").alias("n_words"),
     )
-    usable = phrases.filter(F.col("n_words") <= 4)
+    usable = phrases.filter(F.col("n_words") <= 4).localCheckpoint(eager=True)
     occur = phrase_words.join(
         usable.select("doc_id", "island", "n_words"), ["doc_id", "island"]
     )
