@@ -1476,3 +1476,122 @@ def q_dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("new_unique_id_sum"),
     )
+
+
+@query(
+    "dedup_store_retention_gc",
+    oracle="""
+    WITH fps AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents
+    ), store AS (
+      SELECT fp,
+             CAST(('0x' || substr(md5(fp || ':gcday'), 1, 8)) AS BIGINT) % 10
+               AS first_seen_day
+      FROM fps
+    ), retained AS (
+      SELECT fp FROM store WHERE first_seen_day >= 5
+    ), batch AS (
+      SELECT md5(text) AS fp FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT md5(text || ':novel') FROM documents WHERE doc_id % 11 = 0
+    ), classified AS (
+      SELECT b.fp,
+             b.fp IN (SELECT fp FROM retained) AS dup_recent,
+             b.fp IN (SELECT fp FROM store) AS in_full_store
+      FROM batch b
+    )
+    SELECT (SELECT COUNT(*) FROM store) AS n_store_full,
+           (SELECT COUNT(*) FROM retained) AS n_store_retained,
+           COUNT(*) AS n_batch,
+           COUNT(CASE WHEN dup_recent THEN 1 END) AS n_dup_recent,
+           COUNT(CASE WHEN in_full_store AND NOT dup_recent THEN 1 END)
+             AS n_readmitted,
+           COUNT(CASE WHEN NOT in_full_store THEN 1 END) AS n_novel,
+           CAST(SUM(CASE WHEN in_full_store AND NOT dup_recent
+                    THEN CAST(('0x' || substr(md5(fp), 1, 8)) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS readmitted_checksum
+    FROM classified
+    """,
+)
+def q_dedup_store_retention_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-store RETENTION GC — the bounded-state contract of
+    incremental dedup made explicit: [[dedup_incremental_new_docs]]'s
+    standing store grows forever, so production pipelines expire
+    fingerprints past a retention horizon and ACCEPT the cost — a
+    re-crawl of expired content is re-admitted as new. This query
+    quantifies exactly that trade: a 10-day store (deterministic md5
+    first-seen days) is GC'd to the 5-day retention window, then a
+    batch of re-submissions (every 3rd doc) plus genuinely novel
+    content (every 11th, salted fp) classifies into dup-of-recent
+    (still suppressed), RE-ADMITTED (expired — the bounded-state
+    leakage, checksummed so the exact re-admitted set is adjudicated,
+    not just counted), and novel.
+
+    This is the same eviction algebra a streaming
+    dropDuplicatesWithinWatermark applies continuously (state TTL =
+    watermark); here it is adjudicated in closed form. Scale: the
+    store/GC/classify steps are one distinct-aggregate and two
+    hash semi-joins on the fingerprint key — state size is the
+    retention window's content volume, never corpus lifetime.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(F.md5("text").alias("fp")).distinct()
+    store = fps.select(
+        "fp",
+        (
+            F.conv(F.substring(F.md5(F.concat(F.col("fp"), F.lit(":gcday"))), 1, 8), 16, 10)
+            .cast("bigint")
+            % 10
+        ).alias("first_seen_day"),
+    ).localCheckpoint(eager=True)
+    retained = store.filter(F.col("first_seen_day") >= 5).select("fp")
+    batch = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(F.md5("text").alias("fp"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                F.md5(F.concat(F.col("text"), F.lit(":novel"))).alias("fp")
+            )
+        )
+    )
+    classified = (
+        batch.join(
+            retained.withColumn("dup_recent", F.lit(True)), "fp", "left"
+        )
+        .join(
+            store.select("fp").withColumn("in_full_store", F.lit(True)),
+            "fp",
+            "left",
+        )
+        .select(
+            "fp",
+            F.coalesce(F.col("dup_recent"), F.lit(False)).alias("dup_recent"),
+            F.coalesce(F.col("in_full_store"), F.lit(False)).alias("in_full_store"),
+        )
+    )
+    lane = F.conv(F.substring(F.md5(F.col("fp")), 1, 8), 16, 10).cast("bigint")
+    counts = classified.agg(
+        F.count("*").alias("n_batch"),
+        F.count(F.when(F.col("dup_recent"), 1)).alias("n_dup_recent"),
+        F.count(F.when(F.col("in_full_store") & ~F.col("dup_recent"), 1)).alias(
+            "n_readmitted"
+        ),
+        F.count(F.when(~F.col("in_full_store"), 1)).alias("n_novel"),
+        F.sum(
+            F.when(F.col("in_full_store") & ~F.col("dup_recent"), lane).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("readmitted_checksum"),
+    )
+    sizes = store.agg(F.count("*").alias("n_store_full")).crossJoin(
+        retained.agg(F.count("*").alias("n_store_retained"))
+    )
+    return F.broadcast(sizes).crossJoin(counts).select(
+        "n_store_full",
+        "n_store_retained",
+        "n_batch",
+        "n_dup_recent",
+        "n_readmitted",
+        "n_novel",
+        "readmitted_checksum",
+    )
