@@ -127,7 +127,8 @@ QUERIES = [
     "maintenance_merge_on_read", "graph_kcore_peel", "text_rake_keywords",
     "sample_temporal_split_leakage", "events_markov_stationary_power",
     "incremental_sliding_refresh", "events_littles_law_audit",
-    "quality_functional_dependency_audit",
+    "quality_functional_dependency_audit", "dedup_store_retention_gc",
+    "udf_broadcast_lookup_scoring",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
