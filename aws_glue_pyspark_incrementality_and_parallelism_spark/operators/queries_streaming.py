@@ -1054,3 +1054,96 @@ def q_incremental_sliding_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return merged.filter(F.col("n_orders") > 0).orderBy("o_orderpriority")
+
+
+@query(
+    "stream_sink_batchid_idempotence",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS replay_was_noop
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_sink_batchid_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink-side EXACTLY-ONCE via the batch-id transaction log — the
+    retry half of the contract: Spark guarantees ``foreachBatch`` sees
+    each micro-batch with a stable ``batch_id``, but a crash AFTER the
+    sink write and BEFORE the checkpoint commit makes the engine replay
+    that batch — so an APPEND sink must keep its own committed-batch-id
+    log and turn replays into no-ops (the documented idempotence recipe
+    for non-transactional sinks).
+
+    The run executes the stream to completion, then REPLAYS every
+    (batch_df, batch_id) pair by hand — simulating the worst case where
+    every batch is retried — and the guard must reject all of them:
+    ``replay_was_noop`` is computed by comparing the sink's real row
+    count before/after the replay, and the day-level aggregate over the
+    sink is adjudicated against plain batch SQL (double-appends would
+    double counts). Contrast with [[stream_restart_resume_counts]],
+    which adjudicates SOURCE-side resume (file log + state store); this
+    is the SINK-side log. Scale: the txn log is O(batches) tiny; the
+    guard is one membership check per commit.
+    """
+    import json
+
+    src = _stage_events_dir(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="sgq_idem_ckpt_")
+    out_root = tempfile.mkdtemp(prefix="sgq_idem_out_")
+    sink = os.path.join(out_root, "sink")
+    txlog = os.path.join(out_root, "committed.json")
+
+    replay_log: list = []
+
+    def committed() -> set:
+        if os.path.exists(txlog):
+            with open(txlog) as f:
+                return set(json.load(f))
+        return set()
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        done = committed()
+        if batch_id in done:
+            return  # replay: the sink already holds this batch
+        batch_df.write.mode("append").parquet(sink)
+        with open(txlog, "w") as f:
+            json.dump(sorted(done | {batch_id}), f)
+
+    def capture(batch_df: DataFrame, batch_id: int) -> None:
+        replay_log.append(batch_id)
+        write_batch(batch_df, batch_id)
+
+    schema = load_table(spark, sf_dir, "events").schema
+    (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    n_before = spark.read.parquet(sink).count()
+    # simulate worst-case full retry: every batch id re-delivered (the
+    # guard must reject on the id alone, never re-reading batch data)
+    poison = spark.range(1).selectExpr("CAST(NULL AS BIGINT) AS poison")
+    for batch_id in replay_log:
+        write_batch(poison, batch_id)
+    n_after = spark.read.parquet(sink).count()
+    noop = n_before == n_after
+
+    return (
+        spark.read.parquet(sink)
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .withColumn("replay_was_noop", F.lit(noop))
+        .orderBy("day")
+    )
