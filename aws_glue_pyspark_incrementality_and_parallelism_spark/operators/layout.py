@@ -353,3 +353,146 @@ def q_layout_sorted_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(disjoint).alias("ranges_disjoint"),
         "revenue_cents",
     )
+
+
+@query(
+    "layout_consistent_hash_ring",
+    oracle="""
+    WITH workers AS (
+      SELECT 'w' || CAST(i AS VARCHAR) AS worker, i >= 8 AS is_new
+      FROM range(0, 9) t(i)
+    ), ring AS (
+      SELECT w.worker, w.is_new,
+             CAST(('0x' || substr(md5(w.worker || ':' || CAST(v AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS pos
+      FROM workers w, range(0, 32) t(v)
+    ), docs AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':chr'), 1, 8))
+                  AS BIGINT) AS p
+      FROM documents
+    ), dist AS (
+      SELECT d.doc_id, r.worker, r.is_new,
+             (r.pos - d.p + 4294967296) % 4294967296 AS dist
+      FROM docs d CROSS JOIN ring r
+    ), owner9 AS (
+      SELECT doc_id, worker FROM (
+        SELECT doc_id, worker,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, worker) AS rn
+        FROM dist) WHERE rn = 1
+    ), owner8 AS (
+      SELECT doc_id, worker FROM (
+        SELECT doc_id, worker,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, worker) AS rn
+        FROM dist WHERE NOT is_new) WHERE rn = 1
+    ), moved AS (
+      SELECT o9.doc_id, o9.worker AS new_owner
+      FROM owner9 o9 JOIN owner8 o8 USING (doc_id)
+      WHERE o9.worker <> o8.worker
+    ), audit AS (
+      SELECT (SELECT COUNT(*) FROM moved) AS n_moved,
+             (SELECT COUNT(*) FROM moved WHERE new_owner <> 'w8') AS n_moved_elsewhere,
+             (SELECT COUNT(*) FROM docs) AS n_docs
+    )
+    SELECT o9.worker,
+           COUNT(*) AS n_docs_after,
+           (SELECT n_moved FROM audit) AS n_moved,
+           (SELECT n_moved_elsewhere FROM audit) = 0 AS moved_only_to_new,
+           9 * (SELECT n_moved FROM audit) <= 2 * (SELECT n_docs FROM audit)
+             AS movement_bounded
+    FROM owner9 o9 GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_layout_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent hashing with virtual nodes — THE shard-assignment
+    scheme whose point is what happens on RESIZE: growing the fleet
+    from 8 to 9 workers (32 virtual ring positions each, md5 u32 ring)
+    must move only the documents whose ring successor becomes one of
+    the new worker's positions — expected n/9, versus n*(8/9) for
+    modulo hashing. Two structural audits are DERIVED, not assumed:
+    ``moved_only_to_new`` (every reassigned doc lands on w8 — adding
+    positions can never re-route a doc between old workers) and
+    ``movement_bounded`` (n_moved <= 2n/9). Per-worker counts after
+    the resize adjudicate the virtual-node load spread.
+
+    Determinism: ring positions and doc positions are md5 lanes, the
+    successor is min((pos - p) mod 2^32) with (dist, worker)
+    lexicographic tie-break on both engines. Scale: the ring is O(288)
+    rows and broadcasts; the demo resolves owners via the broadcast
+    cross product + per-doc argmin, and at 100 TB the same lookup is a
+    sorted-ring binary search inside one mapInPandas pass (the
+    CDF-range technique of sample_negative_unigram_cdf) — assignment
+    never shuffles the corpus.
+    """
+    workers = spark.range(9).select(
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("worker"),
+        (F.col("id") >= 8).alias("is_new"),
+    )
+    ring = (
+        workers.crossJoin(spark.range(32).select(F.col("id").alias("v")))
+        .select(
+            "worker",
+            "is_new",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("worker"), F.lit(":"), F.col("v").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("pos"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":chr"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("p"),
+    )
+    dist = docs.crossJoin(F.broadcast(ring)).select(
+        "doc_id",
+        "worker",
+        "is_new",
+        ((F.col("pos") - F.col("p") + 4294967296) % 4294967296).alias("dist"),
+    )
+
+    def argmin_owner(df: DataFrame) -> DataFrame:
+        return df.groupBy("doc_id").agg(
+            F.min(F.struct("dist", "worker"))["worker"].alias("worker")
+        )
+
+    owner9 = argmin_owner(dist).localCheckpoint(eager=True)
+    owner8 = argmin_owner(dist.filter(~F.col("is_new")))
+    moved = (
+        owner9.select("doc_id", F.col("worker").alias("new_owner"))
+        .join(owner8.select("doc_id", F.col("worker").alias("old_owner")), "doc_id")
+        .filter(F.col("new_owner") != F.col("old_owner"))
+    )
+    audit = moved.agg(
+        F.count("*").alias("n_moved"),
+        F.count(F.when(F.col("new_owner") != "w8", 1)).alias("n_moved_elsewhere"),
+    ).crossJoin(docs.agg(F.count("*").alias("n_docs")))
+    return (
+        owner9.groupBy("worker")
+        .agg(F.count("*").alias("n_docs_after"))
+        .crossJoin(F.broadcast(audit))
+        .select(
+            "worker",
+            "n_docs_after",
+            "n_moved",
+            (F.col("n_moved_elsewhere") == 0).alias("moved_only_to_new"),
+            (F.lit(9) * F.col("n_moved") <= F.lit(2) * F.col("n_docs")).alias(
+                "movement_bounded"
+            ),
+        )
+        .orderBy("worker")
+    )
