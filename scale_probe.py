@@ -128,7 +128,8 @@ QUERIES = [
     "sample_temporal_split_leakage", "events_markov_stationary_power",
     "incremental_sliding_refresh", "events_littles_law_audit",
     "quality_functional_dependency_audit", "dedup_store_retention_gc",
-    "udf_broadcast_lookup_scoring",
+    "udf_broadcast_lookup_scoring", "stream_sink_batchid_idempotence",
+    "layout_consistent_hash_ring",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
