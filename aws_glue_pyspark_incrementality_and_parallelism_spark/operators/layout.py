@@ -417,35 +417,57 @@ def q_layout_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Determinism: ring positions and doc positions are md5 lanes, the
     successor is min((pos - p) mod 2^32) with (dist, worker)
-    lexicographic tie-break on both engines. Scale: the ring is O(288)
-    rows and broadcasts; the demo resolves owners via the broadcast
-    cross product + per-doc argmin, and at 100 TB the same lookup is a
-    sorted-ring binary search inside one mapInPandas pass (the
-    CDF-range technique of sample_negative_unigram_cdf) — assignment
-    never shuffles the corpus.
+    lexicographic tie-break on both engines — the engine side resolves
+    it as np.searchsorted over the ring sorted by (pos, worker), which
+    computes the identical successor (side='left' picks the least
+    worker on a position collision, and index==len wraps to the ring
+    minimum). Scale: the ring is O(288) ints and ships inside the
+    closure; BOTH owners (before/after resize) resolve in ONE
+    mapInPandas pass over the corpus — zero joins, zero shuffles for
+    assignment (the cross-product argmin formulation this replaced
+    measured 7.1x for 10x data; the searchsorted pass is a pure map).
+    The per-worker rollup and movement audits then aggregate O(docs)
+    rows once.
     """
-    workers = spark.range(9).select(
-        F.concat(F.lit("w"), F.col("id").cast("string")).alias("worker"),
-        (F.col("id") >= 8).alias("is_new"),
-    )
-    ring = (
-        workers.crossJoin(spark.range(32).select(F.col("id").alias("v")))
-        .select(
-            "worker",
-            "is_new",
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col("worker"), F.lit(":"), F.col("v").cast("string"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
+    import hashlib
+
+    import numpy as np
+
+    def ring_arrays(n_workers: int):
+        entries = sorted(
+            (
+                int(hashlib.md5(f"w{i}:{v}".encode()).hexdigest()[:8], 16),
+                f"w{i}",
             )
-            .cast("bigint")
-            .alias("pos"),
+            for i in range(n_workers)
+            for v in range(32)
         )
-    )
+        return (
+            np.array([e[0] for e in entries], dtype=np.int64),
+            np.array([e[1] for e in entries]),
+        )
+
+    pos8, wk8 = ring_arrays(8)
+    pos9, wk9 = ring_arrays(9)
+
+    def assign(batches):
+        # self-contained closure (worker-closure rule): only stdlib /
+        # site-package imports and the bound ring arrays
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            p = pdf["p"].to_numpy(dtype=np.int64)
+            i8 = np.searchsorted(pos8, p, side="left") % len(pos8)
+            i9 = np.searchsorted(pos9, p, side="left") % len(pos9)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "old_owner": wk8[i8],
+                    "new_owner": wk9[i9],
+                }
+            )
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.conv(
@@ -458,31 +480,22 @@ def q_layout_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("p"),
     )
-    dist = docs.crossJoin(F.broadcast(ring)).select(
-        "doc_id",
-        "worker",
-        "is_new",
-        ((F.col("pos") - F.col("p") + 4294967296) % 4294967296).alias("dist"),
+    owners = docs.mapInPandas(
+        assign, schema="doc_id bigint, old_owner string, new_owner string"
+    ).localCheckpoint(eager=True)
+    audit = owners.agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("new_owner") != F.col("old_owner"), 1)).alias("n_moved"),
+        F.count(
+            F.when(
+                (F.col("new_owner") != F.col("old_owner"))
+                & (F.col("new_owner") != "w8"),
+                1,
+            )
+        ).alias("n_moved_elsewhere"),
     )
-
-    def argmin_owner(df: DataFrame) -> DataFrame:
-        return df.groupBy("doc_id").agg(
-            F.min(F.struct("dist", "worker"))["worker"].alias("worker")
-        )
-
-    owner9 = argmin_owner(dist).localCheckpoint(eager=True)
-    owner8 = argmin_owner(dist.filter(~F.col("is_new")))
-    moved = (
-        owner9.select("doc_id", F.col("worker").alias("new_owner"))
-        .join(owner8.select("doc_id", F.col("worker").alias("old_owner")), "doc_id")
-        .filter(F.col("new_owner") != F.col("old_owner"))
-    )
-    audit = moved.agg(
-        F.count("*").alias("n_moved"),
-        F.count(F.when(F.col("new_owner") != "w8", 1)).alias("n_moved_elsewhere"),
-    ).crossJoin(docs.agg(F.count("*").alias("n_docs")))
     return (
-        owner9.groupBy("worker")
+        owners.groupBy(F.col("new_owner").alias("worker"))
         .agg(F.count("*").alias("n_docs_after"))
         .crossJoin(F.broadcast(audit))
         .select(
