@@ -1167,3 +1167,81 @@ def q_events_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lambda_per_hour_milli"),
         )
     )
+
+
+@query(
+    "events_time_weighted_average",
+    oracle="""
+    WITH samples AS (
+      SELECT event_type,
+             CAST(ts AS DATE) AS day,
+             epoch_us(ts) AS t_us,
+             event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+      FROM events
+    ), stepped AS (
+      SELECT event_type, day, v_cents,
+             LEAD(t_us) OVER (PARTITION BY event_type, day
+                              ORDER BY t_us, event_id) - t_us AS dt_us
+      FROM samples
+    )
+    SELECT event_type, day,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(dt_us) AS BIGINT) AS covered_us,
+           CAST(CAST(SUM(CAST(v_cents AS HUGEINT) * dt_us) AS HUGEINT)
+                // SUM(dt_us) AS BIGINT) AS twap_cents
+    FROM stepped WHERE dt_us IS NOT NULL AND dt_us > 0
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_events_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) over IRREGULAR samples: each
+    observation holds until the next one, so its weight is the gap to
+    the successor — the correct mean for market data, gauge metrics and
+    sensor streams, where the arithmetic mean over-counts bursts of
+    rapid updates. Computed per (event_type, day); an observation's
+    value is carried as exact cents and its weight as exact
+    microseconds, the weighted sum rides DECIMAL(38,0)/HUGEINT (cents x
+    us overflows int64 at month horizons), and the final division is
+    the blessed integer div pairing — no float anywhere.
+
+    Boundary semantics (documented, mirrored by the oracle): each day's
+    LAST observation has no successor inside the partition and is
+    dropped (the step function is integrated over [first, last) of each
+    day); zero-length gaps (same-microsecond samples) carry zero weight
+    and are excluded with dt > 0. ``covered_us`` exposes the integrated
+    span so consumers can reason about coverage.
+
+    Scale: one lead() window per (type, day) partition key — bounded
+    partitions, co-located with the subsequent aggregate's key; one
+    shuffle total.
+    """
+    from pyspark.sql.window import Window
+
+    samples = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v_cents"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("t_us", "event_id")
+    stepped = samples.select(
+        "event_type",
+        "day",
+        "v_cents",
+        (F.lead("t_us").over(w) - F.col("t_us")).alias("dt_us"),
+    )
+    return (
+        stepped.filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+        .groupBy("event_type", "day")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dt_us").cast("bigint").alias("covered_us"),
+            F.expr(
+                "CAST(SUM(CAST(v_cents AS DECIMAL(38,0)) * dt_us)"
+                " div SUM(dt_us) AS BIGINT)"
+            ).alias("twap_cents"),
+        )
+        .orderBy("event_type", "day")
+    )
