@@ -1453,3 +1453,91 @@ def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, out_w int, out_h int,"
         " sum_r bigint, sum_g bigint, sum_b bigint",
     ).orderBy("doc_id")
+
+
+#: ViT-style patch grid over the 32x16 PPM: 4x4 patches of 8x4 pixels.
+_PATCH_ROWS, _PATCH_COLS = 4, 4
+_PATCH_H, _PATCH_W = _PPM_H // _PATCH_ROWS, _PPM_W // _PATCH_COLS
+
+
+def _patch_positions(pr: int, pc: int) -> list[int]:
+    """1-based positions of the patch's R-channel bytes in the text."""
+    return [
+        (r * _PPM_W + c) * 3 + 1
+        for r in range(pr * _PATCH_H, (pr + 1) * _PATCH_H)
+        for c in range(pc * _PATCH_W, (pc + 1) * _PATCH_W)
+    ]
+
+
+_PATCH_VALUES = ", ".join(
+    f"({pr}, {pc}, {_patch_positions(pr, pc)})"
+    for pr in range(_PATCH_ROWS)
+    for pc in range(_PATCH_COLS)
+)
+
+
+@query(
+    "multimodal_image_patches",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(split(substr(text, 1, {_PPM_BYTES}), ''),
+                            c -> unicode(c)) AS codes
+      FROM documents
+    )
+    SELECT doc_id, CAST(p.pr AS INT) AS patch_row, CAST(p.pc AS INT) AS patch_col,
+           CAST(COALESCE(list_sum(list_transform(p.poss,
+                k -> CASE WHEN k <= len(codes) THEN codes[k] ELSE 0 END)), 0)
+                AS BIGINT) AS sum_r
+    FROM b, (VALUES {_PATCH_VALUES}) AS p(pr, pc, poss)
+    """,
+)
+def q_multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style PATCH extraction: decode each 32x16 PPM payload and
+    split it into the 4x4 grid of 8x4-pixel patches — the
+    vision-transformer preprocessing step (images become patch-token
+    sequences), emitted as one row per (doc, patch) with the patch's
+    exact R-channel sum. The oracle samples each patch's 32 generated
+    byte positions straight from the text (the
+    [[multimodal_image_resize]] technique), so a one-pixel drift in the
+    patch grid — the classic off-by-one in patchify code — is a hash
+    mismatch on specific patches, not a fuzzy aggregate wobble.
+
+    Scale: decode + reshape run inside one mapInPandas batch at the
+    scan (numpy ``reshape(4, 4, 4, 8)``-family splitting, zero copies);
+    the 16x row fan-out happens AFTER the heavy decode, and payload
+    bytes never shuffle. Patch size is the model-contract knob; the
+    grid arithmetic is shared between engine and oracle from one
+    generator.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.encode(F.lit(f"P6\n{_PPM_W} {_PPM_H}\n255\n"), "utf-8"),
+        F.encode(F.substring("text", 1, _PPM_BYTES), "utf-8"),
+    )
+    media = docs.select("doc_id", payload.alias("payload"))
+    decode = decode_rgb
+    p_rows, p_cols, p_h, p_w = _PATCH_ROWS, _PATCH_COLS, _PATCH_H, _PATCH_W
+
+    def _patchify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode(bytes(buf))  # (16, 32, 3)
+                r = img[:, :, 0].astype("int64")
+                # (4, 4, 4, 8): patch grid x in-patch pixels
+                grid = r.reshape(p_rows, p_h, p_cols, p_w).transpose(0, 2, 1, 3)
+                sums = grid.sum(axis=(2, 3))
+                for pr in range(p_rows):
+                    for pc in range(p_cols):
+                        rows.append((int(doc_id), pr, pc, int(sums[pr, pc])))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "patch_row", "patch_col", "sum_r"]
+            )
+
+    return media.mapInPandas(
+        _patchify,
+        schema="doc_id bigint, patch_row int, patch_col int, sum_r bigint",
+    )
