@@ -817,7 +817,7 @@ def q_maintenance_two_table_atomic_publish(spark: SparkSession, sf_dir: str) -> 
     ), cur AS (
       SELECT o_orderpriority,
              CASE WHEN k % 8 = 0 THEN cents + k % 1000 + 1 ELSE cents END AS cents
-      FROM o WHERE k % 8 <> 4
+      FROM o WHERE k % 8 <> 4 AND k % 16 <> 8
     )
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
@@ -835,8 +835,11 @@ def q_maintenance_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving upserts — delta precedence by log order) or reads the
     compacted rewrite. Both paths must return identical content, and
     the oracle recomputes that content from the planted predicates
-    (same changelog as [[incremental_agg_retraction]]: reprice k%8=0,
-    insert k%4=3, delete k%8=4).
+    (reprice k%8=0, insert k%4=3, delete k%8=4 and k%16=8). Precedence
+    is exercised by construction: the k%16=8 keys are REPRICED in
+    delta 1 and TOMBSTONED in delta 2, so a reader that resolves
+    first-write-wins (or ignores seq) keeps rows the log deleted —
+    pinned as a negative control in pytest.
 
     ``read_paths_agree`` is computed from a REAL anti-join between the
     two materialized reads (count of differing rows == 0), not assumed.
@@ -864,7 +867,7 @@ def q_maintenance_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     base.write.parquet(base_path)
 
     upserts = (
-        o.filter((F.col("k") % 8 == 0) | (F.col("k") % 4 == 3))
+        o.filter((F.col("k") % 8 == 0) | (F.col("k") % 4 == 3))  # k%16==8 ⊂ k%8==0
         .withColumn(
             "cents",
             F.when(F.col("k") % 8 == 0, F.col("cents") + F.col("k") % 1000 + 1).otherwise(
@@ -873,9 +876,12 @@ def q_maintenance_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("op", F.lit("U"))
     )
-    tombstones = o.filter(F.col("k") % 8 == 4).select(
-        "k", "o_orderpriority", "cents", F.lit("D").alias("op")
-    )
+    # deletes: the %8==4 rows (never upserted) AND the %16==8 rows —
+    # which delta 1 just repriced, so tombstone precedence is decided
+    # by log order, not by key disjointness
+    tombstones = o.filter(
+        (F.col("k") % 8 == 4) | (F.col("k") % 16 == 8)
+    ).select("k", "o_orderpriority", "cents", F.lit("D").alias("op"))
     delta_path = os.path.join(root, "delta")
     upserts.withColumn("seq", F.lit(1)).write.parquet(os.path.join(delta_path, "d1"))
     tombstones.withColumn("seq", F.lit(2)).write.parquet(os.path.join(delta_path, "d2"))

