@@ -129,7 +129,8 @@ QUERIES = [
     "incremental_sliding_refresh", "events_littles_law_audit",
     "quality_functional_dependency_audit", "dedup_store_retention_gc",
     "udf_broadcast_lookup_scoring", "stream_sink_batchid_idempotence",
-    "layout_consistent_hash_ring",
+    "layout_consistent_hash_ring", "events_time_weighted_average",
+    "multimodal_image_patches",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
