@@ -1918,3 +1918,153 @@ def q_window_largest_remainder_apportion(spark: SparkSession, sf_dir: str) -> Da
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "ts_linear_interpolate_grid",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, user_id % 50 AS cohort,
+             date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS h,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2, 3
+    ), span AS (
+      SELECT event_type, cohort, MIN(h) AS lo, MAX(h) AS hi FROM obs GROUP BY 1, 2
+    ), grid AS (
+      SELECT s.event_type, s.cohort, unnest(range(s.lo, s.hi + 1)) AS h FROM span s
+    ), joined AS (
+      SELECT g.event_type, g.cohort, g.h, o.cents FROM grid g
+      LEFT JOIN obs o USING (event_type, cohort, h)
+    ), walls AS (
+      SELECT event_type, cohort, h, cents,
+             LAST_VALUE(cents IGNORE NULLS) OVER
+               (PARTITION BY event_type, cohort ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_prev,
+             LAST_VALUE(h_obs IGNORE NULLS) OVER
+               (PARTITION BY event_type, cohort ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_prev,
+             FIRST_VALUE(cents IGNORE NULLS) OVER
+               (PARTITION BY event_type, cohort ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+             FIRST_VALUE(h_obs IGNORE NULLS) OVER
+               (PARTITION BY event_type, cohort ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t_next
+      FROM (SELECT *, CASE WHEN cents IS NOT NULL THEN h END AS h_obs
+            FROM joined)
+    ), interp AS (
+      SELECT event_type, cohort,
+             (v_prev * (t_next - h) * 1000 + v_next * (h - t_prev) * 1000)
+               // (t_next - t_prev) AS interp_milli
+      FROM walls WHERE cents IS NULL
+    )
+    SELECT o.event_type, o.cohort,
+           COUNT(DISTINCT o.h) AS n_observed,
+           (SELECT COUNT(*) FROM interp i
+             WHERE i.event_type = o.event_type AND i.cohort = o.cohort) AS n_gaps,
+           (SELECT CAST(COALESCE(SUM(interp_milli), 0) AS BIGINT) FROM interp i
+             WHERE i.event_type = o.event_type AND i.cohort = o.cohort)
+             AS interp_sum_milli
+    FROM obs o GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_ts_linear_interpolate_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample irregular series to a dense hourly grid with LINEAR
+    interpolation — the numeric upgrade over LOCF gap-fill
+    ([[events_gapfill_daily]] carries the last value forward; a gauge
+    between two observations is better estimated by the line through
+    them). Per (event_type, user-cohort) series: hourly sums where
+    observed, and for every interior missing hour the exact rational
+    v_prev*(t_next-t) + v_next*(t-t_prev)) / (t_next-t_prev), carried
+    in integer milli-cents via the blessed div pairing — hours and
+    cents are ints, so interpolation needs no floats at all.
+
+    Neighbor discovery is the two-sided ignore-nulls window pair
+    (forward LAST_VALUE + backward FIRST_VALUE — the forward_fill
+    machinery run in both directions); series edges have no second
+    wall and stay un-interpolated by construction. Output collapses to
+    per-series (n_observed, n_gaps, interp_sum_milli), so every
+    interpolated value is adjudicated through the exact sum while the
+    compare relation stays O(series).
+
+    Scale: one keyed aggregate to the observed grid, one sequence-
+    explode per series for the grid (bounded by the time span), two
+    windows on the series key — all co-partitioned; no global state.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.groupBy(
+            "event_type",
+            (F.col("user_id") % 50).alias("cohort"),
+            (
+                (F.unix_micros("ts") - F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp")))
+                / F.lit(3600000000)
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=True)
+    )
+    span = obs.groupBy("event_type", "cohort").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = span.select(
+        "event_type",
+        "cohort",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("h"),
+    )
+    joined = grid.join(obs, ["event_type", "cohort", "h"], "left")
+    w_f = (
+        Window.partitionBy("event_type", "cohort")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_b = (
+        Window.partitionBy("event_type", "cohort")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    h_obs = F.when(F.col("cents").isNotNull(), F.col("h"))
+    walls = joined.select(
+        "event_type",
+        "cohort",
+        "h",
+        "cents",
+        F.last("cents", ignorenulls=True).over(w_f).alias("v_prev"),
+        F.last(h_obs, ignorenulls=True).over(w_f).alias("t_prev"),
+        F.first("cents", ignorenulls=True).over(w_b).alias("v_next"),
+        F.first(h_obs, ignorenulls=True).over(w_b).alias("t_next"),
+    )
+    interp = walls.filter(F.col("cents").isNull()).select(
+        "event_type",
+        "cohort",
+        F.expr(
+            "(v_prev * (t_next - h) * 1000 + v_next * (h - t_prev) * 1000)"
+            " div (t_next - t_prev)"
+        ).alias("interp_milli"),
+    )
+    gaps = interp.groupBy("event_type", "cohort").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("interp_milli").cast("bigint").alias("interp_sum_milli"),
+    )
+    return (
+        obs.groupBy("event_type", "cohort")
+        .agg(F.countDistinct("h").alias("n_observed"))
+        .join(gaps, ["event_type", "cohort"], "left")
+        .select(
+            "event_type",
+            "cohort",
+            "n_observed",
+            F.coalesce(F.col("n_gaps"), F.lit(0)).cast("bigint").alias("n_gaps"),
+            F.coalesce(F.col("interp_sum_milli"), F.lit(0))
+            .cast("bigint")
+            .alias("interp_sum_milli"),
+        )
+        .orderBy("event_type", "cohort")
+    )
