@@ -130,7 +130,7 @@ QUERIES = [
     "quality_functional_dependency_audit", "dedup_store_retention_gc",
     "udf_broadcast_lookup_scoring", "stream_sink_batchid_idempotence",
     "layout_consistent_hash_ring", "events_time_weighted_average",
-    "multimodal_image_patches",
+    "multimodal_image_patches", "ts_linear_interpolate_grid",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
