@@ -445,3 +445,53 @@ def q_source_python_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "source_provenance_input_file",
+    oracle="""
+    SELECT o_orderpriority AS partition_value,
+           COUNT(*) AS n_rows,
+           TRUE AS file_matches_partition
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_source_provenance_input_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level PROVENANCE via ``input_file_name()``: every row of a
+    hive-partitioned read carries the physical file it came from, and
+    the audit cross-checks that the partition value PARSED FROM THE
+    FILE PATH equals the row's partition column — the lineage primitive
+    behind per-file quarantine ("which drop poisoned the table?"),
+    reprocessing ledgers, and GDPR evidence trails.
+
+    ``file_matches_partition`` is an aggregate over the REAL per-row
+    comparison (count of mismatches == 0 per partition), so a row
+    mis-attributed to the wrong file — or a path-parsing regression —
+    flips the lane; row counts per partition are adjudicated against
+    the logical table. Scale: input_file_name() is metadata the scan
+    already holds (zero cost), and the audit is one aggregate.
+    """
+    base = tempfile.mkdtemp(prefix="sgq_prov_")
+    path = os.path.join(base, "orders_by_priority")
+    load_table(spark, sf_dir, "orders").write.partitionBy(
+        "o_orderpriority"
+    ).mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path).withColumn(
+        "from_path",
+        F.url_decode(
+            F.regexp_extract(F.input_file_name(), r"o_orderpriority=([^/]+)/", 1)
+        ),
+    )
+    return (
+        fact.groupBy(F.col("o_orderpriority").alias("partition_value"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            (
+                F.sum(
+                    F.when(F.col("from_path") != F.col("o_orderpriority"), 1).otherwise(0)
+                )
+                == 0
+            ).alias("file_matches_partition"),
+        )
+        .orderBy("partition_value")
+    )
