@@ -1594,3 +1594,98 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score_x10k"), "phrase")
         .limit(15)
     )
+
+
+@query(
+    "pipeline_mixture_temperature",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+               AS n_tok
+      FROM documents
+    ), by_lang AS (
+      SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM tok GROUP BY 1
+    ), w AS (
+      SELECT lang, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+               AS weight_q
+      FROM by_lang
+    ), tot AS (SELECT CAST(SUM(weight_q) AS BIGINT) AS total FROM w),
+    quota AS (
+      SELECT lang, n_tokens, weight_q,
+             (1000000 * weight_q) // (SELECT total FROM tot) AS base,
+             (1000000 * weight_q) % (SELECT total FROM tot) AS rem
+      FROM w
+    ), extra AS (
+      SELECT CAST(1000000 - SUM(base) AS BIGINT) AS n_extra FROM quota
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk FROM quota
+    )
+    SELECT lang, n_tokens, weight_q,
+           CAST(base + CASE WHEN rk <= (SELECT n_extra FROM extra)
+                            THEN 1 ELSE 0 END AS BIGINT) AS token_quota
+    FROM ranked ORDER BY lang
+    """,
+)
+def q_pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-tempered training-mix quotas: per-language sampling
+    budgets proportional to n_tokens^(1/T) with T=2 — the standard
+    mixture flattening (raw proportions starve low-resource languages;
+    T=2 upsamples them) — integerized with largest-remainder
+    apportionment so the quotas sum to the 1,000,000-token budget
+    EXACTLY. Composes two proven primitives: sqrt is the one tempering
+    exponent both engines round identically
+    ([[sample_negative_unigram_cdf]]'s argument), and the
+    quota-correction algebra is [[window_largest_remainder_apportion]]'s.
+    [[text_token_budget_sample]] ADMITS documents under a per-language
+    budget; this operator is the step before it — deciding what those
+    budgets should be.
+
+    Scale: one tokenize-count aggregate to O(languages) rows;
+    everything after runs on the tiny relation (the rank window is
+    domain-bounded).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    by_lang = (
+        docs.select(
+            "lang",
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("bigint").alias(
+                "n_tok"
+            ),
+        )
+        .groupBy("lang")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
+    )
+    w = by_lang.select(
+        "lang",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("weight_q"),
+    ).localCheckpoint(eager=True)
+    tot = w.agg(F.sum("weight_q").cast("bigint").alias("total"))
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        "weight_q",
+        F.expr("(1000000 * weight_q) div total").alias("base"),
+        ((F.lit(1000000) * F.col("weight_q")) % F.col("total")).alias("rem"),
+    )
+    extra = quota.agg((F.lit(1000000) - F.sum("base")).cast("bigint").alias("n_extra"))
+    ranked = quota.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("lang")))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(extra))
+        .select(
+            "lang",
+            "n_tokens",
+            "weight_q",
+            (F.col("base") + F.when(F.col("rk") <= F.col("n_extra"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("token_quota"),
+        )
+        .orderBy("lang")
+    )
