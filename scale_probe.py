@@ -131,6 +131,7 @@ QUERIES = [
     "udf_broadcast_lookup_scoring", "stream_sink_batchid_idempotence",
     "layout_consistent_hash_ring", "events_time_weighted_average",
     "multimodal_image_patches", "ts_linear_interpolate_grid",
+    "source_provenance_input_file", "pipeline_mixture_temperature",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
