@@ -509,3 +509,10 @@ def q_layout_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("worker")
     )
+
+
+# layout defines mapInPandas closures; executors do not have the repo
+# on sys.path (worker-closure rule), so pickle the module by value.
+from ..session import pickle_module_by_value  # noqa: E402
+
+pickle_module_by_value(__name__)

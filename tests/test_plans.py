@@ -768,27 +768,38 @@ def test_kcore_converged_within_round_cap(spark):
 
 def test_mor_wrong_precedence_is_detected(spark):
     """Negative control for merge-on-read: resolving deltas
-    FIRST-write-wins (ignoring log order) must produce DIFFERENT
-    content — i.e. the planted upsert-then-tombstone overlap actually
-    exercises precedence — while the registered last-wins read agrees
-    with the compacted rewrite."""
-    import tempfile as _tf
-
-    from pyspark.sql.window import Window as W
-
+    FIRST-write-wins (min seq instead of max) must produce DIFFERENT
+    content — the planted upsert-then-tombstone overlap exercises
+    precedence at row AND value level — while the registered last-wins
+    read agrees with the compacted rewrite."""
     rows = REGISTRY["maintenance_merge_on_read"].fn(spark, SF_SMALL).collect()
     assert all(r["read_paths_agree"] for r in rows)
-    # rebuild the delta log shape and resolve with the WRONG precedence
     o = load_table(spark, SF_SMALL, "orders").selectExpr(
         "o_orderkey AS k",
         "o_orderpriority",
         "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
     )
-    overlap = o.filter((F.col("k") % 16 == 8)).count()
-    assert overlap > 0  # precedence-deciding keys exist at the smallest SF
-    correct = sum(r["n_orders"] for r in rows)
-    # first-wins keeps the k%16==8 upserts the tombstones deleted
-    assert correct + overlap == o.filter(F.col("k") % 8 != 4).count()
+    overlap = o.filter(F.col("k") % 16 == 8)
+    n_overlap = overlap.count()
+    assert n_overlap > 0  # precedence-deciding keys exist at the smallest SF
+    # WRONG precedence: first-write-wins keeps the k%16==8 rows the
+    # tombstones deleted, at their delta-1 REPRICED value — so both the
+    # row count AND the revenue diverge from the registered read.
+    correct_n = sum(r["n_orders"] for r in rows)
+    correct_cents = sum(r["revenue_cents"] for r in rows)
+    wrong = (
+        o.filter(F.col("k") % 8 != 4)  # only the never-upserted deletes apply
+        .selectExpr(
+            "CASE WHEN k % 8 = 0 THEN cents + k % 1000 + 1 ELSE cents END AS cents"
+        )
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+        .collect()[0]
+    )
+    assert wrong["n"] == correct_n + n_overlap
+    repriced_overlap_cents = (
+        overlap.selectExpr("cents + k % 1000 + 1 AS c").agg(F.sum("c")).collect()[0][0]
+    )
+    assert wrong["cents"] == correct_cents + repriced_overlap_cents
 
 
 def test_atomic_publish_naive_reader_sees_mixed_generations(spark):
@@ -814,12 +825,31 @@ def test_atomic_publish_naive_reader_sees_mixed_generations(spark):
 
 
 def test_retention_gc_is_what_creates_readmission(spark):
-    """Negative control for the fingerprint GC: classified against the
-    FULL store, every previously-seen fingerprint is a duplicate —
-    re-admission appears only because retention expired it."""
+    """Negative control for the fingerprint GC: an INDEPENDENT
+    recomputation of the re-admitted lane (python md5, same day rule)
+    must match the query's count — so a wrong retention cutoff or a
+    broken retained-join fails here, not just the tautological lane
+    partition — and against the FULL store re-admission is zero by
+    definition."""
+    import hashlib
+
     row = REGISTRY["dedup_store_retention_gc"].fn(spark, SF_SMALL).collect()[0]
     assert row["n_readmitted"] > 0
-    # against the full store the re-admitted lane collapses into dup:
-    # (dup_recent + readmitted) is exactly the batch's seen-before mass
-    assert row["n_dup_recent"] + row["n_readmitted"] + row["n_novel"] == row["n_batch"]
     assert row["n_store_retained"] < row["n_store_full"]
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
+    def day(fp: str) -> int:
+        return int(hashlib.md5((fp + ":gcday").encode()).hexdigest()[:8], 16) % 10
+    store = {hashlib.md5(r["text"].encode()).hexdigest() for r in docs}
+    expired = {fp for fp in store if day(fp) < 5}
+    batch_fps = [
+        hashlib.md5(r["text"].encode()).hexdigest()
+        for r in docs
+        if r["doc_id"] % 3 == 0
+    ]
+    expected_readmitted = sum(1 for fp in batch_fps if fp in expired)
+    assert row["n_readmitted"] == expected_readmitted
+    # against the FULL store nothing is re-admitted: every batch fp that
+    # exists in store is dup-of-recent by definition
+    assert sum(1 for fp in batch_fps if fp in store and fp not in expired) == row[
+        "n_dup_recent"
+    ]
