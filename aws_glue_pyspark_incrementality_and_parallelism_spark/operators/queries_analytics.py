@@ -2068,3 +2068,98 @@ def q_ts_linear_interpolate_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "cohort")
     )
+
+
+@query(
+    "events_feature_drift_psi",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 'ref' ELSE 'cur' END
+               AS period,
+             CAST(floor(value / 10.0) AS BIGINT) AS bucket
+      FROM events
+    ), cells AS (
+      SELECT event_type, bucket,
+             CAST(SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      FROM tagged GROUP BY 1, 2
+    ), tots AS (
+      SELECT event_type,
+             CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+             CAST(SUM(n_cur) AS BIGINT) AS t_cur,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets
+      FROM cells GROUP BY 1
+    ), terms AS (
+      SELECT c.event_type,
+             CAST(floor(
+               LN(CAST((c.n_ref + 1) * (t.t_cur + t.n_buckets) AS DOUBLE)
+                  / CAST((c.n_cur + 1) * (t.t_ref + t.n_buckets) AS DOUBLE))
+               * (CAST(c.n_ref + 1 AS DOUBLE) / CAST(t.t_ref + t.n_buckets AS DOUBLE)
+                  - CAST(c.n_cur + 1 AS DOUBLE) / CAST(t.t_cur + t.n_buckets AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS term_micro
+      FROM cells c JOIN tots t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(SUM(term_micro) AS BIGINT) AS psi_micro
+    FROM terms GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_events_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the industry-standard ML-monitoring
+    drift metric — between the first and second half of the month for
+    each event type's value distribution (buckets of 10):
+    PSI = sum_b (p_b - q_b) * ln(p_b / q_b), add-one smoothed so empty
+    cells stay finite.
+
+    Exactness discipline: each bucket's term is computed from exact
+    integer counts through one ln of a cross-multiplied exact ratio
+    (identical doubles both engines, the BM25 precedent) times the
+    exact-fraction difference, quantized to micro-units PER BUCKET
+    before the per-type sum — no float accumulation order crosses
+    engines. PSI > 0.2 is the conventional "investigate" threshold;
+    the raw micro value is emitted so the threshold stays the
+    consumer's choice.
+
+    Scale: one fact-grain aggregate to (type x bucket) cells, then
+    O(cells) arithmetic — drift monitoring costs one scan per audit.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type",
+        F.when(F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), "ref")
+        .otherwise("cur")
+        .alias("period"),
+        F.floor(F.col("value") / 10.0).cast("bigint").alias("bucket"),
+    )
+    cells = tagged.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cur"),
+    )
+    tots = cells.groupBy("event_type").agg(
+        F.sum("n_ref").cast("bigint").alias("t_ref"),
+        F.sum("n_cur").cast("bigint").alias("t_cur"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+    )
+    j = cells.join(F.broadcast(tots), "event_type")
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + F.col("n_buckets")).cast(
+        "double"
+    )
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + F.col("n_buckets")).cast(
+        "double"
+    )
+    ratio = (
+        ((F.col("n_ref") + 1) * (F.col("t_cur") + F.col("n_buckets"))).cast("double")
+        / ((F.col("n_cur") + 1) * (F.col("t_ref") + F.col("n_buckets"))).cast("double")
+    )
+    term = F.floor(F.log(ratio) * (p - q) * 1000000 + F.lit(0.5)).cast("bigint")
+    return (
+        j.select("event_type", term.alias("term_micro"))
+        .groupBy("event_type")
+        .agg(F.sum("term_micro").cast("bigint").alias("psi_micro"))
+        .orderBy("event_type")
+    )
