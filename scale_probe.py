@@ -132,6 +132,7 @@ QUERIES = [
     "layout_consistent_hash_ring", "events_time_weighted_average",
     "multimodal_image_patches", "ts_linear_interpolate_grid",
     "source_provenance_input_file", "pipeline_mixture_temperature",
+    "events_feature_drift_psi",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
