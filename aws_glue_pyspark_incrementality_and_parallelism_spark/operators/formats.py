@@ -495,3 +495,65 @@ def q_source_provenance_input_file(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("partition_value")
     )
+
+
+@query(
+    "source_fixed_width_parse",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_source_fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-WIDTH file ingest — the mainframe/COBOL copybook feed
+    format Spark has no native reader for: each record is a padded
+    byte-layout line (orderkey 12, status 1, price-cents 12, zero
+    padding, no delimiters). The engine writes the feed with
+    deterministic formatting, reads it back as ``text`` lines, and
+    carves columns by POSITION (substring + cast) — the standard lane:
+    ``spark.read.text`` keeps the line splittable, and the positional
+    parse is a stateless projection Catalyst fully pipelines.
+
+    Parity is adjudicated on exact integer checksums against the
+    parquet ground truth (the [[source_multiformat_roundtrip]]
+    contract extended to the one format where a single off-by-one in a
+    column offset corrupts EVERY downstream digit — which is exactly
+    what the cents/key sums would catch).
+
+    Scale: text-line reads split by newline like CSV; the parse is
+    per-row arithmetic with zero shuffles before the checksum
+    aggregate. Schema lives in the offsets — version them like code.
+    """
+    base = tempfile.mkdtemp(prefix="sgq_fixedw_")
+    path = os.path.join(base, "orders.fw")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    line = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+        F.col("o_orderstatus"),
+        F.lpad(F.col("cents").cast("string"), 12, "0"),
+    )
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.substring("value", 1, 12).cast("bigint").alias("o_orderkey"),
+        F.substring("value", 13, 1).alias("o_orderstatus"),
+        F.substring("value", 14, 12).cast("bigint").alias("cents"),
+    )
+    return (
+        parsed.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
