@@ -1689,3 +1689,90 @@ def q_pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_zipf_slope",
+    oracle="""
+    WITH cnt AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents) GROUP BY 1
+    ), ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rank, n FROM cnt
+    ), pts AS (
+      SELECT CAST(floor(LN(CAST(rank AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+             CAST(floor(LN(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+      FROM ranked
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM pts
+    )
+    SELECT CAST(m AS BIGINT) AS n_points,
+           CAST(floor(CAST(m * sxy - sx * sy AS DOUBLE)
+                      / CAST(m * sxx - sx * sx AS DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) AS zipf_slope_micro
+    FROM sums
+    """,
+)
+def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent of the corpus vocabulary: OLS slope of
+    log-frequency on log-rank — the distributional sanity check
+    (natural language sits near -1; synthetic or templated corpora
+    drift toward flat) that data-quality dashboards plot next to
+    [[text_vocabulary_topk]].
+
+    Exactness: ln(rank) and ln(count) are LNs of exact integers
+    (identical doubles both engines, the BM25 precedent), quantized to
+    micro-units per POINT before any summation; the OLS fraction's
+    numerator/denominator are exact DECIMAL(38,0)/HUGEINT sums of
+    those quanta (the [[window_rolling_ols_slope]] algebra at corpus
+    grain — int64 would overflow on m*sxy), and the final ratio is one
+    double division of identical exact integers through the shared
+    floor rule.
+
+    Scale: one tokenize aggregate to the vocabulary relation; the rank
+    window and the regression sums run on O(vocabulary) rows.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    ranked = cnt.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("word")))
+    )
+    pts = ranked.select(
+        F.floor(F.log(F.col("rank").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(F.col("n").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+    sums = pts.agg(
+        F.count("*").cast("decimal(38,0)").alias("m"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    return sums.select(
+        F.col("m").cast("bigint").alias("n_points"),
+        F.floor(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("zipf_slope_micro"),
+    )
