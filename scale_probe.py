@@ -132,7 +132,8 @@ QUERIES = [
     "layout_consistent_hash_ring", "events_time_weighted_average",
     "multimodal_image_patches", "ts_linear_interpolate_grid",
     "source_provenance_input_file", "pipeline_mixture_temperature",
-    "events_feature_drift_psi",
+    "events_feature_drift_psi", "source_fixed_width_parse",
+    "text_zipf_slope",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
