@@ -1245,3 +1245,130 @@ def q_events_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "events_attribution_time_decay",
+    oracle="""
+    WITH conv AS (
+        SELECT user_id, event_id AS conv_id, epoch_us(ts) AS conv_us
+        FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT user_id, event_id AS touch_id, event_type, epoch_us(ts) AS touch_us
+        FROM events WHERE event_type IN ('click', 'view')
+    ), assigned AS (
+        SELECT c.conv_id, t.touch_id, t.event_type,
+               (1::BIGINT << CAST(6 - (c.conv_us - t.touch_us) // 86400000000
+                                  AS INT)) AS w
+        FROM conv c JOIN touch t
+          ON c.user_id = t.user_id
+         AND t.touch_us < c.conv_us
+         AND t.touch_us >= c.conv_us - 604800000000
+    ), quota AS (
+        SELECT conv_id, touch_id, event_type, w,
+               SUM(w) OVER (PARTITION BY conv_id) AS sumw
+        FROM assigned
+    ), based AS (
+        SELECT *, (1000 * w) // sumw AS base, (1000 * w) % sumw AS rem,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                                  ORDER BY (1000 * w) % sumw DESC, touch_id) AS rk,
+               1000 - SUM((1000 * w) // sumw) OVER (PARTITION BY conv_id)
+                 AS n_extra
+        FROM quota
+    ), credited AS (
+        SELECT conv_id, event_type,
+               base + CASE WHEN rk <= n_extra THEN 1 ELSE 0 END AS credit
+        FROM based
+    )
+    SELECT event_type,
+           COUNT(*) AS n_touchpoints,
+           CAST(SUM(credit) AS BIGINT) AS credit_milli,
+           (SELECT CAST(SUM(credit) AS BIGINT) FROM credited)
+             = 1000 * (SELECT COUNT(DISTINCT conv_id) FROM credited)
+             AS credit_conserved
+    FROM credited GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAY attribution with CONSERVATION-EXACT integer credits:
+    each touch in the 7 days before a purchase weighs 2^(6 - age_days)
+    (yesterday's click counts 64x a week-old one — exact dyadic, no
+    exp()), and every conversion's 1000 credit millis split
+    proportionally via PER-CONVERSION largest-remainder apportionment —
+    so the books balance exactly: sum(credits) == 1000 x conversions,
+    adjudicated as ``credit_conserved`` and impossible under naive
+    per-touch rounding. Completes the attribution family:
+    [[events_attribution_multitouch]] splits equally and tolerates
+    identical rounding loss; this one weights by recency and refuses
+    any loss.
+
+    Scale: the touch-conversion interval join is user-keyed and
+    time-bounded (the multitouch shape); the apportionment windows
+    partition BY CONVERSION — bounded groups, co-located with the join
+    output, never a global ordering.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.unix_micros("ts").alias("conv_us"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        "event_type",
+        F.unix_micros("ts").alias("touch_us"),
+    )
+    # both relations descend from the same scan — alias explicitly so
+    # the user_id equality binds left-to-right, not trivially-true
+    assigned = conv.alias("c").join(
+        touch.alias("t"),
+        (F.col("c.user_id") == F.col("t.user_id"))
+        & (F.col("t.touch_us") < F.col("c.conv_us"))
+        & (F.col("t.touch_us") >= F.col("c.conv_us") - 604800000000),
+    ).select(
+        "conv_id",
+        "touch_id",
+        "event_type",
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT),"
+            " CAST(6 - (conv_us - touch_us) div 86400000000 AS INT))"
+        ).alias("w"),
+    )
+    w_conv = Window.partitionBy("conv_id")
+    quota = assigned.withColumn("sumw", F.sum("w").over(w_conv)).select(
+        "conv_id",
+        "touch_id",
+        "event_type",
+        F.expr("(1000 * w) div sumw").alias("base"),
+        ((F.lit(1000) * F.col("w")) % F.col("sumw")).alias("rem"),
+    )
+    based = quota.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("conv_id").orderBy(F.desc("rem"), F.asc("touch_id"))
+        ),
+    ).withColumn("n_extra", F.lit(1000) - F.sum("base").over(w_conv))
+    credited = based.select(
+        "conv_id",
+        "event_type",
+        (F.col("base") + F.when(F.col("rk") <= F.col("n_extra"), 1).otherwise(0)).alias(
+            "credit"
+        ),
+    ).localCheckpoint(eager=True)
+    conserved = credited.agg(
+        (
+            F.sum("credit") == F.lit(1000) * F.countDistinct("conv_id")
+        ).alias("credit_conserved")
+    )
+    return (
+        credited.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_touchpoints"),
+            F.sum("credit").cast("bigint").alias("credit_milli"),
+        )
+        .crossJoin(F.broadcast(conserved))
+        .orderBy("event_type")
+    )
