@@ -133,7 +133,7 @@ QUERIES = [
     "multimodal_image_patches", "ts_linear_interpolate_grid",
     "source_provenance_input_file", "pipeline_mixture_temperature",
     "events_feature_drift_psi", "source_fixed_width_parse",
-    "text_zipf_slope",
+    "text_zipf_slope", "events_attribution_time_decay",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
