@@ -424,3 +424,64 @@ def q_incremental_late_arriving_dimension(spark: SparkSession, sf_dir: str) -> D
             "revenue_cents",
         )
     )
+
+
+@query(
+    "incremental_scan_composite_hwm",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_new,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(MAX(o_orderdate) AS TIMESTAMP) AS max_date,
+           CAST(MAX(CASE WHEN o_orderdate =
+                    (SELECT MAX(o_orderdate) FROM orders) THEN o_orderkey END)
+                AS BIGINT) AS max_key_at_max_date
+    FROM orders
+    WHERE o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
+       OR (o_orderdate = TIMESTAMP '1998-01-01 00:00:00' AND o_orderkey > 1000)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_incremental_scan_composite_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITE job bookmark — the reference's ``jobBookmarkKeys`` is a
+    LIST (glue_rds_to_redshift.py:31: ["transaction_id"], but the
+    contract is multi-column), and the correct multi-key watermark is
+    LEXICOGRAPHIC: a row is new iff (date, key) > (hwm_date, hwm_key)
+    in dictionary order — date strictly greater, OR equal date with a
+    greater key. The naive conjunctive form (date >= hwm AND key > k)
+    silently drops every row whose key restarted below the old key on a
+    newer date — the classic composite-bookmark bug.
+
+    [[incremental_scan_hwm]] covers the single-key contract; this query
+    runs the two-key predicate against the planted (1998-01-01, 1000)
+    bookmark and also emits the NEXT bookmark pair (max date + max key
+    at that date) so the commit step is part of the adjudicated
+    surface. Scale: the date leg of the predicate partition-prunes on
+    date-partitioned layout; the equal-date leg touches one partition.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    hwm_d = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    hwm_k = F.lit(1000)
+    delta = o.filter(
+        (F.col("o_orderdate") > hwm_d)
+        | ((F.col("o_orderdate") == hwm_d) & (F.col("o_orderkey") > hwm_k))
+    )
+    max_d = delta.agg(F.max("o_orderdate").alias("md"))
+    return (
+        delta.crossJoin(F.broadcast(max_d))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_new"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+            F.max("o_orderdate").alias("max_date"),
+            F.max(
+                F.when(F.col("o_orderdate") == F.col("md"), F.col("o_orderkey"))
+            )
+            .cast("bigint")
+            .alias("max_key_at_max_date"),
+        )
+        .orderBy("o_orderpriority")
+    )
