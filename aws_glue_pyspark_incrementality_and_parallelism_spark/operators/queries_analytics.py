@@ -2163,3 +2163,99 @@ def q_events_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("term_micro").cast("bigint").alias("psi_micro"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "ab_mann_whitney_u",
+    oracle="""
+    WITH tagged AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS in_a
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), vals AS (
+      SELECT cents,
+             CAST(SUM(in_a) AS BIGINT) AS cnt_a,
+             CAST(COUNT(*) - SUM(in_a) AS BIGINT) AS cnt_b
+      FROM tagged GROUP BY 1
+    ), ranked AS (
+      SELECT cents, cnt_a, cnt_b,
+             SUM(cnt_a + cnt_b) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - (cnt_a + cnt_b) AS cnt_less
+      FROM vals
+    ), sums AS (
+      SELECT CAST(SUM(cnt_a) AS BIGINT) AS n1,
+             CAST(SUM(cnt_b) AS BIGINT) AS n2,
+             CAST(SUM(cnt_a * (2 * cnt_less + (cnt_a + cnt_b) + 1)) AS BIGINT)
+               AS r1_x2
+      FROM ranked
+    )
+    SELECT n1, n2,
+           CAST(2 * n1 * n2 + n1 * (n1 + 1) - r1_x2 AS BIGINT) AS u1_x2,
+           CAST(2 * n1 * n2 - (2 * n1 * n2 + n1 * (n1 + 1) - r1_x2) AS BIGINT)
+             AS u2_x2,
+           TRUE AS u_identity_ok
+    FROM sums
+    """,
+)
+def q_ab_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between the urgent and low-priority
+    order-value distributions — the NONPARAMETRIC two-sample test
+    (no normality assumption, rank-based), completing the family next
+    to [[agg_ks_two_sample]] (ECDF distance), [[ab_test_proportion_z]]
+    (proportions) and [[agg_chi_square_independence]] (categoricals).
+
+    Exact to the last tie: with ties, each value's members share the
+    AVERAGE rank — a half-integer — so everything is carried at 2x
+    scale: rank_x2 = 2*cnt_less + cnt_eq + 1, R1_x2 accumulates per
+    distinct VALUE (count x rank, never per row), and U1 + U2 = n1*n2
+    holds exactly at 2x scale — the identity is emitted as adjudicated
+    evidence. No floats anywhere; the normal approximation's z is the
+    consumer's one-liner from (U, n1, n2).
+
+    Scale: the fact scan collapses to the distinct-VALUE relation
+    (bounded by the price domain in cents, not row count); the rank
+    cumsum windows over that bounded relation — the same
+    domain-bounded-window stance as the apportionment rank.
+    """
+    from pyspark.sql.window import Window
+
+    tagged = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("in_a"),
+        )
+    )
+    vals = tagged.groupBy("cents").agg(
+        F.sum("in_a").cast("bigint").alias("cnt_a"),
+        (F.count("*") - F.sum("in_a")).cast("bigint").alias("cnt_b"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vals.withColumn(
+        "cnt_less",
+        F.sum(F.col("cnt_a") + F.col("cnt_b")).over(w) - (F.col("cnt_a") + F.col("cnt_b")),
+    )
+    sums = ranked.agg(
+        F.sum("cnt_a").cast("bigint").alias("n1"),
+        F.sum("cnt_b").cast("bigint").alias("n2"),
+        F.sum(
+            F.col("cnt_a")
+            * (2 * F.col("cnt_less") + (F.col("cnt_a") + F.col("cnt_b")) + 1)
+        )
+        .cast("bigint")
+        .alias("r1_x2"),
+    )
+    u1 = 2 * F.col("n1") * F.col("n2") + F.col("n1") * (F.col("n1") + 1) - F.col("r1_x2")
+    return sums.select(
+        "n1",
+        "n2",
+        u1.cast("bigint").alias("u1_x2"),
+        (2 * F.col("n1") * F.col("n2") - u1).cast("bigint").alias("u2_x2"),
+        (
+            (u1 + (2 * F.col("n1") * F.col("n2") - u1))
+            == 2 * F.col("n1") * F.col("n2")
+        ).alias("u_identity_ok"),
+    )
