@@ -1776,3 +1776,97 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("zipf_slope_micro"),
     )
+
+
+@query(
+    "text_code_detection",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN 'def f_' || CAST(doc_id AS VARCHAR) || '() { return ['
+                       || replace(trim(text), ' ', '(); ') || ']; }'
+                  ELSE text END AS body,
+             doc_id % 5 = 0 AS expected_code
+      FROM documents
+    ), scored AS (
+      SELECT expected_code,
+             (1000000 * (length(body)
+                         - length(regexp_replace(body, '[;{}()=\\[\\]]', '', 'g'))))
+               // length(body) AS score_micro
+      FROM corpus WHERE length(body) > 0
+    )
+    SELECT expected_code,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN score_micro > 20000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged_code,
+           CAST(SUM(score_micro) AS BIGINT) AS score_sum_micro,
+           SUM(CASE WHEN score_micro > 20000 THEN 1 ELSE 0 END)
+             = CASE WHEN expected_code THEN COUNT(*) ELSE 0 END AS classifier_clean
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODE-vs-PROSE detection — the corpus-routing signal every
+    LLM-pretraining mix needs (code goes to the code pipeline with its
+    own dedup/quality rules; prose goes to the text one). The heuristic
+    is the standard structural-character density: count of
+    ;{}()[]= per byte, in exact micro-units via the
+    length-minus-stripped-length trick (no per-char UDF), thresholded
+    at 2%.
+
+    Evidence is planted (the established convention): every 5th
+    document becomes statement-per-word pseudo-code engine-side — the
+    IDENTICAL transformation runs in the oracle — so both corpus lanes
+    exist at every SF with length-independent structural density, and
+    ``classifier_clean`` adjudicates exact separation (flagged == all
+    planted code, == none of the prose; the first fixed-wrapper draft
+    diluted below threshold on long documents — measured, and exactly
+    the failure mode the threshold knob exists for). On real data the threshold is the tuning knob; the
+    score distribution per lane (score_sum_micro) is what tunes it.
+
+    Scale: one stateless projection + one 2-row aggregate — classifying
+    100 TB costs the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("def f_"),
+                F.col("doc_id").cast("string"),
+                F.lit("() { return ["),
+                # statement-per-word separators keep the structural
+                # density length-independent (a fixed wrapper dilutes
+                # below threshold on long documents — measured 60/100)
+                F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("(); ")),
+                F.lit("]; }"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("body"),
+        (F.col("doc_id") % 5 == 0).alias("expected_code"),
+    ).filter(F.length("body") > 0)
+    scored = corpus.select(
+        "expected_code",
+        F.expr(
+            "(1000000 * (length(body)"
+            " - length(regexp_replace(body, '[;{}()=\\\\[\\\\]]', ''))))"
+            " div length(body)"
+        ).alias("score_micro"),
+    )
+    return (
+        scored.groupBy("expected_code")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("score_micro") > 20000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged_code"),
+            F.sum("score_micro").cast("bigint").alias("score_sum_micro"),
+            (
+                F.sum(F.when(F.col("score_micro") > 20000, 1).otherwise(0))
+                == F.when(F.first("expected_code"), F.count("*")).otherwise(0)
+            ).alias("classifier_clean"),
+        )
+        .orderBy("expected_code")
+    )
