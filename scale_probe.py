@@ -134,7 +134,8 @@ QUERIES = [
     "source_provenance_input_file", "pipeline_mixture_temperature",
     "events_feature_drift_psi", "source_fixed_width_parse",
     "text_zipf_slope", "events_attribution_time_decay",
-    "incremental_scan_composite_hwm",
+    "incremental_scan_composite_hwm", "ab_mann_whitney_u",
+    "text_code_detection",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
