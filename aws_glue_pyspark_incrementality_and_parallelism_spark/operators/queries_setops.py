@@ -173,3 +173,44 @@ def q_setop_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+@query(
+    "setop_symmetric_difference",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    ), b AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    )
+    SELECT o_custkey,
+           CASE WHEN o_custkey IN (SELECT o_custkey FROM a)
+                THEN 'early_only' ELSE 'late_only' END AS side
+    FROM (
+      SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b
+      UNION ALL
+      SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a
+    )
+    """,
+)
+def q_setop_symmetric_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference — the one set operator the setop family
+    lacked: customers active ONLY before 1996 or ONLY from 1996 on
+    (churned ∪ newly-acquired), tagged by side. Composed as
+    (A EXCEPT B) UNION ALL (B EXCEPT A) — the two EXCEPT branches are
+    disjoint by construction, so UNION ALL is safe and skips a
+    distinct; each branch is a hash anti-join on the shared key.
+
+    Scale: both inputs collapse to distinct key sets first (one
+    aggregate each), so the anti-joins run at key grain; at 100 TB the
+    date predicate partition-prunes each side's scan.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    boundary = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    a = o.filter(F.col("o_orderdate") < boundary).select("o_custkey").distinct()
+    b = o.filter(F.col("o_orderdate") >= boundary).select("o_custkey").distinct()
+    early_only = a.exceptAll(b).withColumn("side", F.lit("early_only"))
+    late_only = b.exceptAll(a).withColumn("side", F.lit("late_only"))
+    return early_only.unionByName(late_only)
