@@ -135,7 +135,7 @@ QUERIES = [
     "events_feature_drift_psi", "source_fixed_width_parse",
     "text_zipf_slope", "events_attribution_time_decay",
     "incremental_scan_composite_hwm", "ab_mann_whitney_u",
-    "text_code_detection",
+    "text_code_detection", "setop_symmetric_difference",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
