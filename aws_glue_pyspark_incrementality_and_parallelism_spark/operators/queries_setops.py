@@ -189,9 +189,9 @@ def q_setop_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN o_custkey IN (SELECT o_custkey FROM a)
                 THEN 'early_only' ELSE 'late_only' END AS side
     FROM (
-      SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b
+      (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
       UNION ALL
-      SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a
+      (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
     )
     """,
 )

@@ -129,6 +129,14 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         lo, hi = int(start["pos"]), int(end["pos"])
+        # Restart clamp: a fresh reader instance starts _last at 0, but a
+        # checkpointed restart can hand us offsets at pos N >= rows_per_batch
+        # (re-running the last uncommitted batch). Advance _last to the
+        # resumed position so the NEXT latestOffset continues from N instead
+        # of replaying the ladder from 0 — otherwise an availableNow /
+        # processAllAvailable run after restart can go idle (end <= start)
+        # before the remaining rows are emitted.
+        self._last = max(getattr(self, "_last", 0), lo, hi)
         if hi <= lo:
             return []
         n = self.n_partitions
@@ -149,7 +157,12 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
             )
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are derivable; nothing to clean up
+        # Offsets are derivable so there is nothing to clean up, but the
+        # commit callback is the one signal a RESTARTED reader gets when the
+        # last checkpointed batch was already fully committed (Spark replays
+        # commit() during recovery before planning the next batch) — clamp
+        # progress so latestOffset resumes from the committed position.
+        self._last = max(getattr(self, "_last", 0), int(end["pos"]))
 
 
 def register_python_sources(spark: SparkSession) -> None:

@@ -195,6 +195,49 @@ class TestPythonDataSource:
         )
         assert got == batch, "stream and batch readers must agree row-for-row"
 
+    def test_stream_reader_restart_from_checkpoint_resumes(self, spark, tmp_path):
+        """Stop/restart-from-checkpoint: the first run ingests a strict
+        prefix (max_rows=140 of 300), then a SECOND query over the same
+        checkpoint raises the cap to 300. The restarted reader is a fresh
+        instance whose in-memory ladder starts at 0; without the restart
+        clamp (partitions()/commit() advancing _last to the checkpointed
+        pos) the second run goes idle before emitting rows 140..299."""
+        from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.pysource import (
+            register_python_sources,
+        )
+
+        register_python_sources(spark)
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+
+        def run(max_rows: int) -> None:
+            q = (
+                spark.readStream.format("synthetic_events")
+                .option("rows_per_batch", 60)
+                .option("max_rows", max_rows)
+                .option("partitions", 3)
+                .option("seed", 7)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        run(140)
+        first = spark.read.parquet(out).count()
+        assert first == 140, "first run ingests the prefix"
+        run(300)
+        got = sorted(r[0] for r in spark.read.parquet(out).select("event_id").collect())
+        assert got == list(range(300)), (
+            "restart must resume from the checkpointed offset losslessly: "
+            f"got {len(got)} rows"
+        )
+
 
 class TestBinaryFileSource:
     def test_binary_dir_ingestion(self, spark, tmp_path):
