@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import struct
 
+from .jpeg import decode_baseline_jpeg
+
 #: Container boxes whose payload is a sequence of child boxes.
 _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 
@@ -183,6 +185,220 @@ def encode_mp4_skeleton(
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
     mdat = _box(b"mdat", b"")
     return ftyp + moov + mdat
+
+
+#: Sample-entry fourCCs whose samples are independent baseline JPEGs
+#: (motion-JPEG in ISO-BMFF); everything else needs a codec library.
+_MJPEG_CODECS = (b"jpeg", b"mjpa")
+
+
+def encode_mp4_mjpeg(
+    jpeg_frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Wrap already-encoded JPEG payloads in a spec-real fast-start MP4
+    (moov before mdat): full sample tables — stsd('jpeg'
+    VisualSampleEntry with true geometry), stts (uniform frame
+    duration), stsc (one sample per chunk), stsz (per-sample sizes),
+    stco (ABSOLUTE file offsets into mdat). The canonical writer for
+    tests and the frame-decode query; ``parse_mp4_samples`` is
+    additionally pinned against hand-assembled spec bytes so writer and
+    parser cannot cancel out a shared misreading.
+
+    Fast-start layout is load-bearing for the ingest path: with moov
+    first, the capability registry can sub-type MJPEG-vs-other MP4 from
+    the first few KB of the payload (multimodal.detect_format_col)."""
+    n = len(jpeg_frames)
+    timescale = 1000
+    dur = timescale // fps if fps else 0
+
+    def moov(offsets: list[int]) -> bytes:
+        mvhd = _box(
+            b"mvhd",
+            struct.pack(">BxxxIIII", 0, 0, 0, timescale, n * dur) + b"\x00" * 80,
+        )
+        tkhd = _box(
+            b"tkhd",
+            struct.pack(">BxxxIIII", 0, 0, 0, 1, n * dur)
+            + b"\x00" * 52
+            + struct.pack(">II", width << 16, height << 16),
+        )
+        # VisualSampleEntry (14496-12 §12.1.3): 6 reserved + data-ref
+        # index, 16 pre_defined/reserved, geometry, 72 dpi fixed-point,
+        # frame_count=1, 32-byte compressorname, depth, pre_defined=-1
+        entry = _box(
+            b"jpeg",
+            b"\x00" * 6
+            + struct.pack(">H", 1)
+            + b"\x00" * 16
+            + struct.pack(">HHIIIH", width, height, 0x00480000, 0x00480000, 0, 1)
+            + b"\x00" * 32
+            + struct.pack(">Hh", 24, -1),
+        )
+        stsd = _box(b"stsd", struct.pack(">II", 0, 1) + entry)
+        stts = _box(
+            b"stts",
+            struct.pack(">II", 0, 0)
+            if n == 0
+            else struct.pack(">IIII", 0, 1, n, dur),
+        )
+        stsc = _box(b"stsc", struct.pack(">IIIII", 0, 1, 1, 1, 1))
+        stsz = _box(
+            b"stsz",
+            struct.pack(">III", 0, 0, n)
+            + b"".join(struct.pack(">I", len(f)) for f in jpeg_frames),
+        )
+        stco = _box(
+            b"stco",
+            struct.pack(">II", 0, n) + b"".join(struct.pack(">I", o) for o in offsets),
+        )
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = _box(b"minf", stbl)
+        mdhd = _box(
+            b"mdhd", struct.pack(">BxxxIIII", 0, 0, 0, timescale, n * dur) + b"\x00" * 4
+        )
+        hdlr = _box(
+            b"hdlr", struct.pack(">I", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 13
+        )
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak = _box(b"trak", tkhd + mdia)
+        return _box(b"moov", mvhd + trak)
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    # stco holds absolute offsets: fixed-width u32, so the moov length
+    # is offset-independent — size with zeros, then rebuild for real
+    header_len = len(ftyp) + len(moov([0] * n)) + 8  # +8 = mdat header
+    offsets, pos = [], header_len
+    for f in jpeg_frames:
+        offsets.append(pos)
+        pos += len(f)
+    mdat = _box(b"mdat", b"".join(jpeg_frames))
+    return ftyp + moov(offsets) + mdat
+
+
+def parse_mp4_samples(payload: bytes) -> dict:
+    """Parse the first video track's SAMPLE TABLES and extract raw
+    sample payloads: ``{codec, width, height, fps, n_frames, frames:
+    list[bytes]}``. Full stsc expansion (sample→chunk mapping), stco
+    absolute offsets, stsz sizes — the general spec path, not just the
+    one-sample-per-chunk layout the encoder emits. Only MJPEG sample
+    entries (fourCC 'jpeg'/'mjpa') are extractable without codec
+    libraries; anything else raises NotImplementedError naming the
+    fourCC, which the capability registry turns into a routing
+    predicate upstream so no mixed corpus hits the raise mid-job."""
+    tracks: list[dict] = []
+
+    def visit(start: int, end: int) -> None:
+        for btype, body, box_end in walk_boxes(payload, start, end):
+            if btype in _CONTAINERS:
+                if btype == b"trak":
+                    tracks.append({})
+                visit(body, box_end)
+            elif not tracks:
+                continue
+            elif btype == b"tkhd":
+                tracks[-1]["width"] = _u32(payload, box_end - 8) >> 16
+                tracks[-1]["height"] = _u32(payload, box_end - 4) >> 16
+            elif btype == b"mdhd":
+                ver = payload[body]
+                tracks[-1]["timescale"] = _u32(
+                    payload, body + (20 if ver == 1 else 12)
+                )
+            elif btype == b"hdlr":
+                tracks[-1]["handler"] = payload[body + 8 : body + 12].decode("latin1")
+            elif btype == b"stsd":
+                first = body + 8
+                if first + 8 <= box_end:
+                    tracks[-1]["codec"] = payload[first + 4 : first + 8]
+            elif btype == b"stts":
+                cnt = _u32(payload, body + 4)
+                if cnt:
+                    tracks[-1]["sample_dur"] = _u32(payload, body + 12)
+            elif btype == b"stsc":
+                cnt = _u32(payload, body + 4)
+                tracks[-1]["stsc"] = [
+                    (
+                        _u32(payload, body + 8 + 12 * k),
+                        _u32(payload, body + 12 + 12 * k),
+                    )
+                    for k in range(cnt)
+                ]
+            elif btype == b"stsz":
+                fixed = _u32(payload, body + 4)
+                cnt = _u32(payload, body + 8)
+                tracks[-1]["sizes"] = (
+                    [fixed] * cnt
+                    if fixed
+                    else [_u32(payload, body + 12 + 4 * k) for k in range(cnt)]
+                )
+            elif btype == b"stco":
+                cnt = _u32(payload, body + 4)
+                tracks[-1]["stco"] = [
+                    _u32(payload, body + 8 + 4 * k) for k in range(cnt)
+                ]
+
+    visit(0, len(payload))
+    vide = next((t for t in tracks if t.get("handler") == "vide"), None)
+    if vide is None:
+        raise ValueError("mp4: no video ('vide' handler) track found")
+    codec = vide.get("codec", b"????")
+    if codec not in _MJPEG_CODECS:
+        raise NotImplementedError(
+            f"mp4 video codec {codec.decode('latin1')!r}: only MJPEG "
+            "('jpeg'/'mjpa' sample entries) is decodable without codec "
+            "libraries"
+        )
+    sizes = vide.get("sizes", [])
+    stco = vide.get("stco", [])
+    stsc = vide.get("stsc", [])
+    if not (sizes and stco and stsc):
+        raise ValueError("mp4: video track missing stsz/stco/stsc sample tables")
+    # stsc expansion: entry (first_chunk, samples_per_chunk) applies to
+    # chunks [first_chunk, next_entry.first_chunk)
+    frames: list[bytes] = []
+    sample = 0
+    for k, (first_chunk, spc) in enumerate(stsc):
+        last_chunk = (
+            stsc[k + 1][0] - 1 if k + 1 < len(stsc) else len(stco)
+        )
+        for chunk in range(first_chunk, last_chunk + 1):
+            off = stco[chunk - 1]
+            for _ in range(spc):
+                if sample >= len(sizes):
+                    break
+                sz = sizes[sample]
+                if off + sz > len(payload):
+                    raise ValueError(
+                        f"mp4: sample {sample} (offset {off}, size {sz}) "
+                        "overruns the payload"
+                    )
+                frames.append(payload[off : off + sz])
+                off += sz
+                sample += 1
+    if sample != len(sizes):
+        raise ValueError(
+            f"mp4: sample tables inconsistent — stsz names {len(sizes)} "
+            f"samples but stsc/stco cover {sample}"
+        )
+    ts = vide.get("timescale", 0)
+    dur = vide.get("sample_dur", 0)
+    return {
+        "codec": codec.decode("latin1"),
+        "width": vide.get("width", 0),
+        "height": vide.get("height", 0),
+        "fps": ts // dur if dur else 0,
+        "n_frames": len(frames),
+        "frames": frames,
+    }
+
+
+def decode_mp4_frames(payload: bytes) -> tuple[dict, list]:
+    """Parse + per-frame MJPEG decode: returns (meta-without-bytes,
+    [HxWx3 uint8 arrays]) — the MP4 mirror of ``avi.decode_avi_frames``.
+    Each sample is an independent baseline JPEG, so decode parallelizes
+    at frame granularity with zero inter-frame state."""
+    meta = parse_mp4_samples(payload)
+    frames = [decode_baseline_jpeg(f) for f in meta.pop("frames")]
+    return meta, frames
 
 
 from ..session import pickle_module_by_value  # noqa: E402

@@ -214,6 +214,12 @@ FORMAT_DECODABLE: dict[str, bool] = {
     "avi (mjpeg)": True,
     "wav (riff audio)": False,
     "riff (webp/wav/avi)": False,
+    # ISO-BMFF is sub-typed by the stsd sample-entry fourCC visible in
+    # the sniff window: fast-start MJPEG files ('jpeg'/'mjpa' entries,
+    # moov before mdat) decode via operators.mp4; every other MP4
+    # (H.264/HEVC/AAC, or MJPEG with moov trailing the media) stays in
+    # the deferred lane.
+    "mp4 (mjpeg)": True,
     "mp4/iso-bmff": False,
     "unknown": False,
 }
@@ -238,9 +244,24 @@ def detect_format_col(payload: Column) -> Column:
     # RIFF label above.
     riff = F.substring(payload, 1, 4) == F.lit(bytearray(b"RIFF"))
     form = F.substring(payload, 9, 4)
+    # ISO-BMFF sub-typing: 'ftyp' at bytes 5-8 names the family; the
+    # MJPEG lane additionally needs an MJPEG sample entry ('jpeg'/'mjpa'
+    # fourCC followed by VisualSampleEntry's six spec-mandated zero
+    # reserved bytes) inside the first 4 KB — present exactly when the
+    # file is fast-start (moov before mdat), which is also the layout a
+    # streaming ingest requires. O(4 KB) per payload, still JVM-side.
+    bmff = F.substring(payload, 5, 4) == F.lit(bytearray(b"ftyp"))
+    head = F.substring(payload, 1, 4096)
+    mjpeg_entry = F.lit(False)
+    for cc in (b"jpeg", b"mjpa"):
+        mjpeg_entry = mjpeg_entry | F.contains(
+            head, F.lit(bytearray(cc + b"\x00" * 6))
+        )
     return (
         F.when(riff & (form == F.lit(bytearray(b"AVI "))), "avi (mjpeg)")
         .when(riff & (form == F.lit(bytearray(b"WAVE"))), "wav (riff audio)")
+        .when(bmff & mjpeg_entry, "mp4 (mjpeg)")
+        .when(bmff, "mp4/iso-bmff")
         .otherwise(expr)
     )
 
@@ -307,6 +328,16 @@ def decode_rgb(payload: bytes) -> "object":
         _meta, frames = decode_avi_frames(payload)
         if not frames:
             raise ValueError("AVI container with no video frames")
+        return frames[0]
+    if payload[4:8] == b"ftyp":
+        # MJPEG-in-MP4 decodes for real (first frame, the GIF/AVI
+        # convention); other codecs raise NAMED from parse_mp4_samples
+        # — routing (detect_format_col) keeps them off this path.
+        from .mp4 import decode_mp4_frames
+
+        _meta, frames = decode_mp4_frames(payload)
+        if not frames:
+            raise ValueError("MP4 container with no video samples")
         return frames[0]
     for magic, fmt in _CODEC_MAGICS:
         if payload.startswith(magic):
@@ -1002,6 +1033,112 @@ def q_multimodal_video_avi_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         _video,
         schema="doc_id long, frame_idx int, n_frames int, width int, "
         "height int, fps int, frame_ok boolean",
+    )
+
+
+#: Geometry for the MP4/MJPEG round-trip query: 3 frames of 24x8 gray,
+#: 12 fps — distinct from the AVI query's so a shared container bug
+#: can't make the two cancel out.
+_MP4_W, _MP4_H, _MP4_FRAMES, _MP4_FPS = 24, 8, 3, 12
+
+
+@query(
+    "multimodal_decode_mp4_frames",
+    oracle=f"""
+    SELECT d.doc_id, f.frame_idx,
+           {_MP4_FRAMES} AS n_frames, {_MP4_W} AS width, {_MP4_H} AS height,
+           {_MP4_FPS} AS fps, 'jpeg' AS codec,
+           'mp4 (mjpeg)' AS format, TRUE AS frame_ok
+    FROM documents d, (VALUES (0), (1), (2)) f(frame_idx)
+    """,
+)
+def q_multimodal_decode_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 VIDEO through the ISO-BMFF lane (round-4 close of the
+    RIFF/MP4 deferred gap): per document, build 3 grayscale frames from
+    the text bytes, JPEG-encode each, mux them into a spec-real
+    fast-start MP4 — full stsd/stts/stsc/stsz/stco sample tables
+    (``mp4.encode_mp4_mjpeg``) — then run the full ingest path: the
+    capability registry sub-types the payload (``detect_format_col`` →
+    'mp4 (mjpeg)', pinned in the output so routing is part of the
+    verified surface), ``mp4.parse_mp4_samples`` expands the sample
+    tables (stsc chunk mapping, absolute stco offsets), and every
+    sample decodes through the baseline JPEG decoder — all inside one
+    Arrow batch pass, so neither container bytes nor pixels ever
+    shuffle. Emits the parsed geometry/fps/codec (oracle-exact from the
+    sample tables) and pins the near-lossless round-trip bound (max
+    pixel error ≤ 4 at quant=1, as in ``multimodal_decode_jpeg``).
+    Like MJPEG-in-AVI, sample independence is the 100 TB story: decode
+    parallelizes at frame granularity with zero inter-frame state."""
+    import numpy as np
+
+    from .mp4 import decode_mp4_frames, encode_mp4_mjpeg
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w, h, n_frames, fps = _MP4_W, _MP4_H, _MP4_FRAMES, _MP4_FPS
+    fbytes = w * h
+    total = fbytes * n_frames
+    enc = encode_gray_baseline
+
+    def _mux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")[:total]
+                buf = np.zeros(total, np.uint8)
+                buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+                payloads.append(
+                    encode_mp4_mjpeg(
+                        [enc(buf[k * fbytes : (k + 1) * fbytes].reshape(h, w))
+                         for k in range(n_frames)],
+                        w, h, fps,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "text": pdf["text"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(_mux, schema="doc_id long, text string, payload binary")
+    # Routing runs the REAL registry sniff (JVM-side CASE over the
+    # payload bytes) between mux and decode, per row — the sniffed
+    # label rides into the verified output, so 'mp4 (mjpeg)' routing
+    # is part of the oracle surface, not just a unit test.
+    routed = media.withColumn("format", detect_format_col(F.col("payload")))
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "n_frames": [], "width": [],
+                   "height": [], "fps": [], "codec": [], "format": [],
+                   "frame_ok": []}
+            for doc_id, text, payload, fmt in zip(
+                pdf["doc_id"], pdf["text"], pdf["payload"], pdf["format"]
+            ):
+                raw = text.encode("utf-8")[:total]
+                buf = np.zeros(total, np.uint8)
+                buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+                srcs = [
+                    buf[k * fbytes : (k + 1) * fbytes].reshape(h, w)
+                    for k in range(n_frames)
+                ]
+                meta, frames = decode_mp4_frames(bytes(payload))
+                for k, (frame, src) in enumerate(zip(frames, srcs)):
+                    err = int(
+                        np.max(np.abs(frame[:, :, 0].astype(int) - src.astype(int)))
+                    )
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(k)
+                    out["n_frames"].append(meta["n_frames"])
+                    out["width"].append(meta["width"])
+                    out["height"].append(meta["height"])
+                    out["fps"].append(meta["fps"])
+                    out["codec"].append(meta["codec"])
+                    out["format"].append(fmt)
+                    out["frame_ok"].append(bool(err <= 4))
+            yield pd.DataFrame(out)
+
+    return routed.mapInPandas(
+        _decode,
+        schema="doc_id long, frame_idx int, n_frames int, width int, "
+        "height int, fps int, codec string, format string, frame_ok boolean",
     )
 
 
