@@ -141,8 +141,25 @@ def main() -> None:
         "n_queries": len(timings),
         "threads": threads,
     }
-    with open(os.path.join(_REPO_ROOT, "BENCH_DETAIL.json"), "w") as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
+    # Archive per round (round-3 verdict task #4): BENCH_DETAIL.json is
+    # the rolling "latest" pointer; BENCH_DETAIL_r{N}.json is immutable
+    # history so round-over-round per-query regressions stay
+    # attributable. Round inference: the driver records BENCH_r{N}.json
+    # AFTER the round's bench run, so the current round is one past the
+    # highest existing record. Re-runs within a round overwrite their
+    # own round file only, never a prior round's.
+    import glob as _glob
+    import re as _re
+
+    recorded = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(_REPO_ROOT, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    detail["round"] = max(recorded, default=0) + 1
+    for out_name in ("BENCH_DETAIL.json", f"BENCH_DETAIL_r{detail['round']:02d}.json"):
+        with open(os.path.join(_REPO_ROOT, out_name), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
