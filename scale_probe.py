@@ -136,6 +136,9 @@ QUERIES = [
     "text_zipf_slope", "events_attribution_time_decay",
     "incremental_scan_composite_hwm", "ab_mann_whitney_u",
     "text_code_detection", "setop_symmetric_difference",
+    # round-4 additions: the three distrank rewrites (distributed
+    # global NTILE / boundary sweep) + the new MP4 MJPEG decode lane
+    "events_rfm_segmentation", "multimodal_decode_mp4_frames",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental

@@ -411,7 +411,9 @@ def test_mixed_format_corpus_routes_without_raising(spark):
     assert rows_dec[4].mean_r == 60.0
     defer = {r.doc_id: r.format for r in deferred.collect()}
     assert defer == {5: "unknown", 6: "riff (webp/wav/avi)", 7: "mp4/iso-bmff"}
-    assert multimodal.supported_formats() == {"ppm", "bmp", "jpeg", "png", "gif", "avi (mjpeg)"}
+    assert multimodal.supported_formats() == {
+        "ppm", "bmp", "jpeg", "png", "gif", "avi (mjpeg)", "mp4 (mjpeg)",
+    }
 
 
 def test_weighted_reservoir_prefers_heavy_tiers(spark):
