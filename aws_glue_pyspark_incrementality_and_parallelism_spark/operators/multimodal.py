@@ -174,6 +174,22 @@ def as_media_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a CPU-bound Python codec stage across the cluster.
+
+    Parquet gives the documents table BYTE-sized splits (~10 MB of text
+    = 1 task), but the downstream mapInPandas does minutes of per-row
+    encode/decode work — inheriting the scan's partitioning runs the
+    whole codec pass on 1-2 cores (measured: multimodal_decode_mp4_frames
+    16 s -> 1-partition at sf0.1; the 10x corpus still only split in 2).
+    Round-robin repartition to the session's parallelism before the
+    Python stage: the shuffled text bytes are trivial next to per-row
+    codec cost, and at 100 TB the same decoupling holds — decode
+    parallelism should track CPUs, not input byte splits."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 #: Magic prefixes of codec formats we cannot decode without external
 #: libraries — these (and only these) keep the NotImplementedError
 #: gate. Every raster format (PPM/BMP/JPEG/PNG/GIF) is decoded for real
@@ -740,7 +756,7 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot cancel out."""
     import numpy as np
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     n = _JPG_W * _JPG_H
 
     def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -793,7 +809,7 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ASCII corpus ⇒ text bytes == code points; zero padding adds 0)."""
     import numpy as np
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     n = _GIF_W * _GIF_H
 
     def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -856,7 +872,7 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     each sampled frame's exact pixel sum from the text code points."""
     import numpy as np
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     fbytes = _VID_W * _VID_H
     total = fbytes * _VID_FRAMES
 
@@ -933,7 +949,7 @@ def q_multimodal_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .audio import encode_wav_pcm16, wav_features
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
 
     def _audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -994,7 +1010,7 @@ def q_multimodal_video_avi_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .avi import decode_avi_frames, encode_avi_mjpeg
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     fbytes = _AVI_W * _AVI_H
     total = fbytes * _AVI_FRAMES
     w, h, n_frames, step, fps = _AVI_W, _AVI_H, _AVI_FRAMES, _AVI_STEP, _AVI_FPS
@@ -1073,7 +1089,7 @@ def q_multimodal_decode_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFram
 
     from .mp4 import decode_mp4_frames, encode_mp4_mjpeg
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     w, h, n_frames, fps = _MP4_W, _MP4_H, _MP4_FRAMES, _MP4_FPS
     fbytes = w * h
     total = fbytes * n_frames
@@ -1308,7 +1324,7 @@ def q_multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     import numpy as np
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     fbytes = _VID_W * _VID_H
     total = fbytes * _VID_FRAMES
 
@@ -1401,7 +1417,7 @@ def q_multimodal_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFra
 
     from .audio import decode_wav, encode_wav_pcm16
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
 
     def _trim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out_cols = ("doc_id", "n_samples", "lead_silence", "trail_silence", "kept_samples")
@@ -1474,7 +1490,7 @@ def q_multimodal_pdf_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .pdf import encode_pdf, pdf_catalog
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
 
     def _catalog(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out_cols = ("doc_id", "version", "n_objects", "n_pages", "xref_ok")
@@ -1556,7 +1572,7 @@ def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: decode+resize stay inside one mapInPandas batch at the scan
     — payload bytes never shuffle, the hot loop is numpy fancy-indexing
     per image, embarrassingly parallel across partitions."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     payload = F.concat(
         F.encode(F.lit(f"P6\n{_PPM_W} {_PPM_H}\n255\n"), "utf-8"),
         F.encode(F.substring("text", 1, _PPM_BYTES), "utf-8"),
@@ -1647,7 +1663,7 @@ def q_multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid arithmetic is shared between engine and oracle from one
     generator.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     payload = F.concat(
         F.encode(F.lit(f"P6\n{_PPM_W} {_PPM_H}\n255\n"), "utf-8"),
         F.encode(F.substring("text", 1, _PPM_BYTES), "utf-8"),
