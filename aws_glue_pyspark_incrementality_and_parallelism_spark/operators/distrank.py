@@ -111,6 +111,50 @@ def exact_ntile(rn_col: str, n_rows: int, n_tiles: int) -> Column:
     )
 
 
+def add_global_running_sum(
+    df: DataFrame,
+    sortval: str,
+    tiebreak: str,
+    value: str,
+    lo: int,
+    hi: int,
+    out: str,
+    n_bins: int = DEFAULT_BINS,
+) -> DataFrame:
+    """Attach ``out`` = ``SUM(value) OVER (ORDER BY sortval, tiebreak
+    ROWS UNBOUNDED PRECEDING)`` without a single-partition window —
+    the running-total sibling of ``add_global_row_number`` (same
+    range-bin / per-bin cumsum / O(bins) broadcast offset skeleton;
+    ``distributed_sweep`` is the specialization where the summed value
+    is the sort tiebreak)."""
+    bin_col = f"__bin_{out}"
+    binned = df.withColumn(bin_col, range_bin(F.col(sortval), lo, hi, n_bins))
+    offsets = (
+        binned.groupBy(bin_col)
+        .agg(F.sum(value).alias("__tot"))
+        .select(
+            bin_col,
+            F.coalesce(
+                F.sum("__tot").over(
+                    Window.orderBy(bin_col).rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("__offset"),
+        )
+    )
+    local = F.sum(value).over(
+        Window.partitionBy(bin_col)
+        .orderBy(sortval, tiebreak)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        binned.withColumn("__cum_local", local)
+        .join(F.broadcast(offsets), bin_col)
+        .withColumn(out, F.col("__cum_local") + F.col("__offset"))
+        .drop(bin_col, "__cum_local", "__offset")
+    )
+
+
 def distributed_sweep(
     deltas: DataFrame,
     at_col: str = "at_us",

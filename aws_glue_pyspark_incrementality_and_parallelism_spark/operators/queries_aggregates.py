@@ -848,14 +848,16 @@ def q_agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: revenue in integer cents; the class boundaries compare
     ``cum*100 <= total*80`` by cross-multiplication, so no percentage
     division crosses the engines; the cumulative order is total
-    (revenue desc, partkey). Scale shape: one fact-table aggregate
-    collapses to O(parts); the ranking window runs on that collapsed
-    relation. The single-partition window over parts is the honest
-    plan at catalog sizes (millions of rows); at larger scale the
-    same bin-offset prefix-sum as ``sample_systematic_every_k``
-    distributes it.
+    (revenue desc, partkey). Scale shape (round-4 rewrite): one
+    fact-table aggregate collapses to O(parts) — still billions of
+    rows at 100 TB, so the cumulative-revenue sweep runs distributed
+    via ``distrank.add_global_running_sum`` (revenue-range bins,
+    per-bin parallel cumsums, O(bins) broadcast offsets; ties on cents
+    keep the partkey tiebreak inside one bin because the bin is a
+    function of cents alone) and the grand total attaches as a 1-row
+    broadcast aggregate instead of a whole-relation window.
     """
-    from pyspark.sql.window import Window
+    from .distrank import add_global_running_sum
 
     rev = (
         load_table(spark, sf_dir, "lineitem")
@@ -865,16 +867,17 @@ def q_agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
             ).alias("cents")
         )
+        .select("l_partkey", "cents", (-F.col("cents")).alias("neg_cents"))
+        .localCheckpoint(eager=True)
     )
-    w_cum = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    w_all = Window.partitionBy()
-    ranked = rev.select(
-        "cents",
-        F.sum("cents").over(w_cum).alias("cum_cents"),
-        F.sum("cents").over(w_all).alias("total_cents"),
-    )
+    st = rev.agg(
+        F.min("neg_cents").alias("lo"),
+        F.max("neg_cents").alias("hi"),
+        F.sum("cents").alias("total_cents"),
+    ).collect()[0]
+    ranked = add_global_running_sum(
+        rev, "neg_cents", "l_partkey", "cents", st["lo"], st["hi"], "cum_cents"
+    ).select("cents", "cum_cents", F.lit(st["total_cents"]).alias("total_cents"))
     classed = ranked.select(
         F.when(F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A")
         .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")

@@ -10,6 +10,7 @@ from pyspark.sql.window import Window
 
 from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.distrank import (
     add_global_row_number,
+    add_global_running_sum,
     distributed_sweep,
     exact_ntile,
 )
@@ -69,12 +70,34 @@ def test_distributed_sweep_matches_naive(spark):
     )
 
 
+def test_global_running_sum_matches_naive_window(spark):
+    """Bin-offset running total == SUM OVER (ORDER BY ...) on one
+    partition, with duplicate sort values (tiebreak) and negative
+    summands."""
+    rows = [(v, i, x) for i, (v, x) in enumerate(
+        [(5, 10), (3, -2), (3, 7), (9, 1), (1, 4), (7, 0), (3, 3), (9, -5)]
+    )]
+    df = spark.createDataFrame(rows, "v long, id long, x long")
+    got = add_global_running_sum(df, "v", "id", "x", 0, 9, "cum", n_bins=4)
+    naive = df.withColumn(
+        "cum",
+        F.sum("x").over(
+            Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    cols = ["v", "id", "x", "cum"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, naive.select(*cols).collect())
+    )
+
+
 @pytest.mark.parametrize(
     "name",
     [
         "events_rfm_segmentation",
         "events_max_concurrent_sessions",
         "events_littles_law_audit",
+        "agg_abc_classification",
     ],
 )
 def test_no_data_proportional_single_partition_window(spark, name):
