@@ -200,13 +200,25 @@ def q_window_range_frame_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile bucketing by account balance (unique tiebreak keeps both
-    engines' bucket assignment identical). Unpartitioned ntile implies a
-    global sort — at scale compute approx quantile cut-points first and
-    bucket with a CASE instead."""
-    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
-    return (
-        load_table(spark, sf_dir, "customer")
-        .select("c_custkey", F.ntile(4).over(w).alias("balance_quartile"))
+    engines' bucket assignment identical). Round-4 rewrite: instead of
+    the unpartitioned-ntile global sort, the global rank comes from the
+    bin-offset prefix sum (``distrank.add_global_row_number`` over
+    integer-cent balance bins — acctbal has exactly two decimals, so
+    cents is order-isomorphic to the double) and the quartile from the
+    exact SQL NTILE formula as a pure projection — bit-identical to the
+    oracle's NTILE at any scale, no single-partition sort."""
+    from .distrank import add_global_row_number, exact_ntile
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint").alias("bal_c"),
+    )
+    st = c.agg(
+        F.count(F.lit(1)).alias("n"), F.min("bal_c").alias("lo"), F.max("bal_c").alias("hi")
+    ).collect()[0]
+    ranked = add_global_row_number(c, "bal_c", "c_custkey", st["lo"], st["hi"], "rn")
+    return ranked.select(
+        "c_custkey", exact_ntile("rn", st["n"], 4).alias("balance_quartile")
     )
 
 
