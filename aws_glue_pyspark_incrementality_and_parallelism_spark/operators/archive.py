@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from ..plans.registry import query
 from ..session import pickle_module_by_value
 from ..sources.io import load_table
+from .multimodal import fan_out
 
 DOCS_PER_SHARD = 64
 
@@ -187,7 +188,7 @@ def q_archive_tar_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly from ``documents``: shard count from the assignment
     expression, byte/char payload totals, lexical member-name range.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     shards = pack_shards(docs)
     members = unpack_shards(shards).withColumn(
         "parsed_doc_id", F.regexp_extract("member_name", r"^(\d+)\.txt$", 1).cast("bigint")

@@ -84,7 +84,7 @@ def q_multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def _phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 32
