@@ -139,6 +139,7 @@ QUERIES = [
     # round-4 additions: the three distrank rewrites (distributed
     # global NTILE / boundary sweep) + the new MP4 MJPEG decode lane
     "events_rfm_segmentation", "multimodal_decode_mp4_frames",
+    "window_ntile_quartiles",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
@@ -151,6 +152,12 @@ PROBE_ETL = True
 def build_big() -> None:
     import duckdb
 
+    expected = [
+        "documents", "events", "lineitem", "orders", "customer",
+        "supplier", "part", "embeddings", "nation", "region",
+    ]
+    if all(os.path.exists(f"{BIG}/{t}.parquet") for t in expected):
+        return  # corpus for this COPIES already built (BIG embeds COPIES)
     os.makedirs(BIG, exist_ok=True)
     con = duckdb.connect()
     remaps = {
