@@ -553,18 +553,23 @@ def test_scd2_apply_windows_only_over_batches(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_image_resize_is_scan_bound_arrow_pass(spark):
-    """Decode+resize happen in one mapInPandas over the scan: no
-    shuffle before the Python evaluation (payload bytes never move)."""
+def test_image_resize_python_stage_fans_out(spark):
+    """Decode+resize happen in one mapInPandas, fed by exactly ONE
+    round-robin exchange (multimodal.fan_out): the documents scan is a
+    single byte-split, so the CPU-bound Python stage must NOT inherit
+    the scan's partitioning (round-4 fix — decode parallelism tracks
+    CPUs, not input byte splits). No other shuffle may move payload
+    bytes below the Python stage."""
     plan = _plan(spark, "multimodal_image_resize")
     head, _, tail = plan.partition("MapInPandas")
     assert tail, "MapInPandas node missing"
     # The tree prints top-down, so everything UPSTREAM of (feeding) the
     # Python stage appears after it in the text: that segment must hold
-    # only the scan+projection — no exchange moves payload bytes. The
-    # one Exchange above (in `head`) is the presentation orderBy.
+    # the scan+projection plus exactly the one fan-out exchange. The
+    # other Exchange above (in `head`) is the presentation orderBy.
     tree_below = tail.split("(1) Scan")[0]
-    assert "Exchange" not in tree_below, tree_below
+    assert tree_below.count("Exchange") == 1, tree_below
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan
 
 
 def test_erasure_cascade_joins_are_hash_or_broadcast_no_nested_loop(spark):
