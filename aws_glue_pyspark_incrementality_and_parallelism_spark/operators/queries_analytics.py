@@ -2245,11 +2245,13 @@ def q_ab_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer's one-liner from (U, n1, n2).
 
     Scale: the fact scan collapses to the distinct-VALUE relation
-    (bounded by the price domain in cents, not row count); the rank
-    cumsum windows over that bounded relation — the same
-    domain-bounded-window stance as the apportionment rank.
+    (bounded by the price domain in cents, not row count — but that
+    bound is tens of millions, too many for one task), so the rank
+    cumsum runs distributed via ``distrank.add_global_running_sum``
+    (cents-range bins, per-bin parallel cumsums, O(bins) broadcast
+    offsets); the final U statistics are one tiny aggregate.
     """
-    from pyspark.sql.window import Window
+    from .distrank import add_global_running_sum
 
     tagged = (
         load_table(spark, sf_dir, "orders")
@@ -2259,15 +2261,23 @@ def q_ab_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("in_a"),
         )
     )
-    vals = tagged.groupBy("cents").agg(
-        F.sum("in_a").cast("bigint").alias("cnt_a"),
-        (F.count("*") - F.sum("in_a")).cast("bigint").alias("cnt_b"),
+    vals = (
+        tagged.groupBy("cents")
+        .agg(
+            F.sum("in_a").cast("bigint").alias("cnt_a"),
+            (F.count("*") - F.sum("in_a")).cast("bigint").alias("cnt_b"),
+            (F.count("*")).cast("bigint").alias("cnt_all"),
+        )
+        .localCheckpoint(eager=True)
     )
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = vals.withColumn(
-        "cnt_less",
-        F.sum(F.col("cnt_a") + F.col("cnt_b")).over(w) - (F.col("cnt_a") + F.col("cnt_b")),
-    )
+    # The distinct-VALUE relation saturates at the cents domain but
+    # still reaches tens of millions of rows — the rank cumsum runs
+    # distributed (round-4 distrank rewrite), never on one task. cents
+    # is unique after the groupBy, so it is its own tiebreak.
+    span = vals.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi")).collect()[0]
+    ranked = add_global_running_sum(
+        vals, "cents", "cents", "cnt_all", span["lo"], span["hi"], "cum_all"
+    ).withColumn("cnt_less", F.col("cum_all") - F.col("cnt_all"))
     sums = ranked.agg(
         F.sum("cnt_a").cast("bigint").alias("n1"),
         F.sum("cnt_b").cast("bigint").alias("n2"),

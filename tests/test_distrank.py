@@ -99,6 +99,7 @@ def test_global_running_sum_matches_naive_window(spark):
         "events_littles_law_audit",
         "agg_abc_classification",
         "window_ntile_quartiles",
+        "ab_mann_whitney_u",
     ],
 )
 def test_no_data_proportional_single_partition_window(spark, name):
