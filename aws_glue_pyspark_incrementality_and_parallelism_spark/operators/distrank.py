@@ -155,6 +155,80 @@ def add_global_running_sum(
     )
 
 
+def add_global_row_number_skewed(
+    df: DataFrame,
+    key: str,
+    fine: str,
+    fine_bin: str,
+    key_lo: int,
+    key_hi: int,
+    out: str,
+) -> DataFrame:
+    """Global 1-based ``row_number`` over ``ORDER BY key, fine`` when
+    ``key`` is HEAVILY tied (power-law distributions — e.g. word
+    frequencies, where one frequency value can own most of the
+    relation). Plain ``add_global_row_number`` range-bins the sort key,
+    so a mega-tie collapses into one bin and re-creates the single-task
+    sort; this variant splits each tie run by a caller-provided
+    ``fine_bin`` column (bigint, MONOTONE in ``fine`` within a tie,
+    bounded cardinality — e.g. the first two bytes of a string):
+
+    1. ``key`` histogram → exclusive rows-before-this-key offset,
+       itself distributed via ``add_global_running_sum`` (distinct keys
+       are unique, so range bins spread them regardless of tie mass).
+    2. per-(key, fine_bin) counts → exclusive within-key bin offset
+       (window partitioned by key over ≤|fine_bin domain| rows).
+    3. ``row_number`` inside ``(key, fine_bin)`` partitions — the only
+       row-grain sort, now split tie-run × bin ways.
+
+    rank = key_offset + bin_offset + local. Equality with the naive
+    global window is pinned in tests including an all-ties relation."""
+    hist = df.groupBy(key).agg(F.count(F.lit(1)).alias("__hn"))
+    hist = add_global_running_sum(
+        hist, key, key, "__hn", key_lo, key_hi, "__hcum"
+    ).select(key, (F.col("__hcum") - F.col("__hn")).alias("__key_off"))
+    kb = df.groupBy(key, fine_bin).agg(F.count(F.lit(1)).alias("__bn"))
+    kb = kb.select(
+        key,
+        fine_bin,
+        F.coalesce(
+            F.sum("__bn").over(
+                Window.partitionBy(key)
+                .orderBy(fine_bin)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__bin_off"),
+    )
+    local = F.row_number().over(Window.partitionBy(key, fine_bin).orderBy(fine))
+    return (
+        df.withColumn("__rn_local", local)
+        .join(kb, [key, fine_bin])
+        .join(hist, key)
+        .withColumn(
+            out,
+            (F.col("__key_off") + F.col("__bin_off") + F.col("__rn_local")).cast(
+                "bigint"
+            ),
+        )
+        .drop("__rn_local", "__bin_off", "__key_off")
+    )
+
+
+def prefix2_bin(col_name: str) -> Column:
+    """First two UTF-8 bytes of a string column as a bigint in
+    [0, 65535] — monotone in Spark's (and DuckDB's) binary string
+    order, bounded cardinality: the canonical ``fine_bin`` for
+    ``add_global_row_number_skewed`` over word-like tiebreaks.
+    ``rpad`` both truncates longer payloads and zero-pads shorter ones,
+    which preserves order ('a' < 'ab' < 'b' ⇒ 0x6100 < 0x6161 <
+    0x6200)."""
+    return F.expr(
+        f"CAST(conv(hex(rpad(encode({col_name}, 'utf-8'), 2, x'00')), 16, 10)"
+        " AS BIGINT)"
+    )
+
+
 def distributed_sweep(
     deltas: DataFrame,
     at_col: str = "at_us",

@@ -1734,10 +1734,18 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     double division of identical exact integers through the shared
     floor rule.
 
-    Scale: one tokenize aggregate to the vocabulary relation; the rank
-    window and the regression sums run on O(vocabulary) rows.
+    Scale (round-4 rewrite): one tokenize aggregate to the vocabulary
+    relation — O(vocabulary) is still data-proportional (Heaps' law),
+    and word FREQUENCIES are the canonical power law, so the rank
+    cannot use plain range bins (the frequency-1 tie run owns most of
+    the vocabulary and would collapse into one bin). The rank runs via
+    ``distrank.add_global_row_number_skewed``: distinct-frequency
+    histogram offsets + within-tie splits on the word's first-2-byte
+    prefix (monotone in both engines' binary string order) — the only
+    row-grain sort is inside (frequency, prefix) partitions. The
+    regression sums are one aggregate.
     """
-    from pyspark.sql.window import Window
+    from .distrank import add_global_row_number_skewed, prefix2_bin
 
     docs = load_table(spark, sf_dir, "documents")
     cnt = (
@@ -1746,9 +1754,12 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("word")
         .agg(F.count("*").cast("bigint").alias("n"))
+        .select("word", "n", (-F.col("n")).alias("neg_n"), prefix2_bin("word").alias("pfx"))
+        .localCheckpoint(eager=True)
     )
-    ranked = cnt.withColumn(
-        "rank", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("word")))
+    span = cnt.agg(F.min("neg_n").alias("lo"), F.max("neg_n").alias("hi")).collect()[0]
+    ranked = add_global_row_number_skewed(
+        cnt, "neg_n", "word", "pfx", span["lo"], span["hi"], "rank"
     )
     pts = ranked.select(
         F.floor(F.log(F.col("rank").cast("double")) * 1000000 + F.lit(0.5))

@@ -10,9 +10,11 @@ from pyspark.sql.window import Window
 
 from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.distrank import (
     add_global_row_number,
+    add_global_row_number_skewed,
     add_global_running_sum,
     distributed_sweep,
     exact_ntile,
+    prefix2_bin,
 )
 from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import REGISTRY
 
@@ -91,6 +93,30 @@ def test_global_running_sum_matches_naive_window(spark):
     )
 
 
+def test_skewed_rank_matches_naive_window(spark):
+    """Two-level skew-aware rank == row_number over the naive global
+    window when one key value owns most of the relation (the power-law
+    tie case plain range bins cannot split), including the all-ties
+    degenerate relation and strings where the prefix bin must stay
+    monotone ('' < 'a' < 'ab' < 'b' < unicode)."""
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(1200):
+        k = 1 if i < 900 else rnd.randint(2, 9)  # mega-tie on k=1
+        rows.append((k, "".join(rnd.choice("abgz") for _ in range(rnd.randint(0, 4))) + str(i)))
+    rows += [(1, w) for w in ["", "a", "ab", "b", "é", "zz"]]
+    df = spark.createDataFrame(rows, "k long, w string").withColumn(
+        "fb", prefix2_bin("w")
+    )
+    got = add_global_row_number_skewed(df, "k", "w", "fb", 1, 9, "rn")
+    naive = df.withColumn("rn", F.row_number().over(Window.orderBy("k", "w")))
+    assert sorted(map(tuple, got.select("k", "w", "rn").collect())) == sorted(
+        map(tuple, naive.select("k", "w", "rn").collect())
+    )
+
+
 @pytest.mark.parametrize(
     "name",
     [
@@ -100,6 +126,7 @@ def test_global_running_sum_matches_naive_window(spark):
         "agg_abc_classification",
         "window_ntile_quartiles",
         "ab_mann_whitney_u",
+        "text_zipf_slope",
     ],
 )
 def test_no_data_proportional_single_partition_window(spark, name):
