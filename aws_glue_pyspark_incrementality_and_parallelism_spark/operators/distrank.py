@@ -19,6 +19,18 @@ Only bin counts cross stages; row data shuffles once, keyed by bin.
 At 100 TB the bin count rises with the cluster, never with the data a
 single task must sort.
 
+**Lineage-pinning trade-off (ADVICE r4).** Call sites that rank one
+relation on several axes pin it with ``localCheckpoint(eager=True)``
+so each axis's offset branch doesn't re-execute the previous axes'
+windows and joins. localCheckpoint blocks are EXECUTOR-LOCAL and
+unreplicated: on a long-lived 1000-executor job a single executor
+loss fails the query instead of recomputing lineage. That is the
+right default for benchmark/interactive runs (no HDFS round-trip);
+a production 100 TB job should swap the pin for reliable
+``checkpoint()`` (with ``spark.sparkContext.setCheckpointDir`` on
+durable storage) or ``persist(StorageLevel.MEMORY_AND_DISK_2)`` —
+same plan shape, fault-tolerant blocks. See SCALING.md.
+
 Reference parity: the reference (a 130-line Glue script) has no global
 ordering at all; this backs the driver-mandated analytics extensions
 (BASELINE.json:6) flagged `weak` in round-3 VERDICT ("What's wrong").
@@ -35,7 +47,15 @@ DEFAULT_BINS = 32
 
 def range_bin(sortval: Column, lo: int, hi: int, n_bins: int = DEFAULT_BINS) -> Column:
     """Map an ascending bigint sort value in [lo, hi] to a bin id in
-    [0, n_bins): fixed-width ranges, so bin order == sort order."""
+    [0, n_bins): fixed-width ranges, so bin order == sort order.
+
+    ``lo``/``hi`` come from a call-site min/max collect; on an EMPTY
+    relation those scalars are None (SQL NULL) — fall back to lo=hi=0
+    so plan build succeeds and the downstream bin joins trivially
+    produce zero rows, matching what a single-partition window plan
+    would have returned (ADVICE r4)."""
+    if lo is None or hi is None:
+        lo = hi = 0
     width = F.lit(max(1, (hi - lo) // n_bins + 1))
     return ((sortval - F.lit(lo)) / width).cast("bigint")
 

@@ -165,9 +165,12 @@ def encode_mp4_skeleton(
     # tkhd/mdhd duration fields are not parsed here; clamp to keep the
     # version-0 layout valid rather than emit an overflowed u32
     tk_dur = min(duration, 0xFFFFFFFF)
+    # tkhd v0 (14496-12 §8.3.2): creation, modification, track_ID,
+    # reserved u32, duration — then reserved[2]/layer/volume/matrix
+    # (52 zero bytes) and 16.16 geometry; 84-byte body
     tkhd = _box(
         b"tkhd",
-        struct.pack(">BxxxIIII", 0, 0, 0, 1, tk_dur)
+        struct.pack(">BxxxIIIII", 0, 0, 0, 1, 0, tk_dur)
         + b"\x00" * 52
         + struct.pack(">II", width << 16, height << 16),
     )
@@ -193,20 +196,27 @@ _MJPEG_CODECS = (b"jpeg", b"mjpa")
 
 
 def encode_mp4_mjpeg(
-    jpeg_frames: list[bytes], width: int, height: int, fps: int = 10
+    jpeg_frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 10,
+    fast_start: bool = True,
 ) -> bytes:
-    """Wrap already-encoded JPEG payloads in a spec-real fast-start MP4
-    (moov before mdat): full sample tables — stsd('jpeg'
-    VisualSampleEntry with true geometry), stts (uniform frame
-    duration), stsc (one sample per chunk), stsz (per-sample sizes),
-    stco (ABSOLUTE file offsets into mdat). The canonical writer for
-    tests and the frame-decode query; ``parse_mp4_samples`` is
-    additionally pinned against hand-assembled spec bytes so writer and
-    parser cannot cancel out a shared misreading.
+    """Wrap already-encoded JPEG payloads in a spec-real MP4: full
+    sample tables — stsd('jpeg' VisualSampleEntry with true geometry),
+    stts (uniform frame duration), stsc (one sample per chunk), stsz
+    (per-sample sizes), stco (ABSOLUTE file offsets into mdat). The
+    canonical writer for tests and the frame-decode queries;
+    ``parse_mp4_samples`` is additionally pinned against hand-assembled
+    spec bytes so writer and parser cannot cancel out a shared
+    misreading.
 
-    Fast-start layout is load-bearing for the ingest path: with moov
-    first, the capability registry can sub-type MJPEG-vs-other MP4 from
-    the first few KB of the payload (multimodal.detect_format_col)."""
+    ``fast_start=True`` writes moov before mdat (the streaming-friendly
+    layout); ``fast_start=False`` writes mdat first and trails the moov
+    — the layout capture muxers produce, which the capability registry
+    sub-types from the LAST 4 KB of the payload
+    (multimodal.detect_format_col tail window). Both layouts parse and
+    decode identically — stco offsets are absolute either way."""
     n = len(jpeg_frames)
     timescale = 1000
     dur = timescale // fps if fps else 0
@@ -216,9 +226,12 @@ def encode_mp4_mjpeg(
             b"mvhd",
             struct.pack(">BxxxIIII", 0, 0, 0, timescale, n * dur) + b"\x00" * 80,
         )
+        # tkhd v0 spec layout: reserved u32 between track_ID and
+        # duration (84-byte body) — external MP4 tools read duration
+        # and geometry at the spec offsets
         tkhd = _box(
             b"tkhd",
-            struct.pack(">BxxxIIII", 0, 0, 0, 1, n * dur)
+            struct.pack(">BxxxIIIII", 0, 0, 0, 1, 0, n * dur)
             + b"\x00" * 52
             + struct.pack(">II", width << 16, height << 16),
         )
@@ -264,15 +277,22 @@ def encode_mp4_mjpeg(
         return _box(b"moov", mvhd + trak)
 
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
-    # stco holds absolute offsets: fixed-width u32, so the moov length
-    # is offset-independent — size with zeros, then rebuild for real
-    header_len = len(ftyp) + len(moov([0] * n)) + 8  # +8 = mdat header
+    mdat = _box(b"mdat", b"".join(jpeg_frames))
+    if fast_start:
+        # stco holds absolute offsets: fixed-width u32, so the moov
+        # length is offset-independent — size with zeros, then rebuild
+        header_len = len(ftyp) + len(moov([0] * n)) + 8  # +8 = mdat header
+    else:
+        # moov-at-end: mdat directly follows ftyp, so the sample
+        # offsets are known without the size-then-rebuild pass
+        header_len = len(ftyp) + 8
     offsets, pos = [], header_len
     for f in jpeg_frames:
         offsets.append(pos)
         pos += len(f)
-    mdat = _box(b"mdat", b"".join(jpeg_frames))
-    return ftyp + moov(offsets) + mdat
+    if fast_start:
+        return ftyp + moov(offsets) + mdat
+    return ftyp + mdat + moov(offsets)
 
 
 def parse_mp4_samples(payload: bytes) -> dict:

@@ -25,6 +25,7 @@ materializing a whole partition.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -35,6 +36,7 @@ from pyspark.sql.types import (
     BinaryType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -230,11 +232,12 @@ FORMAT_DECODABLE: dict[str, bool] = {
     "avi (mjpeg)": True,
     "wav (riff audio)": False,
     "riff (webp/wav/avi)": False,
-    # ISO-BMFF is sub-typed by the stsd sample-entry fourCC visible in
-    # the sniff window: fast-start MJPEG files ('jpeg'/'mjpa' entries,
-    # moov before mdat) decode via operators.mp4; every other MP4
-    # (H.264/HEVC/AAC, or MJPEG with moov trailing the media) stays in
-    # the deferred lane.
+    # ISO-BMFF is sub-typed by the fourCC at the stsd sample-entry
+    # position in the head OR tail sniff window: MJPEG files
+    # ('jpeg'/'mjpa' entries) decode via operators.mp4 whether the moov
+    # leads the media (fast-start) or trails it (moov-at-end, the
+    # common capture-muxer layout); only true codec gaps (H.264/HEVC/
+    # AAC) stay in the deferred lane.
     "mp4 (mjpeg)": True,
     "mp4/iso-bmff": False,
     "unknown": False,
@@ -261,18 +264,31 @@ def detect_format_col(payload: Column) -> Column:
     riff = F.substring(payload, 1, 4) == F.lit(bytearray(b"RIFF"))
     form = F.substring(payload, 9, 4)
     # ISO-BMFF sub-typing: 'ftyp' at bytes 5-8 names the family; the
-    # MJPEG lane additionally needs an MJPEG sample entry ('jpeg'/'mjpa'
-    # fourCC followed by VisualSampleEntry's six spec-mandated zero
-    # reserved bytes) inside the first 4 KB — present exactly when the
-    # file is fast-start (moov before mdat), which is also the layout a
-    # streaming ingest requires. O(4 KB) per payload, still JVM-side.
+    # MJPEG lane additionally needs the stsd box's FIRST sample entry to
+    # carry an MJPEG fourCC ('jpeg'/'mjpa'). Structural, not substring-
+    # anywhere: stsd layout is [u32 size]['stsd'][u32 ver/flags]
+    # [u32 entry_count][u32 entry size][entry fourCC], so the codec
+    # fourCC sits exactly 16 bytes after the 'stsd' tag — a 'jpeg'
+    # string floating in early mdat/metadata no longer routes here
+    # (and decode_or_defer additionally reroutes any row whose decode
+    # still fails, so a pathological false positive degrades to the
+    # deferred lane, never a job abort). Checked over the FIRST 4 KB
+    # (fast-start: moov before mdat) and the LAST 4 KB (moov-at-end,
+    # the layout most capture muxers write) — both O(window), JVM-side;
+    # ISO-8859-1 decode is byte-preserving so locate/substring index
+    # the raw bytes. Files whose moov exceeds the tail window (very
+    # long sample tables) conservatively stay deferred.
     bmff = F.substring(payload, 5, 4) == F.lit(bytearray(b"ftyp"))
+
+    def _stsd_mjpeg(window: Column) -> Column:
+        s = F.decode(window, "ISO-8859-1")
+        p = F.locate("stsd", s)
+        return (p > 0) & F.substring(s, p + 16, 4).isin("jpeg", "mjpa")
+
     head = F.substring(payload, 1, 4096)
-    mjpeg_entry = F.lit(False)
-    for cc in (b"jpeg", b"mjpa"):
-        mjpeg_entry = mjpeg_entry | F.contains(
-            head, F.lit(bytearray(cc + b"\x00" * 6))
-        )
+    tail_pos = F.greatest(F.octet_length(payload) - F.lit(4095), F.lit(1))
+    tail = F.substring(payload, tail_pos, F.lit(4096))
+    mjpeg_entry = _stsd_mjpeg(head) | _stsd_mjpeg(tail)
     return (
         F.when(riff & (form == F.lit(bytearray(b"AVI "))), "avi (mjpeg)")
         .when(riff & (form == F.lit(bytearray(b"WAVE"))), "wav (riff audio)")
@@ -297,12 +313,59 @@ def decode_or_defer(media: DataFrame) -> tuple[DataFrame, DataFrame]:
     """The mixed-corpus decode topology: returns ``(decoded, deferred)``.
     ``decoded`` runs the REAL decoder over rows whose sniffed format is
     in ``supported_formats()``; ``deferred`` carries (doc_id, format)
-    for everything else — no row can reach ``decode_rgb``'s
-    NotImplementedError gate, because the gate is now a routing
-    predicate evaluated JVM-side."""
+    for everything else. Two independent guards keep a mixed corpus
+    from aborting mid-job: (1) the routing predicate is evaluated
+    JVM-side before any Python decode, and (2) the decode lane itself
+    catches per-row decode failures (a sniff false positive, a
+    malformed payload) and REROUTES those rows into the deferred lane
+    with their sniffed format — quarantine semantics, never a raise.
+    The attempted lane is persisted because both outputs reference it
+    (one codec pass, not two); at 100 TB the same persist-or-restage
+    choice applies and the decode cost dominates either way."""
     routed = route_media(media)
-    decoded = decode_media(routed.filter(F.col("decodable")).select("doc_id", "payload"))
-    deferred = routed.filter(~F.col("decodable")).select("doc_id", "format")
+    err_schema = StructType(
+        DECODE_SCHEMA.fields + [StructField("format", StringType()),
+                                StructField("error", StringType())]
+    )
+
+    def _decode_safe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in err_schema.fields}
+            for doc_id, payload, fmt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["format"]
+            ):
+                row = dict.fromkeys(out)
+                row["doc_id"], row["format"] = doc_id, fmt
+                try:
+                    img = decode_rgb(bytes(payload))
+                    means = img.reshape(-1, 3).mean(axis=0)
+                    row.update(
+                        width=img.shape[1], height=img.shape[0],
+                        mean_r=float(means[0]), mean_g=float(means[1]),
+                        mean_b=float(means[2]),
+                    )
+                except (NotImplementedError, ValueError, struct.error) as exc:
+                    row["error"] = f"{type(exc).__name__}: {exc}"
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    attempted = (
+        routed.filter(F.col("decodable"))
+        .select("doc_id", "payload", "format")
+        .mapInPandas(_decode_safe, schema=err_schema)
+        .persist()
+    )
+    decoded = attempted.filter(F.col("error").isNull()).select(
+        *[f.name for f in DECODE_SCHEMA.fields]
+    )
+    deferred = (
+        routed.filter(~F.col("decodable"))
+        .select("doc_id", "format")
+        .unionByName(
+            attempted.filter(F.col("error").isNotNull()).select("doc_id", "format")
+        )
+    )
     return decoded, deferred
 
 
@@ -1155,6 +1218,109 @@ def q_multimodal_decode_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFram
         _decode,
         schema="doc_id long, frame_idx int, n_frames int, width int, "
         "height int, fps int, codec string, format string, frame_ok boolean",
+    )
+
+
+#: moov-at-end fixture geometry — distinct from both the AVI query
+#: (32x16) and the fast-start MP4 query (24x8x3@12) so a shared
+#: container bug cannot cancel out across lanes.
+_MT_W, _MT_H, _MT_FRAMES, _MT_FPS = 16, 12, 2, 8
+
+
+@query(
+    "multimodal_decode_mp4_moov_tail",
+    oracle=f"""
+    SELECT d.doc_id, f.frame_idx,
+           {_MT_FRAMES} AS n_frames, {_MT_W} AS width, {_MT_H} AS height,
+           {_MT_FPS} AS fps, 'jpeg' AS codec,
+           'mp4 (mjpeg)' AS format, TRUE AS moov_at_end, TRUE AS frame_ok
+    FROM documents d, (VALUES (0), (1)) f(frame_idx)
+    """,
+)
+def q_multimodal_decode_mp4_moov_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 round-5 close of the moov-at-end MJPEG slice: same MJPEG
+    samples, OPPOSITE container layout — ``encode_mp4_mjpeg(...,
+    fast_start=False)`` writes mdat first and trails the moov, the
+    layout capture muxers produce and the one the round-4 head-only
+    sniff deferred. Routing now sub-types it from the LAST 4 KB
+    (``detect_format_col`` tail window anchored at the stsd
+    sample-entry fourCC), and the sniffed label rides into the verified
+    output. ``moov_at_end`` is computed from the actual byte order
+    (moov offset > mdat offset) so the fixture provably exercises the
+    tail path — a regression to fast-start muxing would flip it and
+    fail the oracle, not silently pass via the head window. Decode is
+    the unchanged ``parse_mp4_samples``/``decode_mp4_frames`` lane:
+    stco offsets are absolute, so sample expansion is layout-blind."""
+    import numpy as np
+
+    from .mp4 import decode_mp4_frames, encode_mp4_mjpeg
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    w, h, n_frames, fps = _MT_W, _MT_H, _MT_FRAMES, _MT_FPS
+    fbytes = w * h
+    total = fbytes * n_frames
+    enc = encode_gray_baseline
+
+    def _mux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")[:total]
+                buf = np.zeros(total, np.uint8)
+                buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+                payloads.append(
+                    encode_mp4_mjpeg(
+                        [enc(buf[k * fbytes : (k + 1) * fbytes].reshape(h, w))
+                         for k in range(n_frames)],
+                        w, h, fps, fast_start=False,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "text": pdf["text"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(_mux, schema="doc_id long, text string, payload binary")
+    routed = media.withColumn("format", detect_format_col(F.col("payload")))
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "n_frames": [], "width": [],
+                   "height": [], "fps": [], "codec": [], "format": [],
+                   "moov_at_end": [], "frame_ok": []}
+            for doc_id, text, payload, fmt in zip(
+                pdf["doc_id"], pdf["text"], pdf["payload"], pdf["format"]
+            ):
+                raw = text.encode("utf-8")[:total]
+                buf = np.zeros(total, np.uint8)
+                buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+                srcs = [
+                    buf[k * fbytes : (k + 1) * fbytes].reshape(h, w)
+                    for k in range(n_frames)
+                ]
+                blob = bytes(payload)
+                tail_first = blob.find(b"moov") > blob.find(b"mdat")
+                meta, frames = decode_mp4_frames(blob)
+                for k, (frame, src) in enumerate(zip(frames, srcs)):
+                    err = int(
+                        np.max(np.abs(frame[:, :, 0].astype(int) - src.astype(int)))
+                    )
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(k)
+                    out["n_frames"].append(meta["n_frames"])
+                    out["width"].append(meta["width"])
+                    out["height"].append(meta["height"])
+                    out["fps"].append(meta["fps"])
+                    out["codec"].append(meta["codec"])
+                    out["format"].append(fmt)
+                    out["moov_at_end"].append(bool(tail_first))
+                    out["frame_ok"].append(bool(err <= 4))
+            yield pd.DataFrame(out)
+
+    return routed.mapInPandas(
+        _decode,
+        schema="doc_id long, frame_idx int, n_frames int, width int, "
+        "height int, fps int, codec string, format string, "
+        "moov_at_end boolean, frame_ok boolean",
     )
 
 

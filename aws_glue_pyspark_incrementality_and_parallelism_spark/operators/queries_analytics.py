@@ -724,7 +724,11 @@ def q_events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL NTILE formula as a pure projection (``distrank.exact_ntile``).
     Ties keep the user_id tiebreak, so the assignment is bit-identical
     to the oracle's NTILE. One tiny stats collect (min/max/count —
-    control-plane scalars); rows shuffle once per axis, keyed by bin."""
+    control-plane scalars); rows shuffle once per axis, keyed by bin.
+    The localCheckpoint pin trades fault tolerance for speed
+    (executor-local blocks, no lineage replay) — right for bench runs;
+    at production scale use reliable checkpoint()/replicated persist
+    instead (see operators/distrank.py module docstring + SCALING.md)."""
     from .distrank import add_global_row_number, exact_ntile
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")

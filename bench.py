@@ -144,19 +144,25 @@ def main() -> None:
     # Archive per round (round-3 verdict task #4): BENCH_DETAIL.json is
     # the rolling "latest" pointer; BENCH_DETAIL_r{N}.json is immutable
     # history so round-over-round per-query regressions stay
-    # attributable. Round inference: the driver records BENCH_r{N}.json
-    # AFTER the round's bench run, so the current round is one past the
-    # highest existing record. Re-runs within a round overwrite their
-    # own round file only, never a prior round's.
+    # attributable. Round labeling (ADVICE r4): $SPARK_GRAFT_ROUND wins
+    # when set — a re-run performed AFTER the driver records the
+    # current round's BENCH_r{N}.json would otherwise infer N+1 and
+    # pollute the next round's history. Fallback inference: the driver
+    # records BENCH_r{N}.json after the round's bench run, so the
+    # current round is one past the highest existing record.
     import glob as _glob
     import re as _re
 
-    recorded = [
-        int(m.group(1))
-        for p in _glob.glob(os.path.join(_REPO_ROOT, "BENCH_r*.json"))
-        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
-    ]
-    detail["round"] = max(recorded, default=0) + 1
+    explicit = os.environ.get("SPARK_GRAFT_ROUND")
+    if explicit is not None:
+        detail["round"] = int(explicit)
+    else:
+        recorded = [
+            int(m.group(1))
+            for p in _glob.glob(os.path.join(_REPO_ROOT, "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        detail["round"] = max(recorded, default=0) + 1
     for out_name in ("BENCH_DETAIL.json", f"BENCH_DETAIL_r{detail['round']:02d}.json"):
         with open(os.path.join(_REPO_ROOT, out_name), "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)

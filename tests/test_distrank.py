@@ -137,3 +137,32 @@ def test_no_data_proportional_single_partition_window(spark, name):
     plan = _plan(spark, name)
     assert "hashpartitioning(__bin" in plan, "bin-partitioned window missing"
     assert "BroadcastHashJoin" in plan, "offsets must broadcast back"
+
+
+def test_empty_relation_yields_empty_not_typeerror(spark):
+    """ADVICE r4: an empty relation collects min/max as None — range_bin
+    must fall back to lo=hi=0 and produce an empty ranked result, like
+    the single-window plans it replaced, not a plan-build TypeError."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.distrank import (
+        add_global_row_number,
+        add_global_running_sum,
+        distributed_sweep,
+        range_bin,
+    )
+
+    empty = spark.createDataFrame([], "k bigint, v bigint")
+    span = empty.agg(F.min("k").alias("lo"), F.max("k").alias("hi")).collect()[0]
+    assert span["lo"] is None and span["hi"] is None
+
+    ranked = add_global_row_number(empty, "k", "v", span["lo"], span["hi"], "rn")
+    assert ranked.count() == 0
+    summed = add_global_running_sum(empty, "k", "v", "v", span["lo"], span["hi"], "cum")
+    assert summed.count() == 0
+
+    deltas = spark.createDataFrame([], "at_us bigint, delta int")
+    swept = distributed_sweep(deltas, lo=span["lo"], hi=span["hi"])
+    assert swept.count() == 0
+    # the Column factory itself must also tolerate the None span
+    _ = range_bin(F.col("k"), None, None)

@@ -150,7 +150,7 @@ class TestMp4MjpegSamples:
             stbl = _b(b"stbl", stsd + stts + stsc + stsz + stco)
             mdhd = _b(b"mdhd", struct.pack(">BxxxIIII", 0, 0, 0, 1000, 500) + b"\x00" * 4)
             hdlr = _b(b"hdlr", struct.pack(">I", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 13)
-            tkhd = _b(b"tkhd", struct.pack(">BxxxIIII", 0, 0, 0, 1, 500)
+            tkhd = _b(b"tkhd", struct.pack(">BxxxIIIII", 0, 0, 0, 1, 0, 500)
                       + b"\x00" * 52 + struct.pack(">II", 8 << 16, 8 << 16))
             trak = _b(b"trak", tkhd + _b(b"mdia", mdhd + hdlr + _b(b"minf", stbl)))
             mvhd = _b(b"mvhd", struct.pack(">BxxxIIII", 0, 0, 0, 1000, 500) + b"\x00" * 80)
@@ -195,3 +195,73 @@ class TestMp4MjpegSamples:
         defr = {r.doc_id: r.format for r in deferred.collect()}
         assert set(dec) == {1} and dec[1].width == 16 and dec[1].height == 8
         assert defr == {2: "mp4/iso-bmff"}
+
+    def test_moov_at_end_layout_roundtrip_and_tail_sniff(self, spark):
+        """Round-5 slice: fast_start=False trails the moov after mdat —
+        the capture-muxer layout. The parser/decoder are layout-blind
+        (absolute stco offsets) and routing sub-types it from the TAIL
+        window, so the payload lands in the decodable lane."""
+        import numpy as np
+
+        from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.mp4 import (
+            decode_mp4_frames,
+            encode_mp4_mjpeg,
+        )
+        from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.multimodal import (
+            decode_or_defer,
+        )
+
+        srcs, jpgs = self._frames()
+        payload = encode_mp4_mjpeg(jpgs, 16, 8, fps=12, fast_start=False)
+        assert payload.find(b"moov") > payload.find(b"mdat")
+        meta, frames = decode_mp4_frames(payload)
+        assert meta["n_frames"] == 3 and len(frames) == 3
+        for frame, src in zip(frames, srcs):
+            assert int(np.max(np.abs(frame[:, :, 0].astype(int) - src.astype(int)))) <= 4
+
+        media = spark.createDataFrame(
+            [(1, bytearray(payload))], "doc_id long, payload binary"
+        )
+        decoded, deferred = decode_or_defer(media)
+        assert deferred.count() == 0
+        row = decoded.collect()[0]
+        assert (row.width, row.height) == (16, 8)
+
+    def test_sniff_is_structural_and_decode_errors_reroute(self, spark):
+        """ADVICE r4: (a) a 'jpeg'+NULs pattern floating in early mdat
+        of an avc1 MP4 must NOT route to the MJPEG lane (the sniff is
+        anchored at the stsd sample-entry offset); (b) a payload that
+        DOES sniff as decodable but fails to decode reroutes to the
+        deferred lane instead of aborting the job."""
+        import struct as st
+
+        from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.mp4 import (
+            _box,
+            encode_mp4_mjpeg,
+            encode_mp4_skeleton,
+        )
+        from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.multimodal import (
+            decode_or_defer,
+        )
+
+        ftyp = _box(b"ftyp", b"isom" + st.pack(">I", 512) + b"isomiso2")
+        avc = encode_mp4_skeleton(1000, 8, 8, codec=b"avc1")
+        adversarial = (
+            ftyp
+            + _box(b"mdat", b"xx" + b"jpeg" + b"\x00" * 6 + b"yy")
+            + avc[len(ftyp):]
+        )
+        _, jpgs = self._frames()
+        good = encode_mp4_mjpeg(jpgs, 16, 8, fps=12)
+        truncated = good[: len(good) - 20]  # stco points past EOF
+        rows = [
+            (1, bytearray(adversarial)),
+            (2, bytearray(good)),
+            (3, bytearray(truncated)),
+        ]
+        media = spark.createDataFrame(rows, "doc_id long, payload binary")
+        decoded, deferred = decode_or_defer(media)
+        assert {r.doc_id for r in decoded.collect()} == {2}
+        defr = {r.doc_id: r.format for r in deferred.collect()}
+        assert defr[1] == "mp4/iso-bmff"  # structural sniff: not MJPEG
+        assert defr[3] == "mp4 (mjpeg)"  # sniffed decodable, rerouted on error
