@@ -20,6 +20,27 @@ dominate. Superlinear slopes (>10x) would flag an accidental quadratic
 — none exist (see SCALE_PROBE.md for a recorded run).
 
 Usage:  python scale_probe.py   (writes /tmp/scale10, prints a table)
+
+Skew mode (round-5 verdict task #5):
+
+    python scale_probe.py --skew zipf     (or SPARK_GRAFT_PROBE_SKEW=zipf)
+
+The standard blow-up deliberately preserves UNIFORM key fan-out, so the
+salted paths had never been probed against the keys they exist for.
+``--skew zipf`` builds a second blow-up whose events.user_id follows a
+Zipf(1)-like law over ONE shared key domain across copies (inverse-CDF
+``floor(nu^u)`` with u hashed from event_id): at 10 copies the hottest
+key owns ~7% of ALL rows (~400k rows on one reducer key at sf0.1×10).
+It then times, at base and at the skewed blow-up:
+
+- plain shuffle join vs the salted join (``join_salted_skew``), both
+  with autoBroadcastJoinThreshold=-1 (at 100 TB the dimension is not
+  broadcast-able — that is exactly when skew matters), the plain join
+  with AQE skew-split on AND off (AQE is the first-line defense; the
+  salt is for when AQE cannot observe sizes);
+- ``distrank.add_global_row_number`` (plain range bins — a mega-tie
+  collapses into ONE bin) vs ``add_global_row_number_skewed`` (tie runs
+  split by a bounded fine_bin), ranking events by the zipf-hot key.
 """
 
 from __future__ import annotations
@@ -230,6 +251,133 @@ def build_big() -> None:
         )
 
 
+ZIPF_BIG = f"/tmp/scale{COPIES}_zipf"
+
+
+def build_big_zipf() -> None:
+    """Blow-up with POWER-LAW fact keys: events.user_id is drawn from
+    one SHARED Zipf-like domain across all copies (the hot key must be
+    hot across the whole corpus, not per-copy), event_id stays
+    per-copy-offset for uniqueness, and customer is copied once
+    unscaled so join multiplicity stays 1:1 per key."""
+    import duckdb
+
+    if all(os.path.exists(f"{ZIPF_BIG}/{t}.parquet") for t in ("events", "customer")):
+        return
+    os.makedirs(ZIPF_BIG, exist_ok=True)
+    con = duckdb.connect()
+    nu = con.execute(
+        f"SELECT max(c_custkey) FROM '{BASE}/customer.parquet'"
+    ).fetchone()[0]
+    # inverse-CDF Zipf(1) tail: u ~ U[0,1) from a hash of the unique
+    # event id, rank = floor(nu^u) in [1, nu] — P(rank <= r) = ln r /
+    # ln nu, so rank 1 owns ln2/ln(nu) of ALL rows across copies
+    con.execute(
+        f"""
+        COPY (
+          SELECT event_id + i * 100000000 AS event_id,
+                 GREATEST(1, LEAST({nu}, CAST(POWER({nu},
+                     (hash(event_id + i * 100000000) % 1000000) / 1000000.0
+                 ) AS BIGINT))) AS user_id,
+                 ts, event_type, value, props
+          FROM '{BASE}/events.parquet', unnest(range({COPIES})) AS g(i)
+        ) TO '{ZIPF_BIG}/events.parquet' (FORMAT parquet)
+        """
+    )
+    con.execute(
+        f"COPY (SELECT * FROM '{BASE}/customer.parquet') "
+        f"TO '{ZIPF_BIG}/customer.parquet' (FORMAT parquet)"
+    )
+
+
+def skew_probe() -> None:
+    """Salted-vs-unsalted lanes under real power-law keys (see module
+    docstring). Prints one slope table; salted lanes must stay ~flat
+    per-row while the unprotected lanes degrade."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.distrank import (
+        add_global_row_number,
+        add_global_row_number_skewed,
+        range_bin,
+    )
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import REGISTRY
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.session import build_spark
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import load_table
+
+    build_big_zipf()
+    spark = build_spark(app_name="skew-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    # at 100 TB the dimension is not broadcast-able; forcing the
+    # shuffle join is the point of the probe
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def join_unsalted(sfd: str):
+        e = load_table(spark, sfd, "events")
+        c = load_table(spark, sfd, "customer").select("c_custkey", "c_mktsegment")
+        return (
+            e.join(c, e.user_id == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+
+    def rank_plain(sfd: str):
+        e = load_table(spark, sfd, "events").select("event_id", "user_id")
+        span = e.agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi")).collect()[0]
+        return add_global_row_number(
+            e, "user_id", "event_id", span["lo"], span["hi"], "rn"
+        )
+
+    def rank_skewed(sfd: str):
+        e = load_table(spark, sfd, "events").select("event_id", "user_id")
+        span = e.agg(
+            F.min("user_id").alias("lo"), F.max("user_id").alias("hi"),
+            F.min("event_id").alias("elo"), F.max("event_id").alias("ehi"),
+        ).collect()[0]
+        # fine_bin: bounded (256) range bin over the tiebreak — monotone
+        # in event_id within a tie, the bigint analogue of prefix2_bin
+        e = e.withColumn(
+            "__fb", range_bin(F.col("event_id"), span["elo"], span["ehi"], 256)
+        )
+        return add_global_row_number_skewed(
+            e, "user_id", "event_id", "__fb", span["lo"], span["hi"], "rn"
+        )
+
+    lanes = [
+        ("join_unsalted(+AQE skew)", join_unsalted, None),
+        ("join_unsalted(-AQE skew)", join_unsalted, "false"),
+        ("join_salted_skew", lambda sfd: REGISTRY["join_salted_skew"].fn(spark, sfd), None),
+        ("rank_plain_bins", rank_plain, None),
+        ("rank_skewed_bins", rank_skewed, None),
+    ]
+
+    def run(fn, sfd: str) -> float:
+        t0 = time.perf_counter()
+        fn(sfd).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    print(f"# skew probe: base={BASE}  zipf-blowup={ZIPF_BIG} ({COPIES}x rows, "
+          f"hottest key ~ln2/ln(nu) of all rows)")
+    for name, fn, aqe_skew in lanes:
+        if aqe_skew is not None:
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqe_skew)
+        try:
+            run(fn, BASE)  # warm
+            base = min(run(fn, BASE), run(fn, BASE))
+            big = min(run(fn, ZIPF_BIG), run(fn, ZIPF_BIG))
+            print(f"{name:28s} sf0.1={base:6.2f}s  {COPIES}x-zipf={big:6.2f}s  "
+                  f"slope={big / base:5.1f}x")
+        finally:
+            if aqe_skew is not None:
+                spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.stop()
+
+
 def main() -> None:
     from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import REGISTRY
     from aws_glue_pyspark_incrementality_and_parallelism_spark.session import build_spark
@@ -306,4 +454,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    skew_mode = os.environ.get("SPARK_GRAFT_PROBE_SKEW")
+    if "--skew" in sys.argv:
+        skew_mode = sys.argv[sys.argv.index("--skew") + 1]
+    if skew_mode:
+        if skew_mode != "zipf":
+            raise SystemExit(f"unknown skew mode {skew_mode!r} (only 'zipf')")
+        skew_probe()
+    else:
+        main()
