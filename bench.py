@@ -103,8 +103,10 @@ def main() -> None:
         for i, name in enumerate(conc_names)
     ]
     run_concurrent(spark, jobs, max_workers=threads)
+    concurrent_wall = round(time.perf_counter() - wall0, 3)
     for name in seq_names:
         _timed(name)()
+    seq_wall = round(time.perf_counter() - wall0 - concurrent_wall, 3)
 
     # The reference's whole-job scenario: incremental scan -> 3-way join
     # -> cache -> two concurrent FAIR-pool reports -> parquet sinks ->
@@ -157,6 +159,14 @@ def main() -> None:
         "spans": spans,
         "isolated": isolated,
         "isolated_pass_sec": isolated_pass_sec,
+        # headline "value" = concurrent wave + sequential phase + ETL
+        # anchor (the whole suite, as in prior rounds); the phase split
+        # keeps round-over-round walls attributable now that the 20
+        # stream_*/maintenance_* queries run serially (the r4→r5
+        # headline delta is the serialization of those lanes, not a
+        # per-query regression — their per-query numbers DROPPED).
+        "concurrent_wall_sec": concurrent_wall,
+        "sequential_phase_sec": seq_wall,
         "sequential_phase": seq_names,
         "sf": sf,
         "n_queries": len(timings),
