@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..plans.registry import query
+from ..session import pin
 from ..sources.io import load_table
 
 #: MinHash parameters: 32 hashes = 8 bands × 4 rows. With threshold
@@ -284,7 +285,7 @@ def minhash_candidate_pairs(
     # (materialize=False keeps the full lineage visible for plan-shape
     # tests, which pin the band equi-join skeleton the checkpoint hides.)
     if materialize:
-        cands = cands.localCheckpoint(eager=True)
+        cands = cands.transform(pin)
     cand_ids = cands.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
     cand_sets = (
         shingle_rows(docs.join(cand_ids, "doc_id", "left_semi"))
@@ -591,9 +592,9 @@ def connected_components(
       minority and the isolated majority is unioned back at the end."""
     sym = edges.select("doc_a", "doc_b").union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     active = sym.select(F.col("doc_a").alias("doc_id")).distinct()
-    labels = active.withColumn("comp", F.col("doc_id")).localCheckpoint(eager=True)
+    labels = active.withColumn("comp", F.col("doc_id")).transform(pin)
     from pyspark.sql import Observation
 
     for _ in range(max_iters):
@@ -631,7 +632,7 @@ def connected_components(
         observed = jumped.observe(
             obs, F.sum((F.col("comp") != F.col("prev")).cast("long")).alias("changed")
         )
-        labels = observed.select("doc_id", "comp").localCheckpoint(eager=True)
+        labels = observed.select("doc_id", "comp").transform(pin)
         if obs.get["changed"] == 0:
             break
     isolated = nodes.select("doc_id").join(active, "doc_id", "left_anti")
@@ -1543,7 +1544,7 @@ def q_dedup_store_retention_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             % 10
         ).alias("first_seen_day"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     retained = store.filter(F.col("first_seen_day") >= 5).select("fp")
     batch = (
         docs.filter(F.col("doc_id") % 3 == 0)

@@ -20,16 +20,17 @@ At 100 TB the bin count rises with the cluster, never with the data a
 single task must sort.
 
 **Lineage-pinning trade-off (ADVICE r4).** Call sites that rank one
-relation on several axes pin it with ``localCheckpoint(eager=True)``
-so each axis's offset branch doesn't re-execute the previous axes'
-windows and joins. localCheckpoint blocks are EXECUTOR-LOCAL and
-unreplicated: on a long-lived 1000-executor job a single executor
-loss fails the query instead of recomputing lineage. That is the
-right default for benchmark/interactive runs (no HDFS round-trip);
-a production 100 TB job should swap the pin for reliable
-``checkpoint()`` (with ``spark.sparkContext.setCheckpointDir`` on
-durable storage) or ``persist(StorageLevel.MEMORY_AND_DISK_2)`` —
-same plan shape, fault-tolerant blocks. See SCALING.md.
+relation on several axes pin it (``df.transform(session.pin)``) so
+each axis's offset branch doesn't re-execute the previous axes'
+windows and joins. The default pin is ``localCheckpoint`` — its
+blocks are EXECUTOR-LOCAL and unreplicated, so on a long-lived
+1000-executor job a single executor loss fails the query instead of
+recomputing lineage. That is the right default for benchmark/
+interactive runs (no HDFS round-trip); a production 100 TB job sets
+``SPARK_GRAFT_RELIABLE_PIN=1``, which switches EVERY pin site to
+reliable ``checkpoint()`` on the durable checkpoint dir
+(``SPARK_GRAFT_CHECKPOINT_DIR``) — same plan shape, fault-tolerant
+blocks, identical results. See SCALING.md.
 
 Reference parity: the reference (a 130-line Glue script) has no global
 ordering at all; this backs the driver-mandated analytics extensions

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..plans.registry import query
+from ..session import pin
 from ..sources.io import load_table
 
 HASH_BUCKETS = 64
@@ -335,7 +336,7 @@ def q_sample_negative_unigram_cdf(spark: SparkSession, sf_dir: str) -> DataFrame
             .cast("bigint")
             .alias("w_q"),
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     w = Window.orderBy(F.desc("w_q"), F.asc("word"))
     cdf = vocab.select(

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
+from ..session import pin
 from ..sources.io import load_table
 
 #: k-anonymity threshold: an equivalence class with fewer than K members
@@ -533,7 +534,7 @@ def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = (
         b.groupBy("c_nationkey", "bal_bucket")
         .agg(F.count("*").alias("c_j"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     nations = cell.select("c_nationkey").distinct()
     buckets = cell.select("bal_bucket").distinct()
@@ -733,7 +734,7 @@ def q_sample_temporal_split_leakage(spark: SparkSession, sf_dir: str) -> DataFra
             "split",
             F.when(F.col("first_d") < boundary, "train").otherwise("test"),
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     straddle = per_c.agg(
         F.sum(

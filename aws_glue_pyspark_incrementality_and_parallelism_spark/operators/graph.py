@@ -9,8 +9,10 @@ Scale design: the edge relation (with precomputed out-degrees) is the
 loop invariant — materialized once and reused every iteration; only the
 O(nodes) rank relation is rewritten per pass, and only two scalars
 (dangling mass, convergence delta) ever cross the driver boundary.
-At 100 TB the localCheckpoints become ``persist(DISK)`` + checkpoint
-to object storage; the plan shape is unchanged.
+Every pin site goes through ``session.pin`` (``df.transform(pin)``):
+localCheckpoint by default, reliable ``checkpoint()`` to the
+checkpoint dir when ``SPARK_GRAFT_RELIABLE_PIN=1`` — the 100 TB
+fault-tolerant path with the plan shape unchanged (see SCALING.md).
 """
 
 from __future__ import annotations
@@ -19,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
+from ..session import pin
 from ..sources.io import load_table
 
 DAMPING = 0.85
@@ -61,7 +64,7 @@ def pagerank(edges: DataFrame, n_iters: int = PAGERANK_ITERS, damping: float = D
     fanout = (
         edges.join(out_deg, "src")
         .select("src", "dst", "out_deg")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     # Loop invariant: vertex set with its static dangling flag.
     deg_keys = out_deg.select(F.col("src").alias("deg_src"))
@@ -71,19 +74,19 @@ def pagerank(edges: DataFrame, n_iters: int = PAGERANK_ITERS, damping: float = D
         .distinct()
         .join(deg_keys, F.col("node") == F.col("deg_src"), "left")
         .select("node", F.col("deg_src").isNull().alias("is_dangling"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     n_nodes = nodes.count()
     broadcast_ranks = n_nodes <= BROADCAST_RANKS_MAX_NODES
 
     ranks = (
         nodes.select("node", "is_dangling", F.lit(1.0).alias("rank"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     for i in range(n_iters):
         ranks = _pagerank_step(fanout, nodes, ranks, n_nodes, damping, broadcast_ranks)
         if (i + 1) % CHECKPOINT_EVERY == 0 or i == n_iters - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(pin)
     return ranks.select("node", "rank")
 
 
@@ -241,7 +244,7 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = q_dedup_ngram_jaccard(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     e1 = e.alias("e1")
     e2 = e.alias("e2")
     e3 = e.alias("e3")
@@ -311,12 +314,12 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     sources = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id").distinct()
 
-    levels = sources.withColumn("level", F.lit(0)).localCheckpoint(eager=True)
+    levels = sources.withColumn("level", F.lit(0)).transform(pin)
     frontier = levels.select("doc_id")
     for lvl in range(1, BFS_MAX_LEVELS + 1):
         nxt = (
@@ -325,11 +328,11 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(levels, "doc_id", "left_anti")
             .withColumn("level", F.lit(lvl))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         if nxt.isEmpty():
             break
-        levels = levels.union(nxt).localCheckpoint(eager=True)
+        levels = levels.union(nxt).transform(pin)
         frontier = nxt.select("doc_id")
     return levels
 
@@ -473,7 +476,7 @@ def q_graph_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
                 wt.alias("wt"),
             )
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -482,7 +485,7 @@ def q_graph_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
         .withColumn("dist", F.lit(0))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     for _ in range(SSSP_ROUNDS):
         cand = sym.join(dist, sym.doc_a == dist.doc_id).select(
@@ -493,7 +496,7 @@ def q_graph_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.union(cand)
             .groupBy("doc_id")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
     return dist.select("doc_id", F.col("dist").cast("int").alias("dist"))
 
@@ -582,11 +585,9 @@ def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
 
-    active = sym.select(F.col("doc_a").alias("node")).distinct().localCheckpoint(
-        eager=True
-    )
+    active = sym.select(F.col("doc_a").alias("node")).distinct().transform(pin)
     for _ in range(KCORE_ROUNDS):
         restricted = sym.join(
             active.withColumnRenamed("node", "doc_a"), "doc_a"
@@ -596,7 +597,7 @@ def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("deg"))
             .filter(F.col("deg") >= KCORE_K)
             .select(F.col("doc_a").alias("node"))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
     final = sym.join(active.withColumnRenamed("node", "doc_a"), "doc_a").join(
         active.withColumnRenamed("node", "doc_b"), "doc_b"

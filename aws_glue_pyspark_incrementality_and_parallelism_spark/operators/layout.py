@@ -482,7 +482,7 @@ def q_layout_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     owners = docs.mapInPandas(
         assign, schema="doc_id bigint, old_owner string, new_owner string"
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     audit = owners.agg(
         F.count("*").alias("n_docs"),
         F.count(F.when(F.col("new_owner") != F.col("old_owner"), 1)).alias("n_moved"),
@@ -513,6 +513,6 @@ def q_layout_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # layout defines mapInPandas closures; executors do not have the repo
 # on sys.path (worker-closure rule), so pickle the module by value.
-from ..session import pickle_module_by_value  # noqa: E402
+from ..session import pickle_module_by_value, pin# noqa: E402
 
 pickle_module_by_value(__name__)

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
+from ..session import pin
 from ..sources.io import load_table
 
 
@@ -860,7 +861,7 @@ def q_maintenance_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cents"),
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     base = o.filter(F.col("k") % 4 != 3)
     base_path = os.path.join(root, "base")
@@ -905,7 +906,7 @@ def q_maintenance_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             last.filter(F.col("op") == "U").select("k", "o_orderpriority", "cents")
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
 
     # read-optimized: compact once, read the rewrite

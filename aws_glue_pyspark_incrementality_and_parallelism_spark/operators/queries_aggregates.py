@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
+from ..session import pin
 from ..sources.io import load_table, register_views
 
 
@@ -868,7 +869,7 @@ def q_agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
         .select("l_partkey", "cents", (-F.col("cents")).alias("neg_cents"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     st = rev.agg(
         F.min("neg_cents").alias("lo"),

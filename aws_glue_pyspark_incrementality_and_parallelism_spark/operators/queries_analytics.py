@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..plans.registry import query
+from ..session import pin
 from ..sources.io import load_table
 
 
@@ -747,7 +748,7 @@ def q_events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("frequency")).alias("s_f"),
             (-F.col("monetary_c")).alias("s_m"),
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     st = rfm.agg(
         F.count(F.lit(1)).alias("n"),
@@ -1627,7 +1628,7 @@ def q_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the lag self-join — without a checkpoint Catalyst re-derives it
         # per branch and the 100 TB fact scans 12 times (measured).
         # Checkpointing the O(days) aggregate pins exactly one scan.
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     stats = daily.agg(
         F.count("*").cast("decimal(38,0)").alias("n"),
@@ -2043,7 +2044,7 @@ def q_ts_linear_interpolate_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cents")
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     span = obs.groupBy("event_type", "cohort").agg(
         F.min("h").alias("lo"), F.max("h").alias("hi")
@@ -2272,7 +2273,7 @@ def q_ab_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.sum("in_a")).cast("bigint").alias("cnt_b"),
             (F.count("*")).cast("bigint").alias("cnt_all"),
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     # The distinct-VALUE relation saturates at the cents domain but
     # still reaches tens of millions of rows — the rank cumsum runs

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
+from ..session import pin
 from ..sources.io import load_table
 from . import reports
 
@@ -261,7 +262,7 @@ def q_incremental_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFr
     # (listing, gap anti-join, backfill, residual audit) reuses it, so
     # the FACT table is scanned exactly once — without this, Catalyst
     # re-derives the aggregate per branch (7 fact scans observed).
-    dayagg = dayagg.withColumn("_lane", lane).localCheckpoint(eager=True)
+    dayagg = dayagg.withColumn("_lane", lane).transform(pin)
     expected = dayagg.select("day")
     sink_existing = dayagg.filter(F.col("_lane") >= BACKFILL_MAX)
     # Gap detection: expected days with no sink partition.

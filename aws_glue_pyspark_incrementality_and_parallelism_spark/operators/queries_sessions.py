@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
+from ..session import pin
 from ..sources.io import load_table
 
 GAP = "30 minutes"
@@ -456,7 +457,7 @@ def q_events_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFr
         marks.withColumn("session_seq", F.sum("is_start").over(w_cum))
         .groupBy("user_id", "session_seq")
         .agg(F.min("ts").alias("t_start"), F.max("ts").alias("t_end"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     span = sess.agg(
         F.min(F.unix_micros("t_start")).alias("lo"),
@@ -1006,10 +1007,10 @@ def q_events_markov_stationary_power(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("dst").isNotNull())
         .groupBy("src", "dst")
         .agg(F.count("*").cast("bigint").alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     rowtot = trans.groupBy("src").agg(F.sum("c").cast("bigint").alias("r"))
-    tr = trans.join(rowtot, "src").localCheckpoint(eager=True)
+    tr = trans.join(rowtot, "src").transform(pin)
 
     v0 = rowtot.select(F.col("src").alias("state"), F.lit(1000000).cast("bigint").alias("vq"))
     v = v0
@@ -1020,7 +1021,7 @@ def q_events_markov_stationary_power(spark: SparkSession, sf_dir: str) -> DataFr
             .groupBy(F.col("dst").alias("state_new"))
             .agg(F.sum("t").cast("bigint").alias("vq"))
             .select(F.col("state_new").alias("state"), "vq")
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
     return (
         v.join(v0.select(F.col("state"), F.col("vq").alias("vq0")), "state")
@@ -1138,7 +1139,7 @@ def q_events_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.min("ts")).alias("s_us"),
             (F.unix_micros(F.max("ts")) + 1).alias("e_us"),
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     direct = sess.agg(
         F.count("*").cast("bigint").alias("n_sessions"),
@@ -1370,7 +1371,7 @@ def q_events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFra
         (F.col("base") + F.when(F.col("rk") <= F.col("n_extra"), 1).otherwise(0)).alias(
             "credit"
         ),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     conserved = credited.agg(
         (
             F.sum("credit") == F.lit(1000) * F.countDistinct("conv_id")

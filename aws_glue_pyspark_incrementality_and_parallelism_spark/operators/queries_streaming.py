@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
+from ..session import pin
 from ..sources.io import load_table
 
 
@@ -919,7 +920,7 @@ def q_incremental_agg_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select("k", "c_nationkey", "cents")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
 
     base = rows.filter(F.col("k") % 4 != 3)

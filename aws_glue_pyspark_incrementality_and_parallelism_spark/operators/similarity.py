@@ -551,7 +551,7 @@ def kmeans_refine(
             assign_nearest_cells(emb, centroids, k=1)
             .select("vec_id", "embedding", "cell", "cell_cos")
             .observe(obs, F.sum(F.lit(1.0) - F.col("cell_cos")).alias("inertia"))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         inertias.append(float(obs.get["inertia"]))
         centroids = (
@@ -567,7 +567,7 @@ def kmeans_refine(
         )
         # materialize the small table so each iteration's lineage is flat
         # (unbounded lineage growth is the classic iterative-Spark bug)
-        centroids = centroids.localCheckpoint(eager=True)
+        centroids = centroids.transform(pin)
     return centroids, inertias
 
 
@@ -1074,7 +1074,7 @@ def q_sim_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from ..session import pickle_module_by_value  # noqa: E402
+from ..session import pickle_module_by_value, pin# noqa: E402
 
 # This module defines worker-side (Arrow/Pandas UDF) functions: ship them
 # by value so executors never need the package on their own sys.path.

@@ -587,7 +587,7 @@ def q_text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = (
         docs.select("doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens"))
         .repartitionByRange(PACK_PARTITIONS, "doc_id")
-        .localCheckpoint()
+        .transform(pin)
     )
     parts = sized.withColumn("pid", F.spark_partition_id())
     w = Window.partitionBy("pid").orderBy("doc_id")
@@ -1353,7 +1353,7 @@ def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from ..session import pickle_module_by_value  # noqa: E402
+from ..session import pickle_module_by_value, pin  # noqa: E402
 
 # This module defines worker-side (Arrow/Pandas UDF) functions: ship them
 # by value so executors never need the package on their own sys.path.
@@ -1428,7 +1428,7 @@ def q_text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "lang", "bucket")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     raw = feat.groupBy("bucket").agg(F.sum("tf").cast("bigint").alias("cnt_r"))
     tgt = (
@@ -1561,7 +1561,7 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrase_words = (
         marked.filter(~F.col("is_stop"))
         .select("doc_id", "island", "word", "pos")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     phrases = phrase_words.groupBy("doc_id", "island").agg(
         F.expr(
@@ -1570,7 +1570,7 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("phrase"),
         F.count("*").alias("n_words"),
     )
-    usable = phrases.filter(F.col("n_words") <= 4).localCheckpoint(eager=True)
+    usable = phrases.filter(F.col("n_words") <= 4).transform(pin)
     occur = phrase_words.join(
         usable.select("doc_id", "island", "n_words"), ["doc_id", "island"]
     )
@@ -1664,7 +1664,7 @@ def q_pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFram
         F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000 + F.lit(0.5))
         .cast("bigint")
         .alias("weight_q"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     tot = w.agg(F.sum("weight_q").cast("bigint").alias("total"))
     quota = w.crossJoin(F.broadcast(tot)).select(
         "lang",
@@ -1755,7 +1755,7 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").cast("bigint").alias("n"))
         .select("word", "n", (-F.col("n")).alias("neg_n"), prefix2_bin("word").alias("pfx"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     span = cnt.agg(F.min("neg_n").alias("lo"), F.max("neg_n").alias("hi")).collect()[0]
     ranked = add_global_row_number_skewed(

@@ -28,6 +28,39 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def pin(df, eager: bool = True):
+    """Materialize a DataFrame and cut its lineage — the repo-wide
+    pinning primitive for iterative loops (graph, k-means, connected
+    components, BPE) and multi-axis distrank rewrites. Use as
+    ``df.transform(pin)``.
+
+    Default: ``localCheckpoint`` — executor-local, unreplicated blocks,
+    no HDFS round-trip. Fastest, and right for bench/interactive runs;
+    on a long-lived 1000-executor job a single executor loss fails the
+    query instead of recomputing lineage (ADVICE r4).
+
+    Production path: set ``SPARK_GRAFT_RELIABLE_PIN=1`` to switch every
+    pin site to reliable ``checkpoint()`` — replicated, durable blocks
+    on the checkpoint dir (``SPARK_GRAFT_CHECKPOINT_DIR``, or a temp
+    dir is defaulted so the knob works out of the box; point it at
+    durable shared storage on a real cluster). Same plan shape either
+    way; results are identical by construction. See SCALING.md.
+    """
+    if os.environ.get("SPARK_GRAFT_RELIABLE_PIN"):
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            import tempfile
+
+            sc.setCheckpointDir(
+                os.environ.get(
+                    "SPARK_GRAFT_CHECKPOINT_DIR",
+                    tempfile.mkdtemp(prefix="spark-graft-ckpt-"),
+                )
+            )
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def pickle_module_by_value(module_name: str) -> None:
     """Ship a module's functions BY VALUE into Python workers.
 

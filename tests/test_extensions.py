@@ -506,3 +506,31 @@ class TestSessionFeatureOps:
         w = Window.orderBy("at", "d").rowsBetween(Window.unboundedPreceding, 0)
         peak = deltas.withColumn("c", F.sum("d").over(w)).agg(F.max("c")).collect()[0][0]
         assert peak == 2
+
+
+def test_pin_reliable_mode_env_knob(spark, tmp_path, monkeypatch):
+    """session.pin: localCheckpoint by default; SPARK_GRAFT_RELIABLE_PIN=1
+    switches to reliable checkpoint() on SPARK_GRAFT_CHECKPOINT_DIR with
+    identical results — the 100 TB fault-tolerance knob (ADVICE r4)."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.session import pin
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    local = df.transform(pin)  # default lane: no checkpoint dir needed
+    assert local.count() == 100
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_PIN", "1")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path / "ckpt"))
+    reliable = df.transform(pin)
+    assert sorted(r.v for r in reliable.collect()) == sorted(
+        r.v for r in local.collect()
+    )
+    # the reliable pin set the durable dir and wrote checkpoint files
+    # (first reliable pin in the context sets the dir; later ones
+    # reuse whatever is active)
+    active = spark.sparkContext.getCheckpointDir()
+    assert active is not None
+    import os as _os
+
+    local_path = active.removeprefix("file:")
+    assert any(files for _, _, files in _os.walk(local_path))
