@@ -161,6 +161,8 @@ QUERIES = [
     # global NTILE / boundary sweep) + the new MP4 MJPEG decode lane
     "events_rfm_segmentation", "multimodal_decode_mp4_frames",
     "window_ntile_quartiles",
+    # round-5 addition: the moov-at-end MJPEG lane (tail-window sniff)
+    "multimodal_decode_mp4_moov_tail",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
