@@ -350,12 +350,50 @@ def skew_probe() -> None:
             e, "user_id", "event_id", "__fb", span["lo"], span["hi"], "rn"
         )
 
+    SALT = 16
+
+    def agg_algebraic_plain(sfd: str):
+        # algebraic agg (count/sum): map-side partial aggregation
+        # already neutralizes key skew — each task emits one partial
+        # row per local key, so the hot key's reducer sees ~#tasks
+        # rows, not #rows. Expected FLAT; recorded to document WHY the
+        # salted path targets holistic aggregates, not these.
+        e = load_table(spark, sfd, "events")
+        return e.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total"),
+        )
+
+    def agg_holistic_plain(sfd: str):
+        # holistic agg (collect_list): no map-side combine — EVERY row
+        # of the hot key crosses the shuffle to one reducer task.
+        e = load_table(spark, sfd, "events")
+        return e.groupBy("user_id").agg(
+            F.size(F.collect_list("event_id")).alias("n_collected")
+        )
+
+    def agg_holistic_salted(sfd: str):
+        # two-phase: collect per (key, salt) — the hot key fans across
+        # SALT reducers — then re-aggregate the per-salt sizes.
+        e = load_table(spark, sfd, "events").withColumn(
+            "_salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT)).cast("int")
+        )
+        return (
+            e.groupBy("user_id", "_salt")
+            .agg(F.size(F.collect_list("event_id")).alias("n_part"))
+            .groupBy("user_id")
+            .agg(F.sum("n_part").cast("int").alias("n_collected"))
+        )
+
     lanes = [
         ("join_unsalted(+AQE skew)", join_unsalted, None),
         ("join_unsalted(-AQE skew)", join_unsalted, "false"),
         ("join_salted_skew", lambda sfd: REGISTRY["join_salted_skew"].fn(spark, sfd), None),
         ("rank_plain_bins", rank_plain, None),
         ("rank_skewed_bins", rank_skewed, None),
+        ("agg_algebraic_plain", agg_algebraic_plain, None),
+        ("agg_holistic_plain", agg_holistic_plain, None),
+        ("agg_holistic_salted", agg_holistic_salted, None),
     ]
 
     def run(fn, sfd: str) -> float:
