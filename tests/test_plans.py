@@ -858,3 +858,28 @@ def test_retention_gc_is_what_creates_readmission(spark):
     assert sum(1 for fp in batch_fps if fp in store and fp not in expired) == row[
         "n_dup_recent"
     ]
+
+
+def test_media_routing_stays_jvm_side(spark):
+    """The capability-registry sniff (structural stsd fourCC over head
+    AND tail windows, round 5) must compile to pure Catalyst
+    expressions: format routing at scan speed, zero Python eval nodes
+    before the decode lane."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.multimodal import (
+        route_media,
+    )
+
+    media = spark.range(4).select(
+        F.col("id").alias("doc_id"),
+        F.encode(F.lit("not-a-real-payload"), "utf-8").alias("payload"),
+    )
+    routed = route_media(media)
+    jvm = spark.sparkContext._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("extended")
+    plan = routed._jdf.queryExecution().explainString(mode)
+    for python_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert python_node not in plan, f"routing fell into {python_node}"
+    # the structural sniff is present (locate over the decoded window)
+    assert "locate(stsd" in plan
