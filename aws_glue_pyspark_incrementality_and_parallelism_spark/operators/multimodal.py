@@ -273,11 +273,15 @@ def detect_format_col(payload: Column) -> Column:
     # (and decode_or_defer additionally reroutes any row whose decode
     # still fails, so a pathological false positive degrades to the
     # deferred lane, never a job abort). Checked over the FIRST 4 KB
-    # (fast-start: moov before mdat) and the LAST 4 KB (moov-at-end,
-    # the layout most capture muxers write) — both O(window), JVM-side;
-    # ISO-8859-1 decode is byte-preserving so locate/substring index
-    # the raw bytes. Files whose moov exceeds the tail window (very
-    # long sample tables) conservatively stay deferred.
+    # (fast-start: moov right after ftyp puts stsd in the first few
+    # hundred bytes — stsd PRECEDES the frame-count-proportional
+    # stsz/stco tables inside stbl) and the LAST 64 KB (moov-at-end,
+    # the layout most capture muxers write: here stsd sits ABOVE those
+    # tables, ~16 bytes/frame of stsz+stco between it and EOF, so 64 KB
+    # reaches stsd for videos up to ~4000 frames). Both O(window),
+    # JVM-side; ISO-8859-1 decode is byte-preserving so locate/
+    # substring index the raw bytes. Longer-still moov-at-end files
+    # conservatively stay deferred.
     bmff = F.substring(payload, 5, 4) == F.lit(bytearray(b"ftyp"))
 
     def _stsd_mjpeg(window: Column) -> Column:
@@ -285,9 +289,10 @@ def detect_format_col(payload: Column) -> Column:
         p = F.locate("stsd", s)
         return (p > 0) & F.substring(s, p + 16, 4).isin("jpeg", "mjpa")
 
+    _TAIL = 65536
     head = F.substring(payload, 1, 4096)
-    tail_pos = F.greatest(F.octet_length(payload) - F.lit(4095), F.lit(1))
-    tail = F.substring(payload, tail_pos, F.lit(4096))
+    tail_pos = F.greatest(F.octet_length(payload) - F.lit(_TAIL - 1), F.lit(1))
+    tail = F.substring(payload, tail_pos, F.lit(_TAIL))
     mjpeg_entry = _stsd_mjpeg(head) | _stsd_mjpeg(tail)
     return (
         F.when(riff & (form == F.lit(bytearray(b"AVI "))), "avi (mjpeg)")
@@ -301,12 +306,17 @@ def detect_format_col(payload: Column) -> Column:
 def route_media(media: DataFrame) -> DataFrame:
     """Adds ``format`` (sniffed magic) and ``decodable`` (capability
     registry lookup) columns. Downstream: ``filter(decodable)`` →
-    decode stage; ``filter(~decodable)`` → deferred sink."""
-    fmt = detect_format_col(F.col("payload"))
-    decodable = F.lit(False)
-    for name in supported_formats():
-        decodable = decodable | (fmt == name)
-    return media.withColumn("format", fmt).withColumn("decodable", decodable)
+    decode stage; ``filter(~decodable)`` → deferred sink.
+
+    ``decodable`` references the ``format`` ATTRIBUTE from the first
+    projection rather than re-embedding the sniff expression per
+    registry entry — inlining duplicated the whole head+tail CASE
+    ~8×, blowing generated code past janino's method limits and
+    forcing a whole-stage-codegen fallback (observed r5)."""
+    routed = media.withColumn("format", detect_format_col(F.col("payload")))
+    return routed.withColumn(
+        "decodable", F.col("format").isin(*sorted(supported_formats()))
+    )
 
 
 def decode_or_defer(media: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -265,3 +265,40 @@ class TestMp4MjpegSamples:
         defr = {r.doc_id: r.format for r in deferred.collect()}
         assert defr[1] == "mp4/iso-bmff"  # structural sniff: not MJPEG
         assert defr[3] == "mp4 (mjpeg)"  # sniffed decodable, rerouted on error
+
+    def test_long_moov_at_end_video_routes_decodable(self, spark):
+        """A moov-at-end video long enough that its sample tables push
+        the stsd box PAST a 4 KB tail window (the round-5 initial
+        window) must still route to the decodable lane — the tail
+        window is 64 KB, reaching stsd through ~16 bytes/frame of
+        stsz+stco for videos up to ~4000 frames."""
+        import numpy as np
+
+        from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.jpeg import (
+            encode_gray_baseline,
+        )
+        from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.mp4 import (
+            encode_mp4_mjpeg,
+        )
+        from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.multimodal import (
+            decode_or_defer,
+        )
+
+        frame = encode_gray_baseline(np.arange(64, dtype=np.uint8).reshape(8, 8))
+        n = 1000
+        payload = encode_mp4_mjpeg([frame] * n, 8, 8, fps=30, fast_start=False)
+        moov_at = payload.find(b"moov")
+        assert moov_at > payload.find(b"mdat")
+        moov_size = len(payload) - (moov_at - 4)
+        assert moov_size > 4096, "fixture must defeat a 4 KB tail window"
+        # stsd itself must sit beyond 4 KB from EOF but inside 64 KB
+        stsd_from_eof = len(payload) - payload.find(b"stsd")
+        assert 4096 < stsd_from_eof <= 65536
+
+        media = spark.createDataFrame(
+            [(1, bytearray(payload))], "doc_id long, payload binary"
+        )
+        decoded, deferred = decode_or_defer(media)
+        assert deferred.count() == 0
+        row = decoded.collect()[0]
+        assert (row.width, row.height) == (8, 8)
