@@ -25,7 +25,6 @@ materializing a whole partition.
 
 from __future__ import annotations
 
-import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -354,7 +353,13 @@ def decode_or_defer(media: DataFrame) -> tuple[DataFrame, DataFrame]:
                         mean_r=float(means[0]), mean_g=float(means[1]),
                         mean_b=float(means[2]),
                     )
-                except (NotImplementedError, ValueError, struct.error) as exc:
+                except Exception as exc:  # noqa: BLE001 — quarantine lane:
+                    # ANY per-row decode failure (named codec gates,
+                    # malformed headers, and the long tail a bit-flipped
+                    # payload can reach inside a codec — IndexError in a
+                    # Huffman table, zlib.error, struct.error) must
+                    # quarantine the ROW, never abort the JOB; the
+                    # error text is preserved on the attempted lane.
                     row["error"] = f"{type(exc).__name__}: {exc}"
                 for k, v in row.items():
                     out[k].append(v)
@@ -403,7 +408,11 @@ def decode_rgb(payload: bytes) -> "object":
     - **AVI/MJPEG** (RIFF form 'AVI ') via ``operators.avi`` — returns
       the FIRST video frame, mirroring the GIF-animation convention.
 
-    Remaining codec formats (RIFF-WAVE/WEBP, MP4) raise
+    - **MP4/MJPEG** (ISO-BMFF with 'jpeg'/'mjpa' sample entries, either
+      fast-start or moov-at-end layout) via ``operators.mp4`` — first
+      frame, same convention.
+
+    Remaining codec formats (RIFF-WAVE/WEBP, non-MJPEG MP4) raise
     ``NotImplementedError`` naming the detected format; anything else
     raises ``ValueError``.
     """
