@@ -555,14 +555,29 @@ def test_quarantine_never_aborts_on_adversarial_corpus(spark):
         decode_or_defer,
     )
 
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.avi import (
+        encode_avi_mjpeg,
+    )
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.gif import (
+        encode_gif,
+    )
+
+    from .test_png import encode_png as png_encode
+
     rng = random.Random(405)
-    frame = encode_gray_baseline(np.arange(48, dtype=np.uint8).reshape(6, 8))
+    img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    frame = encode_gray_baseline(img)
+    rgb = np.dstack([img, img, img])
     good_fast = encode_mp4_mjpeg([frame] * 2, 8, 6, fps=10)
     good_tail = encode_mp4_mjpeg([frame] * 2, 8, 6, fps=10, fast_start=False)
     ppm = b"P6\n2 2\n255\n" + bytes(range(12))
+    good_png = png_encode(rgb)
+    palette = np.arange(256, dtype=np.uint8).repeat(3).reshape(256, 3)
+    good_gif = encode_gif(img, palette)
+    good_avi = encode_avi_mjpeg([frame] * 2, 8, 6, fps=10)
 
-    payloads = [good_fast, good_tail, ppm]
-    for base in (good_fast, good_tail, ppm):
+    payloads = [good_fast, good_tail, ppm, good_png, good_gif, good_avi]
+    for base in (good_fast, good_tail, ppm, good_png, good_gif, good_avi):
         # truncations at random offsets
         for _ in range(6):
             payloads.append(base[: rng.randrange(1, len(base))])
@@ -586,5 +601,5 @@ def test_quarantine_never_aborts_on_adversarial_corpus(spark):
     def_ids = {r.doc_id for r in deferred.collect()}  # must not raise
     assert dec_ids | def_ids == set(range(len(payloads)))
     assert not (dec_ids & def_ids)
-    # the three intact payloads decode
-    assert {0, 1, 2} <= dec_ids
+    # every intact payload decodes
+    assert {0, 1, 2, 3, 4, 5} <= dec_ids
