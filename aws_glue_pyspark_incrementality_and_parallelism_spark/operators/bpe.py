@@ -189,7 +189,10 @@ def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("x", "y")
             .agg(F.sum("f").cast("bigint").alias("cnt"))
         )
-        best = pairs.orderBy(F.desc("cnt"), "x", "y").limit(1).collect()[0]
+        top = pairs.orderBy(F.desc("cnt"), "x", "y").limit(1).collect()
+        if not top:  # corpus exhausted (or empty input): no pairs left
+            break
+        best = top[0]
         merges.append((it, best["x"], best["y"], int(best["cnt"])))
         # Each persisted invariant is O(vocabulary) rows; the next
         # iteration's collect materializes it, so no eager count() —

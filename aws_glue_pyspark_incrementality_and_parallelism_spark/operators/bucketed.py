@@ -173,7 +173,12 @@ def q_join_dpp_partitioned_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_year = (
         orders.agg((F.min("o_year") + 1).alias("y")).collect()[0]["y"]
     )
-    fact = spark.read.parquet(path)
+    if probe_year is None:  # empty relation: any probe year works
+        probe_year = 0
+    # explicit schema: a partitionBy write of ZERO rows creates no
+    # partition directories, so schema inference has nothing to read —
+    # the no-new-data incremental run must still plan
+    fact = spark.read.schema(orders.schema).parquet(path)
     # DPP requires a FILTERED build side (the runtime subquery reuses the
     # dim filter); an unfiltered literal relation does not qualify
     dim = spark.createDataFrame(

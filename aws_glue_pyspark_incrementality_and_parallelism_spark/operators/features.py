@@ -173,6 +173,8 @@ def q_sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    if max_key is None:  # empty relation (a no-new-rows incremental run)
+        max_key = 0
     bin_width = max_key // RANK_BINS + 1
     binned = orders.withColumn("bin", (F.col("o_orderkey") / bin_width).cast("bigint"))
 

@@ -278,11 +278,13 @@ def q_source_hive_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFra
     """
     base = tempfile.mkdtemp(prefix="sgq_hivepart_")
     path = os.path.join(base, "orders_by_priority")
-    load_table(spark, sf_dir, "orders").write.partitionBy(
-        "o_orderpriority"
-    ).mode("overwrite").parquet(path)
+    orders_src = load_table(spark, sf_dir, "orders")
+    orders_src.write.partitionBy("o_orderpriority").mode("overwrite").parquet(path)
 
-    fact = spark.read.parquet(path)
+    # explicit schema: a partitionBy write of ZERO rows creates no
+    # partition directories — inference would fail on the no-new-data
+    # incremental case; the schema is known, state it
+    fact = spark.read.schema(orders_src.schema).parquet(path)
     parts = {
         seg
         for f in fact.inputFiles()
@@ -473,10 +475,11 @@ def q_source_provenance_input_file(spark: SparkSession, sf_dir: str) -> DataFram
     """
     base = tempfile.mkdtemp(prefix="sgq_prov_")
     path = os.path.join(base, "orders_by_priority")
-    load_table(spark, sf_dir, "orders").write.partitionBy(
-        "o_orderpriority"
-    ).mode("overwrite").parquet(path)
-    fact = spark.read.parquet(path).withColumn(
+    orders_src = load_table(spark, sf_dir, "orders")
+    orders_src.write.partitionBy("o_orderpriority").mode("overwrite").parquet(path)
+    # explicit schema: zero-row partitionBy writes create no partition
+    # dirs — inference fails on the no-new-data incremental case
+    fact = spark.read.schema(orders_src.schema).parquet(path).withColumn(
         "from_path",
         F.url_decode(
             F.regexp_extract(F.input_file_name(), r"o_orderpriority=([^/]+)/", 1)

@@ -83,6 +83,10 @@ def train_codebooks(spark: SparkSession, sf_dir: str) -> np.ndarray:
         .select("embedding")
         .collect()
     )  # control-plane: ≤ TRAIN_SAMPLE rows regardless of corpus size
+    if not rows:
+        # empty corpus: zero codebooks keep every downstream stage
+        # empty without crashing (no-new-data incremental case)
+        return np.zeros((M_SUB, K_CODES, SUB_DIM), dtype=np.float64)
     sample = _normalize(np.array([r["embedding"] for r in rows], dtype=np.float64))
     sub = sample.reshape(len(sample), M_SUB, SUB_DIM)
     books = np.stack([sub[:K_CODES, j, :].copy() for j in range(M_SUB)])
@@ -140,6 +144,13 @@ def pq_adc_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )  # control-plane: N_QUERIES vectors
+    if not qrows:
+        # empty corpus ⇒ no query vectors: the ADC top-k is empty by
+        # definition (no-new-data incremental case must not crash);
+        # schema matches the reranked output below
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rn int"
+        )
     qids = np.array([r["vec_id"] for r in qrows])
     qmat = _normalize(np.array([r["embedding"] for r in qrows], dtype=np.float64))
     qsub = qmat.reshape(len(qmat), M_SUB, SUB_DIM)

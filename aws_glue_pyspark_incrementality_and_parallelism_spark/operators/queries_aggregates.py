@@ -364,9 +364,12 @@ def q_agg_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     all 4 buckets exist, each holds 25%±5% of rows (share_ok), and the
     bucketing conserves the exact row count (total_rows)."""
     o = load_table(spark, sf_dir, "orders")
-    q1, q2, q3 = o.agg(
+    cuts = o.agg(
         F.expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)")
     ).collect()[0][0]
+    # empty relation: the sketch returns NULL — any cut-points work,
+    # every downstream stage is empty anyway
+    q1, q2, q3 = cuts if cuts is not None else (0.0, 0.0, 0.0)
     bucket = (
         F.when(F.col("o_totalprice") <= q1, 1)
         .when(F.col("o_totalprice") <= q2, 2)

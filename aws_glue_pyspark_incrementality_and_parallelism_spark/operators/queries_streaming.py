@@ -582,7 +582,13 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     mn = ev.agg(F.min("ts")).collect()[0][0]  # O(1) bookmark-style scalar
-    mn_us = int(mn.replace(tzinfo=__import__("datetime").timezone.utc).timestamp() * 1_000_000)
+    if mn is None:  # empty relation (no-new-rows incremental run): any
+        mn_us = 0  # anchor works — every stage below is then empty too
+    else:
+        mn_us = int(
+            mn.replace(tzinfo=__import__("datetime").timezone.utc).timestamp()
+            * 1_000_000
+        )
     wk = ((F.unix_micros(F.col("ts")) - F.lit(mn_us)) / F.lit(604_800_000_000)).cast(
         "bigint"
     )
@@ -622,8 +628,13 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = tagged.filter(F.col("wk") < 2).agg(
         F.count("*").alias("n_dropped_late")
     )
+    # explicit schema on the read-back: a sink that saw zero windows has
+    # no data files to infer from — the schema is known, state it
     return (
-        spark.read.parquet(out)
+        spark.read.schema(
+            "window struct<start:timestamp,end:timestamp>, n_events bigint"
+        )
+        .parquet(out)
         .select(F.col("window.start").alias("window_start"), "n_events")
         .crossJoin(F.broadcast(dropped))
     )

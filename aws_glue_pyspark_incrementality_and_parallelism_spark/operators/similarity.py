@@ -306,6 +306,16 @@ def assign_nearest_cells(
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
     cent_rows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    if not cent_rows:
+        # empty corpus ⇒ zero centroids: assignment is empty by
+        # definition — keep the output schema, emit no rows (the
+        # no-new-data incremental case must not crash on a 1-D array)
+        return (
+            df.filter(F.lit(False))
+            .withColumn("cell", F.lit(None).cast(centroids.schema["cell"].dataType))
+            .withColumn("cell_cos", F.lit(None).cast("double"))
+            .withColumn("cell_rank", F.lit(None).cast("int"))
+        )
     cells = [r["cell"] for r in cent_rows]
     C = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
@@ -553,7 +563,10 @@ def kmeans_refine(
             .observe(obs, F.sum(F.lit(1.0) - F.col("cell_cos")).alias("inertia"))
             .transform(pin)
         )
-        inertias.append(float(obs.get["inertia"]))
+        # empty corpus: the Observation sum is NULL — inertia of an
+        # empty assignment is 0 (no-new-data incremental case)
+        _in = obs.get["inertia"]
+        inertias.append(float(_in) if _in is not None else 0.0)
         centroids = (
             assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
             .groupBy("cell", "pos")

@@ -603,3 +603,46 @@ def test_quarantine_never_aborts_on_adversarial_corpus(spark):
     assert not (dec_ids & def_ids)
     # every intact payload decodes
     assert {0, 1, 2, 3, 4, 5} <= dec_ids
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    """Zero-row twins of every base table, real schemas — the
+    no-new-data incremental run (round-5 robustness class)."""
+    import duckdb
+
+    root = tmp_path_factory.mktemp("sf_empty")
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"COPY (SELECT * FROM '{SF_SMALL}/{t}.parquet' LIMIT 0) "
+            f"TO '{root}/{t}.parquet' (FORMAT parquet)"
+        )
+    return str(root)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # the ten queries that CRASHED on zero-row input before round 5
+        # (plan-build collects of None spans, empty argmax, empty numpy
+        # stacks, schema inference over zero-file partitioned writes)
+        "sample_systematic_every_k",
+        "text_bpe_train_merges",
+        "stream_watermark_late_drop",
+        "agg_quantile_bucketize",
+        "sim_pq_adc_topk",
+        "sim_ivf_topk",
+        "sim_kmeans_refine",
+        "source_provenance_input_file",
+        "source_hive_partitioned_prune",
+        "join_dpp_partitioned_fact",
+    ],
+)
+def test_zero_row_corpus_does_not_crash(spark, empty_sf_dir, name):
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import (
+        REGISTRY,
+    )
+
+    REGISTRY[name].fn(spark, empty_sf_dir).count()  # must plan and run
