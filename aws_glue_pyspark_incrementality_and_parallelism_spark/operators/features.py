@@ -91,8 +91,13 @@ def q_feat_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "category",
             "y",
             "n_rows",
-            # integer DIV on both engines: no float quotient crosses the compare
-            F.expr("((sum_y - y) * 1000000) div (n_cat - 1)")
+            # integer DIV on both engines: no float quotient crosses the
+            # compare; a single-member category has no leave-one-out
+            # peers — encoding undefined (NULL), not a div-by-zero abort
+            F.expr(
+                "CASE WHEN n_cat > 1 "
+                "THEN ((sum_y - y) * 1000000) div (n_cat - 1) END"
+            )
             .cast("bigint")
             .alias("loo_encoding_micro"),
         )

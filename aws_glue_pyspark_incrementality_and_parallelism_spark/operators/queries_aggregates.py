@@ -321,12 +321,19 @@ def q_agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    # try_divide: a single-sample group has zero variance and n-1 = 0 —
+    # corr/covar are then undefined (NULL) instead of an ANSI
+    # DIVIDE_BY_ZERO abort on degenerate partitions
     return s.select(
         "l_returnflag",
         F.round(
-            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4
+            F.try_divide(
+                n * sxy - sx * sy,
+                F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            ),
+            4,
         ).alias("qty_price_corr"),
-        F.round((sxy - sx * sy / n) / (n - 1), 2).alias("qty_price_covar"),
+        F.round(F.try_divide(sxy - sx * sy / n, n - 1), 2).alias("qty_price_covar"),
     )
 
 

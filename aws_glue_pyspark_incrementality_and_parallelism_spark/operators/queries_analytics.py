@@ -347,18 +347,24 @@ def q_agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     m3 = F.col("s3") / F.col("n")
     m4 = F.col("s4") / F.col("n")
     var = m2 - m1 * m1
+    # try_divide: a single-sample group has var = 0 — the moments are
+    # then undefined (NULL), matching DuckDB, instead of an ANSI
+    # DIVIDE_BY_ZERO abort on degenerate (1-row) partitions
     return sums.select(
         "l_returnflag",
         "n",
-        F.round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5), 6).alias(
-            "skewness_pop"
-        ),
         F.round(
-            (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1) / F.pow(var, 2)
+            F.try_divide(m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1, F.pow(var, 1.5)), 6
+        ).alias("skewness_pop"),
+        F.round(
+            F.try_divide(
+                m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1,
+                F.pow(var, 2),
+            )
             - 3,
             6,
         ).alias("excess_kurtosis_pop"),
-        F.round(F.sqrt(var) / m1, 6).alias("coef_variation"),
+        F.round(F.try_divide(F.sqrt(var), m1), 6).alias("coef_variation"),
     )
 
 

@@ -581,8 +581,11 @@ def q_udf_broadcast_lookup_scoring(spark: SparkSession, sf_dir: str) -> DataFram
 
     @pandas_udf("bigint")
     def weighted(balance_cents: pd.Series, nationkey: pd.Series) -> pd.Series:
-        w = nationkey.map(bc.value).astype("int64")
-        return balance_cents.astype("int64") * w
+        # nullable Int64: a fact row referencing a dimension key absent
+        # from the broadcast (late-arriving dimension, degenerate
+        # corpus) scores NULL instead of crashing the astype
+        w = nationkey.map(bc.value)
+        return (balance_cents.astype("int64") * w).astype("Int64")
 
     c = load_table(spark, sf_dir, "customer")
     return c.select(

@@ -741,7 +741,9 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         r4(F.col("s").cast("double") / F.col("n").cast("double") / 1000000.0)
         .alias("mean_val"),
-        r4(F.sqrt(var_num / var_den) / 1000000.0).alias("std_val"),
+        # try_divide: n = 1 makes the sample variance undefined (NULL,
+        # as DuckDB's STDDEV_SAMP) instead of an ANSI DIVIDE_BY_ZERO
+        r4(F.sqrt(F.try_divide(var_num, var_den)) / 1000000.0).alias("std_val"),
         r4(F.col("mn").cast("double") / 1000000.0).alias("min_val"),
         r4(F.col("mx").cast("double") / 1000000.0).alias("max_val"),
     )

@@ -706,11 +706,15 @@ def q_text_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("tot_a").alias("n_tokens_a"),
             F.first("tot_b").alias("n_tokens_b"),
             F.count(F.lit(1)).alias("vocab_size"),
+            # try_divide: a slice with ZERO tokens (1-row/degenerate
+            # corpus) makes its distribution undefined — NULL, not an
+            # ANSI DIVIDE_BY_ZERO abort
             F.round(
                 0.5
                 * F.sum(
                     F.abs(
-                        F.col("n_a") / F.col("tot_a") - F.col("n_b") / F.col("tot_b")
+                        F.try_divide(F.col("n_a"), F.col("tot_a"))
+                        - F.try_divide(F.col("n_b"), F.col("tot_b"))
                     )
                 ),
                 6,

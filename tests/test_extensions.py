@@ -646,3 +646,43 @@ def test_zero_row_corpus_does_not_crash(spark, empty_sf_dir, name):
     )
 
     REGISTRY[name].fn(spark, empty_sf_dir).count()  # must plan and run
+
+
+
+@pytest.fixture(scope="module")
+def one_row_sf_dir(spark, tmp_path_factory):
+    """One-row twins of every table — degenerate single-sample groups
+    (variance 0, n-1 = 0, broadcast-dict misses)."""
+    import duckdb
+
+    root = tmp_path_factory.mktemp("sf_one")
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"COPY (SELECT * FROM '{SF_SMALL}/{t}.parquet' LIMIT 1) "
+            f"TO '{root}/{t}.parquet' (FORMAT parquet)"
+        )
+    return str(root)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # the six queries that crashed on 1-row input before round 5
+        # (ANSI DIVIDE_BY_ZERO on zero-variance/n-1 denominators, a
+        # broadcast-dict miss cast to non-nullable int64)
+        "text_distribution_drift",
+        "agg_skewness_kurtosis",
+        "embed_dim_stats",
+        "agg_corr_covar",
+        "udf_broadcast_lookup_scoring",
+        "feat_target_encoding_loo",
+    ],
+)
+def test_one_row_corpus_does_not_crash(spark, one_row_sf_dir, name):
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import (
+        REGISTRY,
+    )
+
+    REGISTRY[name].fn(spark, one_row_sf_dir).count()  # must plan and run
