@@ -188,7 +188,12 @@ def q_archive_tar_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly from ``documents``: shard count from the assignment
     expression, byte/char payload totals, lexical member-name range.
     """
-    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # NULL-content rows have no shard member to write (modality absent)
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
     shards = pack_shards(docs)
     members = unpack_shards(shards).withColumn(
         "parsed_doc_id", F.regexp_extract("member_name", r"^(\d+)\.txt$", 1).cast("bigint")

@@ -308,7 +308,9 @@ def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
     cands = minhash_candidate_pairs(docs)
     inter = F.size(F.array_intersect("shingles_a", "shingles_b"))
     union = F.size(F.array_union("shingles_a", "shingles_b"))
-    jac = inter / union
+    # try_divide: two all-NULL/empty documents have an empty shingle
+    # union — jaccard undefined (NULL, filtered out), not an ANSI abort
+    jac = F.try_divide(inter, union)
     return cands.filter(jac >= 0.5).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )

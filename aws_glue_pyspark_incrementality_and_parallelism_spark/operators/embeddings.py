@@ -102,7 +102,7 @@ def q_embed_pca_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs ~5e8 rows per PARTITION to approach int64 range."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull()).select("embedding")
 
     def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc = None
@@ -172,7 +172,7 @@ def q_embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the worst absolute dequantization error in exact scaled units
     (|q_micro·127 − q_i·amax|, i.e. error × 127×10⁶); ``within_int8``
     pins that symmetric quantization can never leave [-127, 127]."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull()).select("vec_id", "embedding")
     qv = microquant()
     step = emb.select("vec_id", qv.alias("qv")).select(
         "vec_id",
@@ -253,7 +253,7 @@ def q_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     no broadcast grows with either dimension.
     """
     emb = (
-        load_table(spark, sf_dir, "embeddings")
+        load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
         .filter(F.col("vec_id") < 100)
         .select(
             "vec_id",
@@ -342,7 +342,7 @@ def q_embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     and at production scale the truncated pass is exactly the IVF/PQ
     first stage this audit green-lights.
     """
-    q = load_table(spark, sf_dir, "embeddings").select(
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull()).select(
         "vec_id",
         microquant().alias("qv"),
     )
@@ -426,7 +426,7 @@ def q_sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the candidate generation upgrades to the IVF/PQ first stage
     with this exact pass as the rerank.
     """
-    q = load_table(spark, sf_dir, "embeddings").select(
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull()).select(
         "vec_id",
         "label",
         microquant().alias("qv"),

@@ -543,13 +543,20 @@ def q_source_fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus"),
         F.lpad(F.col("cents").cast("string"), 12, "0"),
     )
-    o.select(line.alias("value")).write.mode("overwrite").text(path)
+    # a record with a NULL field has no fixed-width representation —
+    # skip it at write (concat of NULL is NULL, which the text writer
+    # would emit as an empty line); the reader below is additionally
+    # defensive with try_cast so a malformed line parses to NULL keys
+    # instead of aborting the scan (NULL-corpus robustness)
+    o.select(line.alias("value")).filter(
+        F.col("value").isNotNull()
+    ).write.mode("overwrite").text(path)
 
     raw = spark.read.text(path)
     parsed = raw.select(
-        F.substring("value", 1, 12).cast("bigint").alias("o_orderkey"),
+        F.expr("try_cast(substring(value, 1, 12) AS BIGINT)").alias("o_orderkey"),
         F.substring("value", 13, 1).alias("o_orderstatus"),
-        F.substring("value", 14, 12).cast("bigint").alias("cents"),
+        F.expr("try_cast(substring(value, 14, 12) AS BIGINT)").alias("cents"),
     )
     return (
         parsed.groupBy("o_orderstatus")

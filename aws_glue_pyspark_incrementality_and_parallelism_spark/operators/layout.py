@@ -335,6 +335,10 @@ def q_layout_sorted_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]
         )
         stats.append((r.lo, r.hi))
+    # a file holding only NULL keys has no zone range (min/max are
+    # None) — it cannot participate in the disjointness audit, and a
+    # None must never reach the datetime sort (NULL-corpus robustness)
+    stats = [s for s in stats if s[0] is not None]
     stats.sort()
     disjoint = all(stats[i][1] < stats[i + 1][0] for i in range(len(stats) - 1))
     audit = spark.read.parquet(out).agg(

@@ -85,7 +85,7 @@ def q_multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = text_docs(spark, sf_dir)
 
     def _phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 32
@@ -163,7 +163,11 @@ FEATURE_SCHEMA = StructType(
 
 def as_media_frame(docs: DataFrame) -> DataFrame:
     """Wrap documents as a multimodal frame: binary payload + metadata
-    struct (the schema any image/audio/video table would carry)."""
+    struct (the schema any image/audio/video table would carry).
+    NULL-content rows have no payload to wrap — skipped, the same
+    modality-absent choice as ``text_docs`` (never a NULL payload that
+    crashes a downstream Python decode on ``bytes(None)``)."""
+    docs = docs.filter(F.col("text").isNotNull())
     return docs.select(
         "doc_id",
         F.encode("text", "utf-8").alias("payload"),
@@ -173,6 +177,19 @@ def as_media_frame(docs: DataFrame) -> DataFrame:
             F.col("source").alias("origin"),
         ).alias("meta"),
     )
+
+
+def text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents rows that HAVE content, fanned out for codec work.
+
+    NULL-text rows are routine at ingest scale (a row whose text
+    modality is absent); they carry nothing for a text-derived codec
+    lane, so they are SKIPPED here — the quarantine-adjacent choice —
+    rather than crashing a Python mux stage on ``None.encode()``
+    (round-5 NULL-corpus robustness class)."""
+    return fan_out(
+        load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ).select("doc_id", "text")
 
 
 def fan_out(df: DataFrame) -> DataFrame:
@@ -743,7 +760,10 @@ def q_multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.lit(f"P6\n{_PPM_W} {_PPM_H}\n255\n"), "utf-8"),
         F.encode(F.substring("text", 1, _PPM_BYTES), "utf-8"),
     )
-    media = docs.select("doc_id", payload.alias("payload"))
+    # NULL-content rows have no image to build (modality absent — skip)
+    media = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", payload.alias("payload")
+    )
     decoded = decode_media(media)
     return decoded.select(
         "doc_id",
@@ -838,7 +858,7 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot cancel out."""
     import numpy as np
 
-    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    docs = text_docs(spark, sf_dir)
     n = _JPG_W * _JPG_H
 
     def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -891,7 +911,7 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ASCII corpus ⇒ text bytes == code points; zero padding adds 0)."""
     import numpy as np
 
-    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    docs = text_docs(spark, sf_dir)
     n = _GIF_W * _GIF_H
 
     def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -954,7 +974,7 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     each sampled frame's exact pixel sum from the text code points."""
     import numpy as np
 
-    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    docs = text_docs(spark, sf_dir)
     fbytes = _VID_W * _VID_H
     total = fbytes * _VID_FRAMES
 
@@ -1031,7 +1051,7 @@ def q_multimodal_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .audio import encode_wav_pcm16, wav_features
 
-    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    docs = text_docs(spark, sf_dir)
 
     def _audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1092,7 +1112,7 @@ def q_multimodal_video_avi_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .avi import decode_avi_frames, encode_avi_mjpeg
 
-    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    docs = text_docs(spark, sf_dir)
     fbytes = _AVI_W * _AVI_H
     total = fbytes * _AVI_FRAMES
     w, h, n_frames, step, fps = _AVI_W, _AVI_H, _AVI_FRAMES, _AVI_STEP, _AVI_FPS
@@ -1171,7 +1191,7 @@ def q_multimodal_decode_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFram
 
     from .mp4 import decode_mp4_frames, encode_mp4_mjpeg
 
-    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    docs = text_docs(spark, sf_dir)
     w, h, n_frames, fps = _MP4_W, _MP4_H, _MP4_FRAMES, _MP4_FPS
     fbytes = w * h
     total = fbytes * n_frames
@@ -1274,7 +1294,7 @@ def q_multimodal_decode_mp4_moov_tail(spark: SparkSession, sf_dir: str) -> DataF
 
     from .mp4 import decode_mp4_frames, encode_mp4_mjpeg
 
-    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    docs = text_docs(spark, sf_dir)
     w, h, n_frames, fps = _MT_W, _MT_H, _MT_FRAMES, _MT_FPS
     fbytes = w * h
     total = fbytes * n_frames
@@ -1509,7 +1529,7 @@ def q_multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     import numpy as np
 
-    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    docs = text_docs(spark, sf_dir)
     fbytes = _VID_W * _VID_H
     total = fbytes * _VID_FRAMES
 
@@ -1602,7 +1622,7 @@ def q_multimodal_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFra
 
     from .audio import decode_wav, encode_wav_pcm16
 
-    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    docs = text_docs(spark, sf_dir)
 
     def _trim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out_cols = ("doc_id", "n_samples", "lead_silence", "trail_silence", "kept_samples")
@@ -1675,7 +1695,7 @@ def q_multimodal_pdf_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .pdf import encode_pdf, pdf_catalog
 
-    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    docs = text_docs(spark, sf_dir)
 
     def _catalog(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out_cols = ("doc_id", "version", "n_objects", "n_pages", "xref_ok")
@@ -1757,7 +1777,9 @@ def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: decode+resize stay inside one mapInPandas batch at the scan
     — payload bytes never shuffle, the hot loop is numpy fancy-indexing
     per image, embarrassingly parallel across partitions."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
     payload = F.concat(
         F.encode(F.lit(f"P6\n{_PPM_W} {_PPM_H}\n255\n"), "utf-8"),
         F.encode(F.substring("text", 1, _PPM_BYTES), "utf-8"),
@@ -1848,7 +1870,9 @@ def q_multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid arithmetic is shared between engine and oracle from one
     generator.
     """
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
     payload = F.concat(
         F.encode(F.lit(f"P6\n{_PPM_W} {_PPM_H}\n255\n"), "utf-8"),
         F.encode(F.substring("text", 1, _PPM_BYTES), "utf-8"),

@@ -77,7 +77,7 @@ def train_codebooks(spark: SparkSession, sf_dir: str) -> np.ndarray:
     iterations (init = first K_CODES sample subvectors; ties take the
     lowest code via argmin; empty cells keep their codeword)."""
     rows = (
-        load_table(spark, sf_dir, "embeddings")
+        load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
         .filter(F.col("vec_id") < TRAIN_SAMPLE)
         .orderBy("vec_id")
         .select("embedding")
@@ -135,7 +135,7 @@ def encode_codes(emb: DataFrame, books: np.ndarray) -> DataFrame:
 def pq_adc_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC search + exact rerank: compressed-domain shortlist per
     partition → global shortlist → exact cosine top-k."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     books = train_codebooks(spark, sf_dir)
     codes = encode_codes(emb, books)
 

@@ -581,11 +581,12 @@ def q_udf_broadcast_lookup_scoring(spark: SparkSession, sf_dir: str) -> DataFram
 
     @pandas_udf("bigint")
     def weighted(balance_cents: pd.Series, nationkey: pd.Series) -> pd.Series:
-        # nullable Int64: a fact row referencing a dimension key absent
-        # from the broadcast (late-arriving dimension, degenerate
-        # corpus) scores NULL instead of crashing the astype
+        # nullable Int64 end-to-end: a NULL balance, or a fact row
+        # referencing a dimension key absent from the broadcast
+        # (late-arriving dimension, degenerate corpus), scores NULL
+        # instead of crashing an int64 astype on NaN
         w = nationkey.map(bc.value)
-        return (balance_cents.astype("int64") * w).astype("Int64")
+        return (balance_cents.astype("Int64") * w).astype("Int64")
 
     c = load_table(spark, sf_dir, "customer")
     return c.select(

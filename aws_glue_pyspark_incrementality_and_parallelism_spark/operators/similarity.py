@@ -86,12 +86,13 @@ def _cosine_pandas_udf():
     "sim_brute_force_topk",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < {N_QUERIES} AND embedding IS NOT NULL
     ), scored AS (
       SELECT q.query_id, e.vec_id,
              ROUND(list_cosine_similarity(q.qe, e.embedding), 4) AS cosine
       FROM q, embeddings e
-      WHERE e.vec_id != q.query_id
+      WHERE e.vec_id != q.query_id AND e.embedding IS NOT NULL
     ), ranked AS (
       SELECT query_id, vec_id, cosine,
              ROW_NUMBER() OVER (PARTITION BY query_id
@@ -107,7 +108,7 @@ def q_sim_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. The query side is broadcast (tiny by definition); ranking
     orders by the ROUNDED cosine + vec_id so both engines agree even at
     float ulp differences."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -189,7 +190,7 @@ def q_sim_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the same float op sequence as the oracle: summation-order ulp
     drift can therefore never flip the 0.35 membership or a 4-decimal
     rounding, at any SF."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     blocked = (
         emb.withColumn("block", F.floor(F.col("vec_id") / BLOCK_SIZE).cast("long"))
         .groupBy("block")
@@ -271,7 +272,7 @@ def q_sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     index, and the class-prototype computation for embedding-space
     analysis. Scales as a plain aggregation (map-side combine) however
     many vectors exist."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     return (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
@@ -385,7 +386,7 @@ def ivf_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     path in a driver-checkable recall surface; the same algorithm's
     algebra is value-checked end-to-end in the portable twin
     ``sim_ivf_portable_topk``."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     cent = label_centroid_arrays(emb)
     cos_udf = _cosine_pandas_udf()
 
@@ -481,7 +482,7 @@ def lsh_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sim_lsh_topk`` wraps this float path in a driver-checkable recall
     surface; the same algorithm's algebra is value-checked end-to-end in
     the portable twin ``sim_lsh_portable_buckets``."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     planes = _hyperplanes(n_tables=LSH_TABLES, n_bits=LSH_BITS, dim=64)
     from pyspark.sql.functions import pandas_udf
 
@@ -602,7 +603,7 @@ def q_sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine, so each step is non-increasing up to float-summation noise,
     hence the relative epsilon). The float centroid trajectory itself
     is value-checked in the portable twin ``sim_kmeans_portable``."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     cent, inertias = kmeans_refine(emb, label_centroid_arrays(emb), iterations=3)
     monotone = all(
         later <= earlier * (1 + 1e-9) + 1e-6
@@ -623,6 +624,7 @@ def q_sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(list_cosine_similarity(q.embedding, c.embedding), 4) AS cosine
       FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
       WHERE q.vec_id < 3
+        AND q.embedding IS NOT NULL AND c.embedding IS NOT NULL
     ), ranked AS (
       SELECT query_id, vec_id, cosine,
              ROW_NUMBER() OVER (PARTITION BY query_id
@@ -646,7 +648,7 @@ def q_rag_retrieve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieved ids (a semi-join-sized probe of a doc store that can be
     bucketed by doc_id). Exact scoring here = the oracle path; the ANN
     variants (IVF / LSH) swap into the scoring stage unchanged."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     docs = load_table(spark, sf_dir, "documents")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -712,7 +714,7 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     AVG/STDDEV over doubles diverged in the last ulp at sf0.1 (Spark's
     distributed summation order vs DuckDB's serial one) and flipped a
     4-decimal rounding."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     exploded = emb.select(F.posexplode("embedding").alias("pos", "e")).select(
         (F.col("pos") + 1).alias("dim"),
         (F.floor(F.col("e").cast("double") * 1000000 + F.lit(0.5))).alias("q"),
@@ -800,7 +802,7 @@ def q_sim_lsh_portable_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``sim_lsh_topk``) keeps its pytest recall check; this query proves
     the bucketing ALGEBRA. Bounded corpus: the all-dims explode is the
     oracle-portable formulation, not the vectorized scale kernel."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull()).filter(
         F.col("vec_id") < LSH_PORTABLE_VEC_CAP
     )
     planes = (
@@ -931,7 +933,7 @@ def q_sim_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path (``sim_ivf_topk``) can only recall-check; that variant keeps
     its pytest recall guarantee and its broadcast/partition-pruning
     topology for 100 TB."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     dims = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "xr")
     ).select(
@@ -1046,7 +1048,7 @@ def q_sim_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids topology and pytest inertia-monotonicity check; this
     query proves the assign/update ALGEBRA the float path can only
     invariant-check."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull()).filter(
         F.col("vec_id") < KMEANS_PORTABLE_CAP
     )
     dims = emb.select("vec_id", F.posexplode("embedding").alias("pos", "xr")).select(
@@ -1175,7 +1177,7 @@ def q_rag_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .embeddings import int_dot, microquant
 
     docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     w_all = Window.orderBy(F.desc("bm25_x10k"), F.asc("doc_id"))
 
     tok = docs.select(
@@ -1337,7 +1339,7 @@ def q_sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .embeddings import int_dot, microquant
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     q = emb.select("vec_id", microquant().alias("qv"))
     qv0 = q.filter(F.col("vec_id") == 0).select(F.col("qv").alias("qv0"))
     short = (
@@ -1472,7 +1474,7 @@ def q_rag_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.desc("bm25_x10k"), F.asc("doc_id")))
         .alias("rl"),
     )
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     q = emb.select("vec_id", microquant().alias("qv"))
     qv0 = q.filter(F.col("vec_id") == 0).select(F.col("qv").alias("qv0"))
     vec = (

@@ -1318,7 +1318,12 @@ def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # NULL-content rows carry nothing to compress (modality absent)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
 
     def _ratio(batches):
         for pdf in batches:
