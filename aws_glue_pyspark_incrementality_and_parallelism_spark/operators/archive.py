@@ -174,7 +174,7 @@ def unpack_shards(shards: DataFrame) -> DataFrame:
            MIN(printf('%012d.txt', doc_id)) AS first_member,
            MAX(printf('%012d.txt', doc_id)) AS last_member,
            TRUE AS roundtrip_exact
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def q_archive_tar_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -134,7 +134,7 @@ def q_embed_pca_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
                embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
              ) AS qv
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     a AS (
       SELECT vec_id, qv,
@@ -216,7 +216,7 @@ pickle_module_by_value(__name__)
         SELECT vec_id,
                [CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
                 FOR x IN embedding] AS qv
-        FROM embeddings WHERE vec_id < 100
+        FROM embeddings WHERE vec_id < 100 AND embedding IS NOT NULL
     ), proj AS (
         SELECT vec_id,
                [list_sum([qv[i + 1] *
@@ -227,7 +227,7 @@ pickle_module_by_value(__name__)
                qv
         FROM q
     )
-    SELECT vec_id, yv AS projected_micro,
+    SELECT vec_id, array_to_string(yv, ',') AS projected_micro,
            CAST(list_sum([y * y FOR y IN yv]) // 64 AS BIGINT) AS y_norm2_scaled,
            CAST(list_sum([v * v FOR v IN qv]) AS BIGINT) AS x_norm2
     FROM proj
@@ -276,7 +276,11 @@ def q_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return proj.select(
         "vec_id",
-        F.col("yv").alias("projected_micro"),
+        # CSV-join the 16 exact projections: output columns stay scalar so
+        # any downstream pandas canonicalizer can sort/hash every cell.
+        F.array_join(
+            F.transform(F.col("yv"), lambda y: y.cast("string")), ","
+        ).alias("projected_micro"),
         F.expr(
             "CAST(aggregate(yv, CAST(0 AS BIGINT), (acc, y) -> acc + y * y) div 64"
             " AS BIGINT)"
@@ -294,7 +298,7 @@ def q_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id,
                [CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
                 FOR x IN embedding] AS qv
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ), queries AS (
         SELECT vec_id AS qid, qv FROM q WHERE vec_id < 20
     ), pairs AS (

@@ -508,7 +508,10 @@ def q_source_provenance_input_file(spark: SparkSession, sf_dir: str) -> DataFram
            CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
              AS cents,
            CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
-    FROM orders GROUP BY 1 ORDER BY 1
+    FROM orders
+    WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+      AND o_totalprice IS NOT NULL
+    GROUP BY 1 ORDER BY 1
     """,
 )
 def q_source_fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:

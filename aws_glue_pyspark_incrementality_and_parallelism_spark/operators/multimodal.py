@@ -62,7 +62,7 @@ from ..session import pickle_module_by_value
            COUNT(DISTINCT text) AS n_distinct_texts,
            TRUE AS all_noise_robust,
            TRUE AS phash_respects_equality
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def q_multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,8 +302,27 @@ def detect_format_col(payload: Column) -> Column:
 
     def _stsd_mjpeg(window: Column) -> Column:
         s = F.decode(window, "ISO-8859-1")
-        p = F.locate("stsd", s)
-        return (p > 0) & F.substring(s, p + 16, 4).isin("jpeg", "mjpa")
+        # The real stsd box lives INSIDE moov. A tail window that begins
+        # inside mdat can carry a coincidental 'stsd' byte run in JPEG
+        # entropy data BEFORE the real box — anchoring on the FIRST
+        # occurrence would read garbage fourCC and silently defer a
+        # decodable file (false negative; the decode_or_defer reroute
+        # only degrades false POSITIVES safely). Two independent anchors,
+        # either may route: (a) the first 'stsd' after the 'moov' tag —
+        # mdat bytes precede moov, so they cannot shadow it; (b) the
+        # LAST 'stsd' in the window — a shadow after the real box would
+        # need a second coincidence inside the stbl tables.
+        m = F.locate("moov", s)
+        after = F.substring(s, m + 4, F.length(s))
+        pa = F.locate("stsd", after)
+        cand_moov = (
+            (m > 0) & (pa > 0)
+            & F.substring(after, pa + 16, 4).isin("jpeg", "mjpa")
+        )
+        r = F.locate("dsts", F.reverse(s))
+        p_last = F.length(s) - r - F.lit(2)
+        cand_last = (r > 0) & F.substring(s, p_last + 16, 4).isin("jpeg", "mjpa")
+        return cand_moov | cand_last
 
     _TAIL = 65536
     head = F.substring(payload, 1, 4096)
@@ -335,6 +354,26 @@ def route_media(media: DataFrame) -> DataFrame:
     )
 
 
+#: Persisted attempted-decode lanes awaiting release (see
+#: decode_or_defer / release_decode_caches).
+_DECODE_CACHES: list[DataFrame] = []
+
+
+def release_decode_caches() -> int:
+    """Unpersist every attempted-decode cache created by
+    :func:`decode_or_defer` since the last release. Returns the count.
+
+    The caches exist so each corpus is decoded once, not twice; they
+    can only be dropped AFTER both the decoded and deferred outputs are
+    consumed, which is the caller's knowledge, not this module's —
+    sweep/bench loops call this between queries so a 368-query session
+    never accumulates per-query caches."""
+    n = len(_DECODE_CACHES)
+    while _DECODE_CACHES:
+        _DECODE_CACHES.pop().unpersist()
+    return n
+
+
 def decode_or_defer(media: DataFrame) -> tuple[DataFrame, DataFrame]:
     """The mixed-corpus decode topology: returns ``(decoded, deferred)``.
     ``decoded`` runs the REAL decoder over rows whose sniffed format is
@@ -347,7 +386,11 @@ def decode_or_defer(media: DataFrame) -> tuple[DataFrame, DataFrame]:
     with their sniffed format — quarantine semantics, never a raise.
     The attempted lane is persisted because both outputs reference it
     (one codec pass, not two); at 100 TB the same persist-or-restage
-    choice applies and the decode cost dominates either way."""
+    choice applies and the decode cost dominates either way. The cache
+    cannot be unpersisted here — both outputs are still lazy — so it is
+    recorded in a module registry; sweep/bench drivers (and any caller
+    that loops over corpora) call :func:`release_decode_caches` once the
+    outputs are consumed, bounding cache growth to one corpus pass."""
     routed = route_media(media)
     err_schema = StructType(
         DECODE_SCHEMA.fields + [StructField("format", StringType()),
@@ -388,6 +431,7 @@ def decode_or_defer(media: DataFrame) -> tuple[DataFrame, DataFrame]:
         .mapInPandas(_decode_safe, schema=err_schema)
         .persist()
     )
+    _DECODE_CACHES.append(attempted)
     decoded = attempted.filter(F.col("error").isNull()).select(
         *[f.name for f in DECODE_SCHEMA.fields]
     )
@@ -584,7 +628,7 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
            strlen(text) AS n_bytes,
            ROUND(list_sum(list_transform(split(text, ''), c -> unicode(c))) * 1.0
                  / strlen(text), 4) AS mean_byte
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -627,7 +671,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_metadata",
     oracle="""
     SELECT doc_id, 'text/plain' AS mime, strlen(text) AS n_bytes, source AS origin
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -701,7 +745,7 @@ def resize_payload(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
            ROUND(list_sum(list_transform(split(substr(text, 1, {RESIZE_TARGET}), ''),
                                          c -> unicode(c))) * 1.0 / {RESIZE_TARGET}, 4)
              AS resized_mean_byte
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -732,7 +776,7 @@ _PPM_BYTES = _PPM_W * _PPM_H * 3
       SELECT doc_id,
              list_transform(split(substr(text, 1, {_PPM_BYTES}), ''),
                             c -> unicode(c)) AS codes
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id, {_PPM_W} AS width, {_PPM_H} AS height,
            ROUND(COALESCE(list_sum(list_select(codes,
@@ -779,11 +823,20 @@ def q_multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_mixed_routing",
     oracle="""
     SELECT doc_id,
-           CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'ppm' WHEN 1 THEN 'mp4/iso-bmff'
-                WHEN 2 THEN 'riff (webp/wav/avi)' ELSE 'unknown' END AS format,
-           doc_id % 4 = 0 AS decodable,
-           CASE WHEN doc_id % 4 = 0 THEN CAST(32 AS BIGINT) END AS width,
-           CASE WHEN doc_id % 4 = 0 THEN CAST(16 AS BIGINT) END AS height
+           -- a NULL-text row muxes to a NULL payload: the router keeps the
+           -- row (quarantine semantics account for EVERY input row) and
+           -- sniffs it 'unknown' — format is stripe-based only when a
+           -- payload exists
+           CASE WHEN text IS NULL THEN 'unknown'
+                ELSE CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN 'ppm' WHEN 1 THEN 'mp4/iso-bmff'
+                     WHEN 2 THEN 'riff (webp/wav/avi)' ELSE 'unknown' END
+           END AS format,
+           text IS NOT NULL AND doc_id % 4 = 0 AS decodable,
+           CASE WHEN text IS NOT NULL AND doc_id % 4 = 0
+                THEN CAST(32 AS BIGINT) END AS width,
+           CASE WHEN text IS NOT NULL AND doc_id % 4 = 0
+                THEN CAST(16 AS BIGINT) END AS height
     FROM documents
     """,
 )
@@ -842,7 +895,7 @@ _JPG_W, _JPG_H = 16, 8
     oracle=f"""
     SELECT doc_id, {_JPG_W} AS width, {_JPG_H} AS height,
            TRUE AS roundtrip_ok
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -897,7 +950,7 @@ _GIF_W, _GIF_H = 16, 8
                     list_filter(split(substr(text, 1, {_GIF_W * _GIF_H}), ''),
                                 c -> c <> ''),
                     c -> unicode(c))), 0) AS BIGINT) AS sum_red
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -959,6 +1012,7 @@ _VID_FRAMES, _VID_STEP = 6, 2
                                 c -> c <> ''),
                     c -> unicode(c))), 0) AS BIGINT) AS frame_sum
     FROM documents d, (SELECT unnest(range(0, {_VID_FRAMES}, {_VID_STEP})) AS k) k
+    WHERE d.text IS NOT NULL
     """,
 )
 def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1018,7 +1072,7 @@ _WAV_SR = 8000
       SELECT doc_id,
              list_transform(split(text, ''), c -> unicode(c)) AS codes,
              CAST(strlen(text) // 2 AS BIGINT) AS n
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), s AS (
       SELECT doc_id, n,
              list_transform(range(1, CAST(n AS INT) + 1),
@@ -1091,6 +1145,7 @@ _AVI_W, _AVI_H, _AVI_FRAMES, _AVI_STEP, _AVI_FPS = 16, 8, 4, 2, 10
            {_AVI_FRAMES} AS n_frames, {_AVI_W} AS width, {_AVI_H} AS height,
            {_AVI_FPS} AS fps, TRUE AS frame_ok
     FROM documents d, (VALUES (0), (2)) f(frame_idx)
+    WHERE d.text IS NOT NULL
     """,
 )
 def q_multimodal_video_avi_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1168,6 +1223,7 @@ _MP4_W, _MP4_H, _MP4_FRAMES, _MP4_FPS = 24, 8, 3, 12
            {_MP4_FPS} AS fps, 'jpeg' AS codec,
            'mp4 (mjpeg)' AS format, TRUE AS frame_ok
     FROM documents d, (VALUES (0), (1), (2)) f(frame_idx)
+    WHERE d.text IS NOT NULL
     """,
 )
 def q_multimodal_decode_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1274,6 +1330,7 @@ _MT_W, _MT_H, _MT_FRAMES, _MT_FPS = 16, 12, 2, 8
            {_MT_FPS} AS fps, 'jpeg' AS codec,
            'mp4 (mjpeg)' AS format, TRUE AS moov_at_end, TRUE AS frame_ok
     FROM documents d, (VALUES (0), (1)) f(frame_idx)
+    WHERE d.text IS NOT NULL
     """,
 )
 def q_multimodal_decode_mp4_moov_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1281,7 +1338,7 @@ def q_multimodal_decode_mp4_moov_tail(spark: SparkSession, sf_dir: str) -> DataF
     samples, OPPOSITE container layout — ``encode_mp4_mjpeg(...,
     fast_start=False)`` writes mdat first and trails the moov, the
     layout capture muxers produce and the one the round-4 head-only
-    sniff deferred. Routing now sub-types it from the LAST 4 KB
+    sniff deferred. Routing now sub-types it from the LAST 64 KB
     (``detect_format_col`` tail window anchored at the stsd
     sample-entry fourCC), and the sniffed label rides into the verified
     output. ``moov_at_end`` is computed from the actual byte order
@@ -1452,7 +1509,7 @@ def binary_dir_features(spark: SparkSession, path: str, glob: str | None = None)
     oracle="""
     SELECT doc_id, octet_length(encode(text)) AS n_bytes,
            ascii(text) AS first_byte
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def q_multimodal_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1497,6 +1554,7 @@ def q_multimodal_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          {_VID_W * _VID_H}), ''), c -> c <> '')]
                    AS px
         FROM documents d, (SELECT unnest(range(0, {_VID_FRAMES})) AS k) k
+        WHERE d.text IS NOT NULL
     ), deltas AS (
         SELECT a.doc_id, b.frame_idx,
                COALESCE(list_sum([abs(COALESCE(a.px[i + 1], 0)
@@ -1577,7 +1635,7 @@ def q_multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT doc_id,
              list_transform(split(text, ''), c -> unicode(c)) AS codes,
              CAST(strlen(text) // 2 AS BIGINT) AS n
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), s AS (
       SELECT doc_id, n,
              list_transform(range(1, CAST(n AS INT) + 1),
@@ -1667,7 +1725,7 @@ def q_multimodal_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFra
     WITH spec AS (
         SELECT doc_id,
                least(5, 1 + strlen(text) // 500) AS n_pages
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id, '1.4' AS version,
            CAST(2 + 2 * n_pages AS BIGINT) AS n_objects,
@@ -1754,7 +1812,7 @@ def _rs_sum_sql(chan: int) -> str:
       SELECT doc_id,
              list_transform(split(substr(text, 1, {_PPM_BYTES}), ''),
                             c -> unicode(c)) AS codes
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id, {_RS_W} AS out_w, {_RS_H} AS out_h,
            {_rs_sum_sql(0)} AS sum_r,
@@ -1843,7 +1901,7 @@ _PATCH_VALUES = ", ".join(
       SELECT doc_id,
              list_transform(split(substr(text, 1, {_PPM_BYTES}), ''),
                             c -> unicode(c)) AS codes
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id, CAST(p.pr AS INT) AS patch_row, CAST(p.pc AS INT) AS patch_col,
            CAST(COALESCE(list_sum(list_transform(p.poss,

@@ -85,14 +85,16 @@ def _cosine_pandas_udf():
 @query(
     "sim_brute_force_topk",
     oracle=f"""
-    WITH q AS (
-      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-      WHERE vec_id < {N_QUERIES} AND embedding IS NOT NULL
+    WITH nn AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM nn
+      WHERE vec_id < {N_QUERIES}
     ), scored AS (
       SELECT q.query_id, e.vec_id,
              ROUND(list_cosine_similarity(q.qe, e.embedding), 4) AS cosine
-      FROM q, embeddings e
-      WHERE e.vec_id != q.query_id AND e.embedding IS NOT NULL
+      FROM q, nn e
+      WHERE e.vec_id != q.query_id
     ), ranked AS (
       SELECT query_id, vec_id, cosine,
              ROW_NUMBER() OVER (PARTITION BY query_id
@@ -589,7 +591,7 @@ def kmeans_refine(
     "sim_kmeans_refine",
     oracle="""
     SELECT DISTINCT label AS cell, 64 AS dim, TRUE AS inertia_monotone_ok
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
     """,
 )
 def q_sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -619,12 +621,13 @@ def q_sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rag_retrieve_topk",
     oracle=f"""
-    WITH scored AS (
+    WITH nn AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+    ), scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
              ROUND(list_cosine_similarity(q.embedding, c.embedding), 4) AS cosine
-      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      FROM nn q JOIN nn c ON c.vec_id != q.vec_id
       WHERE q.vec_id < 3
-        AND q.embedding IS NOT NULL AND c.embedding IS NOT NULL
     ), ranked AS (
       SELECT query_id, vec_id, cosine,
              ROW_NUMBER() OVER (PARTITION BY query_id

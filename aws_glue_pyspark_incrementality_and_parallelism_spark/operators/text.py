@@ -900,7 +900,8 @@ def q_text_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT token,
                COUNT(DISTINCT doc_id) AS doc_freq,
                COUNT(*) AS term_freq,
-               (list_sort(list(DISTINCT doc_id)))[1:5] AS first_docs
+               array_to_string((list_sort(list(DISTINCT doc_id)))[1:5], ',')
+                   AS first_docs
         FROM tok WHERE token <> ''
         GROUP BY token
     )
@@ -919,9 +920,10 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     training corpus. Scale shape: explode -> ONE groupBy on token
     (uniform hash keys; partial aggregation absorbs the per-document
     repetition map-side). Posting lists are unbounded at 100 TB, so
-    only a bounded, deterministic head (first 5 doc ids, sorted)
-    materializes per term -- the full list would be written as a
-    bucketed table keyed by token, never collected. Totally-ordered
+    only a bounded, deterministic head (first 5 doc ids, sorted,
+    CSV-joined to a scalar string so every output column stays
+    flat/hashable) materializes per term -- the full list would be
+    written as a bucketed table keyed by token, never collected. Totally-ordered
     top-50 cut (doc_freq, term_freq, token).
     """
     toks = (
@@ -937,7 +939,13 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("doc_id").alias("doc_freq"),
             F.count("*").alias("term_freq"),
-            F.slice(F.array_sort(F.collect_set("doc_id")), 1, 5).alias("first_docs"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort(F.collect_set("doc_id")), 1, 5),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("first_docs"),
         )
         .orderBy(F.desc("doc_freq"), F.desc("term_freq"), F.asc("token"))
         .limit(50)
@@ -1295,7 +1303,7 @@ def shingle_rows_of(docs: DataFrame) -> DataFrame:
            CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
            TRUE AS all_ratios_bounded,
            TRUE AS ratio_respects_equality
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:

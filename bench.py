@@ -35,6 +35,7 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
+from aws_glue_pyspark_incrementality_and_parallelism_spark.operators import multimodal
 from aws_glue_pyspark_incrementality_and_parallelism_spark.parallel import ReportJob, run_concurrent
 from aws_glue_pyspark_incrementality_and_parallelism_spark.plans import catalog
 from aws_glue_pyspark_incrementality_and_parallelism_spark.session import build_spark
@@ -103,9 +104,14 @@ def main() -> None:
         for i, name in enumerate(conc_names)
     ]
     run_concurrent(spark, jobs, max_workers=threads)
+    # release attempted-decode caches only at wave boundaries: the
+    # registry is shared, so a per-query release from one worker thread
+    # would unpersist another in-flight query's lane mid-decode
+    multimodal.release_decode_caches()
     concurrent_wall = round(time.perf_counter() - wall0, 3)
     for name in seq_names:
         _timed(name)()
+    multimodal.release_decode_caches()
     seq_wall = round(time.perf_counter() - wall0 - concurrent_wall, 3)
 
     # The reference's whole-job scenario: incremental scan -> 3-way join
@@ -147,6 +153,7 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(catalog.REGISTRY[name].fn(spark, sf_dir))
         isolated[name] = round(time.perf_counter() - t0, 3)
+        multimodal.release_decode_caches()  # serial pass: safe per query
     isolated_pass_sec = round(time.perf_counter() - iso0, 3)
     # Full per-query map -> side artifact; stdout gets one short line the
     # driver can parse even if it only keeps the tail of the stream

@@ -15,10 +15,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from aws_glue_pyspark_incrementality_and_parallelism_spark.operators import multimodal
 from aws_glue_pyspark_incrementality_and_parallelism_spark.plans import catalog
 from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import REGISTRY
 from aws_glue_pyspark_incrementality_and_parallelism_spark.session import build_spark
-from tests.oracle import duckdb_rows, normalize
+from tests.oracle import driver_canonicalize, duckdb_rows, normalize
 
 
 def main() -> None:
@@ -52,11 +53,18 @@ def main() -> None:
                 ok_vals = ok_cols and ok_rows and (
                     normalize(s_cols, s_rows) == normalize(o_cols, o_rows)
                 )
+                # The driver's pandas sort+hash dies on non-scalar cells even
+                # when values match — reproduce that failure mode here.
+                driver_canonicalize(s_cols, s_rows)
+                driver_canonicalize(o_cols, o_rows)
                 row.update(cols_match=ok_cols, count_match=ok_rows, value_match=ok_vals)
             except Exception as e:  # noqa: BLE001
                 row["error"] = f"oracle: {type(e).__name__}: {e}"[:300]
         results[name] = row
         print(json.dumps({"q": name, **row}), flush=True)
+        # drop any attempted-decode caches this query persisted — a
+        # 368-query sweep must not accumulate per-query cached lanes
+        multimodal.release_decode_caches()
     spark.stop()
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "SWEEP_DETAIL.json"), "w") as f:

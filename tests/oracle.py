@@ -68,6 +68,10 @@ def _spark_class(dt) -> str:
         return "str"
     if s.startswith("array"):
         return "list"
+    if s.startswith("map"):
+        return "map"
+    if s.startswith("struct"):
+        return "struct"
     return s
 
 
@@ -90,6 +94,21 @@ def assert_type_compat(spark, name: str, sf_dir: str) -> None:
         bad.append(f"oracle-only columns {extra} (spark cols: {sorted(s_types)})")
     for col, sc in s_types.items():
         oc = o_types.get(col)
+        # Registry-wide guard: the driver's pandas sort+hash canonicalizer
+        # cannot handle non-scalar cells (TypeError: unhashable type) — no
+        # query may emit a top-level array/map/struct column, even when both
+        # engines agree on it (round-5 text_inverted_index was value-correct
+        # and still driver-red).  Flatten (array_join / explode / checksum).
+        if sc in ("list", "map", "struct"):
+            bad.append(
+                f"{col}: spark emits non-scalar {sc} — the driver's pandas"
+                " hasher cannot canonicalize it; flatten the column"
+            )
+        if oc == "list":
+            bad.append(
+                f"{col}: oracle emits a DuckDB list — flatten with"
+                " array_to_string(...) to stay driver-hashable"
+            )
         if oc is None:
             bad.append(f"{col}: missing from oracle (oracle cols: {sorted(o_types)})")
             continue
@@ -97,6 +116,32 @@ def assert_type_compat(spark, name: str, sf_dir: str) -> None:
         if not ok:
             bad.append(f"{col}: spark={sc} oracle={oc} (add an explicit CAST in the oracle)")
     assert not bad, f"{name}: type-class mismatches vs driver hashing: {bad}"
+
+
+def driver_canonicalize(cols: list[str], rows: list[tuple]) -> int:
+    """Reproduce the DRIVER's pandas canonicalization, failure modes included.
+
+    The driver materializes each side into a pandas DataFrame, sorts columns
+    by name, ``sort_values`` over ALL columns, then hashes cells.  A query
+    whose output schema contains a non-scalar column (array/map/struct) dies
+    there with ``TypeError: unhashable type: 'list'`` even when its values are
+    correct (round-5 ``text_inverted_index``).  The pre-flight must fail
+    wherever the driver fails, so this mirror performs the same pandas
+    sort+hash and deliberately does NOT catch the TypeError.
+
+    The returned hash is for hashability only — cross-engine equality is
+    still judged by :func:`normalize` (dtype-insensitive), because pandas
+    hashes int64 and float64 representations of the same value differently.
+    """
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=cols)
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    return int(pd.util.hash_pandas_object(pdf, index=False).sum())
 
 
 def _norm_cell(v):
@@ -134,3 +179,7 @@ def assert_parity(spark, name: str, sf_dir: str) -> None:
     s_norm, o_norm = normalize(s_cols, s_rows), normalize(o_cols, o_rows)
     mismatches = [(a, b) for a, b in zip(s_norm, o_norm) if a != b]
     assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[0]}"
+    # Driver-hashability gate: both sides must survive the driver's pandas
+    # sort+hash canonicalization (raises TypeError on list/map/struct cells).
+    driver_canonicalize(s_cols, s_rows)
+    driver_canonicalize(o_cols, o_rows)

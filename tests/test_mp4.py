@@ -302,3 +302,38 @@ class TestMp4MjpegSamples:
         assert deferred.count() == 0
         row = decoded.collect()[0]
         assert (row.width, row.height) == (8, 8)
+
+    def test_fake_stsd_bytes_before_moov_do_not_shadow(self, spark):
+        """ADVICE r5: a coincidental 'stsd' byte run that the tail
+        window picks up BEFORE the real moov box (JPEG entropy data in
+        an mdat prefix, here a skippable 'free' box) must not shadow
+        the real sample description — a first-occurrence anchor read
+        garbage fourCC and silently deferred a decodable file. The
+        sniff now anchors on the first 'stsd' AFTER 'moov' (and,
+        independently, the LAST occurrence), so the file still routes
+        to the decodable lane."""
+        from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.mp4 import (
+            _box,
+            encode_mp4_mjpeg,
+        )
+        from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.multimodal import (
+            decode_or_defer,
+        )
+
+        _, jpgs = self._frames()
+        payload = encode_mp4_mjpeg(jpgs, 16, 8, fps=12, fast_start=False)
+        moov_start = payload.find(b"moov") - 4  # box size field precedes tag
+        # a skippable box whose body carries a fake 'stsd' + garbage
+        # "fourCC" bytes, spliced between mdat and moov: stco offsets
+        # (absolute, into the untouched mdat prefix) stay valid
+        fake = _box(b"free", b"!!stsd" + b"\x00" * 24)
+        adversarial = payload[:moov_start] + fake + payload[moov_start:]
+        assert adversarial.find(b"stsd") < adversarial.find(b"moov")
+
+        media = spark.createDataFrame(
+            [(1, bytearray(adversarial))], "doc_id long, payload binary"
+        )
+        decoded, deferred = decode_or_defer(media)
+        assert deferred.count() == 0, "fake stsd shadowed the real box"
+        row = decoded.collect()[0]
+        assert (row.width, row.height) == (16, 8)

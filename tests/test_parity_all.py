@@ -24,6 +24,16 @@ def test_oracle_type_compat(spark, name):
     assert_type_compat(spark, name, SF_SMALL)
 
 
+def test_driver_canonicalizer_is_failure_faithful():
+    """The pre-flight mirror must die exactly where the driver dies: pandas
+    sort+hash over a list cell raises TypeError (round-5 driver red)."""
+    from .oracle import driver_canonicalize
+
+    driver_canonicalize(["a", "b"], [(1, "x"), (2, "y")])  # scalars hash fine
+    with pytest.raises(TypeError):
+        driver_canonicalize(["a", "b"], [(1, [1, 2]), (2, [3])])
+
+
 def test_rows_only_queries_run(spark):
     for name, spec in sorted(REGISTRY.items()):
         if spec.oracle is None:
