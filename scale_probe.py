@@ -163,6 +163,9 @@ QUERIES = [
     "window_ntile_quartiles",
     # round-5 addition: the moov-at-end MJPEG lane (tail-window sniff)
     "multimodal_decode_mp4_moov_tail",
+    # round-6 additions (verdict task #3): RANGE frames over numeric
+    # keys and a copy-on-write maintenance representative
+    "window_range_between_numeric", "maintenance_compact_small_files",
 ]
 
 #: Special-cased: the reference's whole-job ETL scenario (incremental
