@@ -16,14 +16,16 @@ this module learns one: the Sennrich byte-pair-encoding training loop
    merge table IS the trained model, O(k) driver state),
 4. apply the merge greedily left-to-right and repeat.
 
-Greedy left-to-right application is made engine-portable without any
-sequential scan: a merge chain can only overlap itself when the pair
-is a doubled symbol (``(x,y)`` matching at ``i`` and ``i+1`` forces
-``y = x``), so maximal runs of consecutive matches merge at even
-offsets within the run — exactly greedy semantics, computed with two
-window passes (gaps-and-islands run grouping + run-local parity).
-Both engines execute the IDENTICAL algebra; the oracle replays the
-full k-iteration loop as chained CTEs, so the learned merge table is
+Greedy left-to-right application is engine-portable two ways, both
+pinned equivalent: per-word, as one ``aggregate`` lambda over the
+symbol array (the engine's hot path — a word fits in a cell, so the
+"sequential" scan is per-row JVM work, zero shuffles); and relationally
+(``_apply_merge``), exploiting that a merge chain can only overlap
+itself when the pair is a doubled symbol (``(x,y)`` matching at ``i``
+and ``i+1`` forces ``y = x``), so maximal runs of consecutive matches
+merge at even offsets within the run — the same greedy semantics via
+gaps-and-islands + run-local parity windows. The oracle replays the
+relational form as chained CTEs, so the learned merge table is
 adjudicated rule-for-rule with exact integer counts.
 """
 
@@ -152,6 +154,59 @@ def _apply_merge(seq: DataFrame, x: str, y: str) -> DataFrame:
     )
 
 
+def _apply_merge_syms(x: str, y: str) -> F.Column:
+    """Greedy left-to-right merge of pair (x, y) over a ``syms``
+    array<string> column — the ZERO-SHUFFLE twin of :func:`_apply_merge`
+    (same semantics, pinned equivalent in tests/test_bpe.py).
+
+    The row-per-symbol representation needs ~6 shuffles per merge
+    iteration (three windows + two joins + renumber) over a relation
+    that is only O(vocabulary) after the word-frequency collapse —
+    pure scheduler overhead at any scale. With one array per word the
+    greedy merge is a single ``aggregate`` over the symbol indices:
+    carry (out, skip) through the word, emit x||y and skip the consumed
+    symbol on a match. Lookahead uses try_element_at so the word end is
+    NULL (never an ANSI out-of-bounds)."""
+    init = F.expr("named_struct('out', cast(array() as array<string>), 'skip', false)")
+
+    def step(acc: F.Column, i: F.Column) -> F.Column:
+        cur = F.element_at(F.col("syms"), i)
+        nxt = F.try_element_at(F.col("syms"), i + F.lit(1))
+        is_match = (cur == F.lit(x)) & (nxt == F.lit(y))
+        return (
+            F.when(
+                acc["skip"],
+                F.struct(acc["out"].alias("out"), F.lit(False).alias("skip")),
+            )
+            .when(
+                is_match,
+                F.struct(
+                    F.array_append(acc["out"], F.lit(x + y)).alias("out"),
+                    F.lit(True).alias("skip"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.array_append(acc["out"], cur).alias("out"),
+                    F.lit(False).alias("skip"),
+                )
+            )
+        )
+
+    # words are non-empty by construction ([a-z]+ match), so
+    # sequence(1, size) is always ascending
+    return F.aggregate(
+        F.sequence(F.lit(1), F.size("syms")), init, step, lambda acc: acc["out"]
+    )
+
+
+#: Adjacent-pair extraction from a ``syms`` array: ('x','y') structs.
+_PAIR_STRUCTS = (
+    "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1),"
+    " (a, b) -> named_struct('x', a, 'y', b))"
+)
+
+
 @query("text_bpe_train_merges", oracle=_bpe_oracle(BPE_MERGES))
 def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn BPE_MERGES merge rules from ``documents`` (module docstring
@@ -169,24 +224,24 @@ def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("f"))
     )
+    # One array<string> row per distinct word: the loop invariant is
+    # O(vocabulary) and each merge iteration becomes a pure projection
+    # (zero shuffles) + ONE keyed aggregate for the pair counts — the
+    # row-per-symbol version paid ~6 shuffles per iteration in windows/
+    # joins/renumbering over KB-sized state (12.6 s -> this shape at
+    # sf0.1 is scheduler-bound no more).
     seq = words.select(
-        "w",
         "f",
-        F.posexplode(
-            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-        ).alias("p0", "sym"),
-    ).select("w", "f", (F.col("p0") + 1).cast("bigint").alias("pos"), "sym")
-    # The sequence relation is the loop invariant; after the word-freq
-    # collapse it is O(vocabulary), so caching it is control-plane-sized.
-    seq = seq.persist()
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    ).persist()
 
     merges: list[tuple[int, str, str, int]] = []
     for it in range(1, BPE_MERGES + 1):
-        w_pos = Window.partitionBy("w").orderBy("pos")
         pairs = (
-            seq.select("f", F.col("sym").alias("x"), F.lead("sym").over(w_pos).alias("y"))
-            .filter(F.col("y").isNotNull())
-            .groupBy("x", "y")
+            seq.select("f", F.explode(F.expr(_PAIR_STRUCTS)).alias("p"))
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
             .agg(F.sum("f").cast("bigint").alias("cnt"))
         )
         top = pairs.orderBy(F.desc("cnt"), "x", "y").limit(1).collect()
@@ -197,11 +252,15 @@ def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Each persisted invariant is O(vocabulary) rows; the next
         # iteration's collect materializes it, so no eager count() —
         # and no unpersist churn for KBs of state.
-        seq = _apply_merge(seq, best["x"], best["y"]).persist()
+        seq = seq.select(
+            "f", _apply_merge_syms(best["x"], best["y"]).alias("syms")
+        ).persist()
 
     merge_df = spark.createDataFrame(
         [(it, x, y, x + y, cnt) for it, x, y, cnt in merges],
         "it bigint, left_sym string, right_sym string, merged string, pair_count bigint",
     )
-    final = seq.agg(F.sum("f").cast("bigint").alias("final_symbols"))
+    final = seq.agg(
+        F.sum(F.col("f") * F.size("syms")).cast("bigint").alias("final_symbols")
+    )
     return merge_df.crossJoin(F.broadcast(final)).orderBy("it")

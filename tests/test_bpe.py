@@ -65,3 +65,42 @@ def test_two_iterations_build_longer_symbol(spark):
     step1 = _apply_merge(_seq(spark, "abcabc"), "a", "b")
     step2 = _apply_merge(step1, "ab", "c")
     assert _symbols(step2, "abcabc") == ["abc", "abc"]
+
+
+def _syms_arr(spark, word: str, x: str, y: str) -> list[str]:
+    """Apply the array-representation merge twin to one word."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.bpe import (
+        _apply_merge_syms,
+    )
+
+    df = spark.createDataFrame([(list(word),)], "syms array<string>")
+    return df.select(_apply_merge_syms(x, y).alias("out")).collect()[0]["out"]
+
+
+def test_array_merge_twin_matches_row_merge(spark):
+    """The zero-shuffle array twin must implement the SAME greedy
+    left-to-right semantics the row-based (oracle-replayed) form pins —
+    including the overlapping doubled-symbol runs."""
+    cases = [
+        ("ababab", "a", "b"),
+        ("aaaa", "a", "a"),
+        ("aaa", "a", "a"),
+        ("xyz", "a", "b"),
+        ("aabaa", "a", "a"),
+        ("a", "a", "a"),
+    ]
+    for word, x, y in cases:
+        row = _symbols(_apply_merge(_seq(spark, word), x, y), word)
+        arr = _syms_arr(spark, word, x, y)
+        assert arr == row, (word, x, y, arr, row)
+
+
+def test_array_merge_twin_chains(spark):
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.bpe import (
+        _apply_merge_syms,
+    )
+
+    df = spark.createDataFrame([(list("abcabc"),)], "syms array<string>")
+    step1 = df.select(_apply_merge_syms("a", "b").alias("syms"))
+    step2 = step1.select(_apply_merge_syms("ab", "c").alias("syms"))
+    assert step2.collect()[0]["syms"] == ["abc", "abc"]
