@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..plans.registry import query
+from ..session import pin
 from ..sources.io import load_table
 
 
@@ -631,7 +632,9 @@ def q_join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     warr = F.array([F.lit(b).cast("long") for b in word_arr])
 
     fact = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    fact_pairs = fact.distinct()
+    # pinned: the distinct pair relation feeds the probe AND the
+    # false-negative audit — one distinct shuffle, not two
+    fact_pairs = fact.distinct().transform(pin)
     # the probe is a per-row conjunction of 3 bit tests against the word
     # literal — a single map-side expression, NOT an explode + re-group
     # (the lanes depend only on the row's own key and the 32 literal
@@ -660,12 +663,25 @@ def q_join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         expr, p = _lane_hit(lane)
         probed = probed.withColumn(f"p{lane}", p)
         hit_exprs.append(expr)
+    # pinned: the md5-probe pipeline runs ONCE; the candidate stats, the
+    # true/false split, and the false-negative audit all read the pinned
+    # relation instead of re-deriving distinct + 3 md5 lanes per side
+    # (previously ~5 full passes across the crossJoin sides + missed)
     hits = (
         probed.filter(hit_exprs[0] & hit_exprs[1] & hit_exprs[2])
         .select("l_orderkey", "l_suppkey")
+        .transform(pin)
     )
-    true_matches = hits.join(F.broadcast(keys), hits.l_suppkey == keys.s_suppkey, "left_semi")
-    false_pos = hits.join(F.broadcast(keys), hits.l_suppkey == keys.s_suppkey, "left_anti")
+    # one aggregate splits candidates into true matches / false
+    # positives via the broadcast keyset (semi + anti were two passes)
+    stats = (
+        hits.join(F.broadcast(keys), hits.l_suppkey == keys.s_suppkey, "left")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.count(keys.s_suppkey).alias("n_true_matches"),
+            (F.count("*") - F.count(keys.s_suppkey)).alias("n_false_positives"),
+        )
+    )
     missed = (
         fact_pairs.join(F.broadcast(keys), fact_pairs.l_suppkey == keys.s_suppkey, "left_semi")
         .join(hits, ["l_orderkey", "l_suppkey"], "left_anti")
@@ -673,9 +689,7 @@ def q_join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         fact.agg(F.count("*").alias("n_fact_rows"))
-        .crossJoin(hits.agg(F.count("*").alias("n_candidates")))
-        .crossJoin(true_matches.agg(F.count("*").alias("n_true_matches")))
-        .crossJoin(false_pos.agg(F.count("*").alias("n_false_positives")))
+        .crossJoin(stats)
         .withColumn("no_false_negatives", F.lit(missed == 0))
     )
 
