@@ -980,11 +980,16 @@ def q_agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5
                     ELSE 6 END AS wt
         FROM (
-            SELECT o.*, b.b,
-                   CAST(('0x' || substr(md5(CAST(b.b AS VARCHAR) || ':'
-                                            || CAST(o.o_orderkey AS VARCHAR)), 1, 8))
+            -- one md5 seeds FOUR replicates: the digest is 32 hex chars
+            -- = 4 independent u32 lanes at offsets 1/9/17/25, so the
+            -- 100-replicate fan-out hashes each row 25 times, not 100
+            SELECT o.o_orderkey, o.o_totalprice, 4 * j.j + l.l AS b,
+                   CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':'
+                                            || CAST(o.o_orderkey AS VARCHAR)),
+                                        CAST(1 + 8 * l.l AS INT), 8))
                         AS BIGINT) AS u
-            FROM orders o, (SELECT unnest(range(0, 100)) AS b) b
+            FROM orders o, (SELECT unnest(range(0, 25)) AS j) j,
+                 (SELECT unnest(range(0, 4)) AS l) l
         ) o
     ), reps AS (
         SELECT b,
@@ -1027,18 +1032,26 @@ def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
     )
-    b = F.explode(F.sequence(F.lit(0), F.lit(99))).alias("b")
+    # one md5 per (row, j) seeds FOUR replicates (the 32-hex digest is 4
+    # independent u32 lanes): the replicate fan-out costs rows×25 md5
+    # evaluations instead of rows×100 — the digest, not the explode, is
+    # the scan's hot instruction (measured 12.2 s -> ~5 s at sf0.1)
+    j = F.explode(F.sequence(F.lit(0), F.lit(24))).alias("j")
     w = (
-        orders.select("o_orderkey", "cents", b)
-        .withColumn(
-            "u",
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.col("b"), F.col("o_orderkey"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("bigint"),
+        orders.select("o_orderkey", "cents", j)
+        .withColumn("h", F.md5(F.concat_ws(":", F.col("j"), F.col("o_orderkey"))))
+        .select(
+            "cents",
+            "j",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, 3), l ->"
+                    " CAST(conv(substring(h, 1 + 8 * l, 8), 16, 10) AS BIGINT))"
+                )
+            ).alias("l", "u"),
+        )
+        .select(
+            (F.col("j") * 4 + F.col("l")).alias("b"), "cents", "u"
         )
         .withColumn(
             "wt",
