@@ -1034,40 +1034,51 @@ def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one md5 per (row, j) seeds FOUR replicates (the 32-hex digest is 4
     # independent u32 lanes): the replicate fan-out costs rows×25 md5
-    # evaluations instead of rows×100 — the digest, not the explode, is
-    # the scan's hot instruction (measured 12.2 s -> ~5 s at sf0.1)
+    # evaluations instead of rows×100. Lane extraction stays codegen:
+    # the earlier `transform(..., l -> conv(substring(...)))` lambda ran
+    # INTERPRETED per element and conv re-parsed 8 hex chars per lane —
+    # together ~5× the digest's own cost (md5-only floor 2.1 s vs
+    # 11.5 s at sf0.1). Two fixes: (a) the Poisson inverse-CDF compares
+    # the lane's 8 hex chars AS A STRING against hex-encoded thresholds
+    # (fixed-width lowercase hex orders identically to the u32 it
+    # spells, so `u < T` ⟺ `substr(h) < hex8(T)` — no conv at all), and
+    # (b) the four lanes fold into per-lane aggregate columns on the
+    # UN-exploded (row, j) relation — groupBy(j) with 4×(Σwt·cents, Σwt)
+    # then one `stack` to the 100-replicate relation — so the shuffle
+    # carries 25 groups of 8 longs instead of 15M exploded rows.
+    # Weight values per (row, b) are bit-identical to the oracle's
+    # numeric-threshold formulation: measured 11.5 s → 4.0 s at sf0.1.
+    thresholds = [1580030168, 3160060337, 3950075421, 4213413783, 4279248373, 4292415291]
+
+    def _wt(lane: int):
+        sub = F.substring("h", 1 + 8 * lane, 8)
+        w = F.when(sub < format(thresholds[0], "08x"), 0)
+        for k, t in enumerate(thresholds[1:], start=1):
+            w = w.when(sub < format(t, "08x"), k)
+        return w.otherwise(6)
+
     j = F.explode(F.sequence(F.lit(0), F.lit(24))).alias("j")
-    w = (
+    lanes = (
         orders.select("o_orderkey", "cents", j)
         .withColumn("h", F.md5(F.concat_ws(":", F.col("j"), F.col("o_orderkey"))))
-        .select(
-            "cents",
-            "j",
-            F.posexplode(
-                F.expr(
-                    "transform(sequence(0, 3), l ->"
-                    " CAST(conv(substring(h, 1 + 8 * l, 8), 16, 10) AS BIGINT))"
-                )
-            ).alias("l", "u"),
-        )
-        .select(
-            (F.col("j") * 4 + F.col("l")).alias("b"), "cents", "u"
-        )
-        .withColumn(
-            "wt",
-            F.expr(
-                "CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1"
-                " WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3"
-                " WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5"
-                " ELSE 6 END"
-            ),
-        )
+        .select("cents", "j", *[_wt(l).alias(f"wt{l}") for l in range(4)])
+    )
+    per_j = lanes.groupBy("j").agg(
+        *[
+            agg
+            for l in range(4)
+            for agg in (
+                F.sum(F.col(f"wt{l}") * F.col("cents")).alias(f"swc{l}"),
+                F.sum(f"wt{l}").alias(f"sw{l}"),
+            )
+        ]
     )
     reps = (
-        w.groupBy("b")
-        .agg(
-            F.sum(F.col("wt") * F.col("cents")).alias("swc"),
-            F.sum("wt").alias("sw"),
+        per_j.select(
+            F.expr(
+                "stack(4, 4*j+0, swc0, sw0, 4*j+1, swc1, sw1,"
+                " 4*j+2, swc2, sw2, 4*j+3, swc3, sw3) AS (b, swc, sw)"
+            )
         )
         .filter(F.col("sw") > 0)
         .select("b", F.expr("swc div sw").cast("bigint").alias("est_cents"))
