@@ -2096,7 +2096,10 @@ def q_ts_linear_interpolate_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         obs.groupBy("event_type", "cohort")
-        .agg(F.countDistinct("h").alias("n_observed"))
+        # h is a grouping key of obs, hence unique per (event_type,
+        # cohort): plain count == count-distinct without the two-phase
+        # distinct-aggregate expansion
+        .agg(F.count("h").alias("n_observed"))
         .join(gaps, ["event_type", "cohort"], "left")
         .select(
             "event_type",
