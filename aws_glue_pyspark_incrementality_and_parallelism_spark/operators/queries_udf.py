@@ -370,12 +370,30 @@ def q_udf_cogroup_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.unix_micros("ts").alias("ts"), "user_id", "event_type"
     )
     purchases = ev.filter(F.col("event_type") == "purchase").drop("event_type")
-    views = ev.filter(F.col("event_type") == "view").drop("event_type")
+    # The right side's columns are RENAMED before the cogroup, not for
+    # style: when both cogroup inputs expose the same column names,
+    # PySpark resolves the right side's UDF arguments against the LEFT
+    # child's attributes (visible in the optimized plan as
+    # ``asof(event_id#0, ts#8, user_id#2, event_id#0, ts#8, user_id#2)``),
+    # and a count-only consumer then column-prunes the right child down
+    # to its grouping key — the pandas function receives a view frame
+    # without its payload columns and crashes (KeyError). collect() and
+    # writes are unaffected (no pruning), which is why the parity gate
+    # never saw it. Distinct names make the resolution unambiguous and
+    # the plan prune-safe under ANY consumer.
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("user_id").alias("view_user_id"),
+        )
+    )
 
     def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         left = left.sort_values(["ts", "event_id"])
-        right = right.sort_values(["ts", "event_id"]).rename(
-            columns={"event_id": "view_id"}
+        right = right.sort_values(["view_ts", "view_event_id"]).rename(
+            columns={"view_ts": "ts", "view_event_id": "view_id"}
         )
         merged = pd.merge_asof(
             left,
@@ -395,7 +413,7 @@ def q_udf_cogroup_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         purchases.groupBy("user_id")
-        .cogroup(views.groupBy("user_id"))
+        .cogroup(views.groupBy("view_user_id"))
         .applyInPandas(asof, schema="user_id bigint, purchase_id bigint, view_id bigint")
     )
 

@@ -645,6 +645,20 @@ def test_cogroup_asof_is_single_cogrouped_pass(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_cogroup_asof_survives_column_pruned_consumer(spark):
+    """count() plans column-prune the cogroup's children. When both
+    cogroup inputs expose the SAME column names, PySpark resolves the
+    right side's UDF arguments against the LEFT child's attributes, so
+    pruning strips the right child to its grouping key and the pandas
+    function crashes on a payload-less frame (KeyError) — but only
+    under pruned consumers; collect()/writes were always fine, so the
+    parity gate never saw it. The query renames its right side to make
+    resolution unambiguous; this pins that a count-only consumer (the
+    maximal prune) executes the full UDF without error."""
+    df = REGISTRY["udf_cogroup_asof_merge"].fn(spark, SF_SMALL)
+    assert df.count() == len(df.collect())
+
+
 def test_iterator_udf_is_map_only(spark):
     """Iterator-form scoring is a stateless Arrow projection: zero
     shuffle exchanges between the parquet scan and the output."""
