@@ -659,6 +659,20 @@ def test_cogroup_asof_survives_column_pruned_consumer(spark):
     assert df.count() == len(df.collect())
 
 
+def test_udf_family_survives_column_pruned_consumer(spark):
+    """Every Pandas-UDF surface query must execute under a count()-only
+    consumer — the maximal column prune, which the parity gate
+    (collect) and bench (noop write) never exercise. This is the
+    consumer shape that exposed the cogroup argument-resolution bug;
+    sweeping the whole udf_* family keeps the class closed as the
+    surface grows. (A registry-wide count() sweep ran 368/368 in round
+    6; this pins the highest-risk family in-suite.)"""
+    names = [n for n in REGISTRY if n.startswith("udf_")]
+    assert names, "udf_ family missing from registry"
+    for name in names:
+        REGISTRY[name].fn(spark, SF_SMALL).count()  # must not raise
+
+
 def test_iterator_udf_is_map_only(spark):
     """Iterator-form scoring is a stateless Arrow projection: zero
     shuffle exchanges between the parquet scan and the output."""
