@@ -763,27 +763,70 @@ def q_window_range_between_numeric(spark: SparkSession, sf_dir: str) -> DataFram
     identical integers in both engines — a double ordering key would
     make the frame boundary itself a float hazard.
 
-    Plan: one shuffle on the priority key + an in-partition sort;
-    Spark evaluates the sliding frame with two moving endpoints over
-    the sorted run — O(n) per partition, not O(n²). The per-priority
-    total order is the scale bound, the same trade every RANGE window
-    carries; a 100 TB deployment banding by finer keys (priority ×
-    price-decile) keeps partitions bounded."""
+    Plan — BANDED, not partitioned on the raw 5-value priority key
+    (which would cap parallelism at 5 tasks forever): cents are banded
+    into width-2W bins within priority (W = the frame half-width), so
+    the window partitions on (priority, bin) — hundreds of keys whose
+    cardinality grows with the price range, not a constant 5. The
+    frame of a row never reaches past the adjacent bin (bin width 2W
+    >= frame reach W), and exactly one of the two neighbors is
+    reachable: a row in the lower half of its bin (offset < W) can be
+    needed only by the bin below, the upper half (offset >= W) only by
+    the bin above. Each row therefore emits its home copy plus ONE
+    halo copy into that single reachable neighbor — 2x data, and every
+    underlying order appears exactly once per (priority, bin)
+    partition (home XOR halo), so the in-frame COUNT/SUM are exact.
+    Within each partition Spark still evaluates the frame with two
+    moving endpoints over the sorted run — O(n) per bin. At 100 TB,
+    shrink W's bin multiple (or band on price-decile boundaries) to
+    bound bin population; the halo construction is unchanged."""
     orders = load_table(spark, sf_dir, "orders")
+    W = 1_000_000  # frame half-width: +/- $10,000 in cents
+    B = 2 * W  # band width >= 2*W => one conditional halo copy per row
     c = orders.select(
         "o_orderkey",
         "o_orderpriority",
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
     )
-    w = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("cents")
-        .rangeBetween(-1_000_000, 1_000_000)
-    )
-    return c.select(
+    binned = c.withColumn("home_bin", F.floor(F.col("cents") / B).cast("bigint"))
+    copies = binned.select(
         "o_orderkey",
         "o_orderpriority",
         "cents",
-        F.count("*").over(w).cast("bigint").alias("n_price_neighbors"),
-        F.sum("cents").over(w).cast("bigint").alias("neighbor_cents_sum"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("home_bin").alias("bin"), F.lit(True).alias("is_home")
+                ),
+                F.struct(
+                    F.when(
+                        F.col("cents") % B < W, F.col("home_bin") - 1
+                    ).otherwise(F.col("home_bin") + 1).alias("bin"),
+                    F.lit(False).alias("is_home"),
+                ),
+            )
+        ).alias("cp"),
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "cents",
+        F.col("cp.bin").alias("bin"),
+        F.col("cp.is_home").alias("is_home"),
+    )
+    w = (
+        Window.partitionBy("o_orderpriority", "bin")
+        .orderBy("cents")
+        .rangeBetween(-W, W)
+    )
+    return (
+        copies.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "cents",
+            "is_home",
+            F.count("*").over(w).cast("bigint").alias("n_price_neighbors"),
+            F.sum("cents").over(w).cast("bigint").alias("neighbor_cents_sum"),
+        )
+        .where(F.col("is_home"))
+        .drop("is_home")
     )
