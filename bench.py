@@ -71,6 +71,105 @@ def _stream_warmup(spark) -> None:
     shutil.rmtree(base, ignore_errors=True)
 
 
+_FRESH_PROG = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from aws_glue_pyspark_incrementality_and_parallelism_spark.operators import multimodal
+from aws_glue_pyspark_incrementality_and_parallelism_spark.plans import catalog
+from aws_glue_pyspark_incrementality_and_parallelism_spark.session import build_spark
+
+sf_dir, names = sys.argv[1], sys.argv[2].split(",")
+spark = build_spark(app_name="bench-fresh")
+spark.sparkContext.setLogLevel("ERROR")
+out = {{}}
+for name in names:
+    fn = catalog.REGISTRY[name].fn
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm codegen
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        runs.append(time.perf_counter() - t0)
+    out[name] = round(min(runs), 3)
+    multimodal.release_decode_caches()
+spark.stop()
+print("FRESH_JSON:" + json.dumps(out))
+"""
+
+
+def _current_round() -> int:
+    """Round labeling (ADVICE r4): $SPARK_GRAFT_ROUND wins when set — a
+    re-run performed AFTER the driver records the current round's
+    BENCH_r{N}.json would otherwise infer N+1 and pollute the next
+    round's history. Fallback inference: the driver records
+    BENCH_r{N}.json after the round's bench run, so the current round is
+    one past the highest existing record."""
+    import glob as _glob
+    import re as _re
+
+    explicit = os.environ.get("SPARK_GRAFT_ROUND")
+    if explicit is not None:
+        return int(explicit)
+    recorded = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(_REPO_ROOT, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return max(recorded, default=0) + 1
+
+
+def _fresh_isolated_movers(
+    isolated: dict[str, float], sf_dir: str, current_round: int, sf: float
+) -> dict[str, float]:
+    """Re-time isolated movers (>1.3x vs last round, either direction) in
+    ONE fresh subprocess session; returns {} when there is no prior-round
+    detail at the same SF or no movers. Bounded to the 12 biggest movers
+    so a noisy round cannot turn the bench into 12 session spawns."""
+    import glob as _glob
+    import re as _re
+    import subprocess
+
+    prior = None
+    candidates = sorted(
+        (int(m.group(1)), p)
+        for p in _glob.glob(os.path.join(_REPO_ROOT, "BENCH_DETAIL_r*.json"))
+        if (m := _re.search(r"BENCH_DETAIL_r(\d+)\.json$", p))
+        and int(m.group(1)) < current_round
+    )
+    for _n, path in reversed(candidates):
+        try:
+            with open(path) as f:
+                detail = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if detail.get("sf") == sf:  # only like-for-like SFs are comparable
+            prior = detail.get("isolated", {})
+            break
+    if not prior:
+        return {}
+    movers = [
+        (max(sec / prior[n], prior[n] / sec), n)
+        for n, sec in isolated.items()
+        if n in prior and prior[n] > 0 and sec > 0
+        and max(sec / prior[n], prior[n] / sec) > 1.3
+    ]
+    if not movers:
+        return {}
+    names = [n for _, n in sorted(movers, reverse=True)[:12]]
+    prog = _FRESH_PROG.format(repo=_REPO_ROOT)
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", prog, sf_dir, ",".join(names)],
+            capture_output=True, text=True, timeout=1200, check=False,
+        )
+        for line in res.stdout.splitlines():
+            if line.startswith("FRESH_JSON:"):
+                return json.loads(line[len("FRESH_JSON:"):])
+    except (subprocess.TimeoutExpired, ValueError):
+        pass
+    return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -207,6 +306,19 @@ def main() -> None:
         isolated[name] = round(time.perf_counter() - t0, 3)
         multimodal.release_decode_caches()  # serial pass: safe per query
     isolated_pass_sec = round(time.perf_counter() - iso0, 3)
+
+    # Fresh-session re-measurement for movers (round-6 verdict task #3):
+    # the isolated pass runs in a session that just executed 368 queries,
+    # so it measures session-warmth state the ContextCleaner cannot
+    # reclaim as much as it measures the query (observed:
+    # ts_linear_interpolate_grid 10.6 s in-session vs ~4.6 s fresh, with
+    # identical code; a GC drain was tried and measured ineffective).
+    # Any isolated query that moved >1.3x against the PREVIOUS round's
+    # isolated column is re-timed in a fresh subprocess SparkSession and
+    # recorded under "isolated_fresh" — that column, not the in-session
+    # one, is the round-over-round regression signal for movers.
+    bench_round = _current_round()
+    isolated_fresh = _fresh_isolated_movers(isolated, sf_dir, bench_round, sf)
     # Full per-query map -> side artifact; stdout gets one short line the
     # driver can parse even if it only keeps the tail of the stream
     # (round 1: the 6 KB queries map made the line unparseable).
@@ -217,6 +329,7 @@ def main() -> None:
         "queries": timings,
         "spans": spans,
         "isolated": isolated,
+        "isolated_fresh": isolated_fresh,
         "isolated_pass_sec": isolated_pass_sec,
         # headline "value" = concurrent wave + sequential phase + ETL
         # anchor (the whole suite, as in prior rounds); the phase split
@@ -236,25 +349,8 @@ def main() -> None:
     # Archive per round (round-3 verdict task #4): BENCH_DETAIL.json is
     # the rolling "latest" pointer; BENCH_DETAIL_r{N}.json is immutable
     # history so round-over-round per-query regressions stay
-    # attributable. Round labeling (ADVICE r4): $SPARK_GRAFT_ROUND wins
-    # when set — a re-run performed AFTER the driver records the
-    # current round's BENCH_r{N}.json would otherwise infer N+1 and
-    # pollute the next round's history. Fallback inference: the driver
-    # records BENCH_r{N}.json after the round's bench run, so the
-    # current round is one past the highest existing record.
-    import glob as _glob
-    import re as _re
-
-    explicit = os.environ.get("SPARK_GRAFT_ROUND")
-    if explicit is not None:
-        detail["round"] = int(explicit)
-    else:
-        recorded = [
-            int(m.group(1))
-            for p in _glob.glob(os.path.join(_REPO_ROOT, "BENCH_r*.json"))
-            if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
-        ]
-        detail["round"] = max(recorded, default=0) + 1
+    # attributable. Round labeling lives in _current_round().
+    detail["round"] = bench_round
     for out_name in ("BENCH_DETAIL.json", f"BENCH_DETAIL_r{detail['round']:02d}.json"):
         with open(os.path.join(_REPO_ROOT, out_name), "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
