@@ -492,14 +492,12 @@ def q_dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash_frame(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document (Charikar '02): hash each token,
-    per-bit majority vote of ±1, pack sign bits into a long.
-
-    Shaped as explode → hash-aggregate with 64 codegen'd bit-count
-    columns — NOT per-row array lambdas: higher-order functions are
-    interpreted, while this whole pipeline stays inside whole-stage
-    codegen and combines map-side. One shuffle on the doc id.
+def _simhash_vote_agg(tok: DataFrame, keys: list[str]) -> DataFrame:
+    """The SimHash vote kernel, shared by ``simhash_frame`` and the
+    fused invariant query ``dedup_simhash`` so the two cannot drift:
+    given a token-hash frame (*keys, h), aggregate the 64 per-bit
+    ones-counts per key group and fold them into the majority-vote
+    fingerprint column ``fp``.
 
     The ±1 vote is algebra, not a per-row branch: Σ±1 over n tokens
     equals 2·(ones count) − n, so vote_b > 0 ⟺ 2·c_b > n. Summing the
@@ -509,15 +507,12 @@ def simhash_frame(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     fingerprints). Counters are full bigints — no per-doc token-count
     ceiling, unlike packed-lane tricks.
     """
-    tok = docs.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("t")).select(
-        F.col(id_col), F.xxhash64("t").alias("h")
-    )
     counts = [
         F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
         for b in range(64)
     ]
-    agg = tok.groupBy(id_col).agg(F.count("*").alias("n"), *counts)
-    simhash = reduce(
+    agg = tok.groupBy(*keys).agg(F.count("*").alias("n"), *counts)
+    fp = reduce(
         lambda acc, b: acc.bitwiseOR(
             F.shiftleft(
                 F.when(F.col(f"c{b}") * 2 > F.col("n"), 1).otherwise(0).cast("long"), b
@@ -526,7 +521,25 @@ def simhash_frame(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         range(64),
         F.lit(0).cast("long"),
     )
-    return agg.select(F.col(id_col), simhash.alias("simhash"))
+    return agg.select(*keys, fp.alias("fp"))
+
+
+def simhash_frame(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document (Charikar '02): hash each token,
+    per-bit majority vote of ±1, pack sign bits into a long.
+
+    Shaped as explode → hash-aggregate with 64 codegen'd bit-count
+    columns — NOT per-row array lambdas: higher-order functions are
+    interpreted, while this whole pipeline stays inside whole-stage
+    codegen and combines map-side. One shuffle on the doc id. The vote
+    kernel itself lives in ``_simhash_vote_agg``.
+    """
+    tok = docs.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("t")).select(
+        F.col(id_col), F.xxhash64("t").alias("h")
+    )
+    return _simhash_vote_agg(tok, [id_col]).select(
+        F.col(id_col), F.col("fp").alias("simhash")
+    )
 
 
 @query(
@@ -560,9 +573,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-tokenized), but three separate deep pipelines + two joins
     # collapse into one explode, one (doc_id, tag) vote aggregate and
     # one pivot — 3 shuffles → 2, measured 4.2 s → 2.1 s at sf0.1 and
-    # far fewer sequential stages under suite concurrency. Fingerprints
-    # are bit-identical to three `simhash_frame` passes (the library
-    # kernel, whose Hamming locality pytest pins).
+    # far fewer sequential stages under suite concurrency. The vote
+    # aggregate IS the library kernel (`_simhash_vote_agg`, shared with
+    # `simhash_frame`, whose Hamming locality pytest pins) — keyed on
+    # (doc_id, tag) instead of doc_id, so drift is impossible by
+    # construction.
     tagged = (
         docs.select(F.lit(0).alias("tag"), "doc_id", "text")
         .unionByName(
@@ -583,21 +598,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = tagged.select(
         "tag", "doc_id", F.explode(_tokens(F.col("text"))).alias("t")
     ).select("tag", "doc_id", F.xxhash64("t").alias("h"))
-    counts = [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
-        for b in range(64)
-    ]
-    agg = tok.groupBy("doc_id", "tag").agg(F.count("*").alias("n"), *counts)
-    sim = reduce(
-        lambda acc, b: acc.bitwiseOR(
-            F.shiftleft(
-                F.when(F.col(f"c{b}") * 2 > F.col("n"), 1).otherwise(0).cast("long"), b
-            )
-        ),
-        range(64),
-        F.lit(0).cast("long"),
-    )
-    fps = agg.select("doc_id", "tag", sim.alias("fp"))
+    fps = _simhash_vote_agg(tok, ["doc_id", "tag"])
     wide = fps.groupBy("doc_id").agg(
         F.max(F.when(F.col("tag") == 0, F.col("fp"))).alias("simhash"),
         F.max(F.when(F.col("tag") == 1, F.col("fp"))).alias("simhash_rev"),

@@ -666,11 +666,17 @@ def test_udf_family_survives_column_pruned_consumer(spark):
     consumer shape that exposed the cogroup argument-resolution bug;
     sweeping the whole udf_* family keeps the class closed as the
     surface grows. (A registry-wide count() sweep ran 368/368 in round
-    6; this pins the highest-risk family in-suite.)"""
+    6; this pins the highest-risk family in-suite.) Beyond not
+    crashing, the pruned plan must return the SAME row count as the
+    unpruned collect() — a prune that silently drops or fabricates
+    rows would otherwise pass."""
     names = [n for n in REGISTRY if n.startswith("udf_")]
     assert names, "udf_ family missing from registry"
     for name in names:
-        REGISTRY[name].fn(spark, SF_SMALL).count()  # must not raise
+        df = REGISTRY[name].fn(spark, SF_SMALL)
+        assert df.count() == len(df.collect()), (
+            f"{name}: pruned count() diverges from unpruned collect()"
+        )
 
 
 def test_iterator_udf_is_map_only(spark):

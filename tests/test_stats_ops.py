@@ -128,6 +128,35 @@ def test_poisson_bootstrap_weight_distribution():
     assert abs(mean - 1) < 1e-3 and abs(var - 1) < 5e-3
 
 
+def test_poisson_bootstrap_hex_compare_assumptions(spark):
+    """The bootstrap's codegen inverse-CDF compares 8-hex-char md5 lane
+    substrings against format(threshold,'08x') STRING literals, which is
+    only equivalent to the u32 comparison if (a) Spark's md5 emits
+    fixed-width 32-char LOWERCASE hex and (b) string comparison is
+    binary (code-point) — a session collation or an uppercase digest
+    would silently flip comparisons. Pin both with a known digest, and
+    pin the string-vs-numeric equivalence on lane values that straddle
+    a real threshold."""
+    import hashlib
+
+    row = spark.sql("SELECT md5('0:1') AS h").collect()[0]
+    assert row["h"] == hashlib.md5(b"0:1").hexdigest()  # known digest
+    assert len(row["h"]) == 32 and row["h"] == row["h"].lower()
+
+    th = 3160060337  # the w<2 threshold
+    cases = [th - 1, th, th + 1, 0, 2**32 - 1]
+    got = spark.sql(
+        "SELECT "
+        + ", ".join(
+            f"CAST(format_string('%08x', {u}L) < '{format(th, '08x')}' AS INT)"
+            f" AS c{i}"
+            for i, u in enumerate(cases)
+        )
+    ).collect()[0]
+    for i, u in enumerate(cases):
+        assert got[f"c{i}"] == int(u < th), (u, th)
+
+
 def test_silence_trim_known_answer(spark):
     """Samples [0,0,9000,0,-9000,0] with threshold 8192: lead 2,
     trail 1, kept 3."""
