@@ -126,8 +126,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle="""
     WITH tok AS (
-      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
-      FROM documents WHERE doc_id < 100
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
+        FROM documents WHERE doc_id < 100
+      ) raw_tok
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1
     ), inter AS (
@@ -147,11 +149,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 oracle path: exact word-set Jaccard via explode→self-join→count
     (the inverted-index trick: only docs sharing a token ever meet).
     Bounded to doc_id<100 — this is the quadratic ground truth the LSH
-    path is checked against, not the scale path."""
+    path is checked against, not the scale path.
+
+    The token relation is distinct on (doc_id, w) — not just
+    array_distinct per row — so the query is invariant to duplicated
+    input ROWS (the duplicate-key robustness corpus: doubled doc rows
+    would otherwise double sizes and quadruple intersections, driving
+    the Jaccard denominator |A|+|B|-|A∩B| to zero for identical docs).
+    After the distinct, the denominator is |A∪B| >= 1 for any pair
+    that shares a token, so the division cannot fault."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("w")
-    )
+    ).distinct()
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = tok.alias("a")
     b = tok.alias("b")
@@ -700,8 +710,10 @@ def connected_components(
     "dedup_components_keeper",
     oracle="""
     WITH RECURSIVE tok AS (
-      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
-      FROM documents WHERE doc_id < 100
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
+        FROM documents WHERE doc_id < 100
+      ) raw_tok
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1
     ), inter AS (
@@ -988,8 +1000,10 @@ def q_dedup_chunk_dupe_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_components_keep_best",
     oracle="""
     WITH RECURSIVE tok AS (
-      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
-      FROM documents WHERE doc_id < 100
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
+        FROM documents WHERE doc_id < 100
+      ) raw_tok
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
     ), inter AS (

@@ -206,8 +206,10 @@ def q_graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_triangle_count",
     oracle="""
     WITH tok AS (
-      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
-      FROM documents WHERE doc_id < 100
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
+        FROM documents WHERE doc_id < 100
+      ) raw_tok
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
     ), inter AS (
@@ -266,8 +268,10 @@ BFS_MAX_LEVELS = 8
     "graph_bfs_levels",
     oracle=f"""
     WITH RECURSIVE tok AS (
-      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
-      FROM documents WHERE doc_id < 100
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
+        FROM documents WHERE doc_id < 100
+      ) raw_tok
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1
     ), inter AS (
@@ -416,8 +420,10 @@ SSSP_ROUNDS = 4
     "graph_sssp_bellman_ford",
     oracle=f"""
     WITH RECURSIVE tok AS (
-      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
-      FROM documents WHERE doc_id < 100
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
+        FROM documents WHERE doc_id < 100
+      ) raw_tok
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1
     ), inter AS (
@@ -512,8 +518,10 @@ KCORE_ROUNDS = 6
     "graph_kcore_peel",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
-      FROM documents WHERE doc_id < 100
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
+        FROM documents WHERE doc_id < 100
+      ) raw_tok
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1
     ), inter AS (

@@ -753,3 +753,50 @@ def test_null_bearing_corpus_does_not_crash(spark, null_sf_dir, name):
     )
 
     REGISTRY[name].fn(spark, null_sf_dir).count()  # must plan and run
+
+
+@pytest.fixture(scope="module")
+def dup_sf_dir(spark, tmp_path_factory):
+    """Duplicate-key twins: every FACT row doubled (UNION ALL with
+    itself), dimensions intact — duplicate primary keys, a 100%
+    exact-dup document universe, doubled join multiplicities (round-7
+    fourth robustness class)."""
+    import duckdb
+
+    fact = {"orders", "lineitem", "events", "documents", "embeddings"}
+    root = tmp_path_factory.mktemp("sf_dup")
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        src = f"SELECT * FROM '{SF_SMALL}/{t}.parquet'"
+        q = f"{src} UNION ALL {src}" if t in fact else src
+        con.execute(f"COPY ({q}) TO '{root}/{t}.parquet' (FORMAT parquet)")
+    return str(root)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # the seven queries that crashed on duplicated fact rows before
+        # round 7: all shared one root cause — the exact-Jaccard token
+        # relation was distinct per ROW, not per (doc_id, w), so doubled
+        # doc rows doubled |A|,|B| and quadrupled |A∩B|, driving the
+        # denominator |A|+|B|-|A∩B| to zero for identical docs
+        # (DIVIDE_BY_ZERO under ANSI mode). Fixed by a (doc_id, w)
+        # distinct, which makes the denominator |A∪B| >= 1 for any
+        # candidate pair.
+        "dedup_ngram_jaccard",
+        "dedup_components_keeper",
+        "dedup_components_keep_best",
+        "graph_triangle_count",
+        "graph_bfs_levels",
+        "graph_kcore_peel",
+        "graph_sssp_bellman_ford",
+    ],
+)
+def test_duplicate_key_corpus_does_not_crash(spark, dup_sf_dir, name):
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import (
+        REGISTRY,
+    )
+
+    REGISTRY[name].fn(spark, dup_sf_dir).count()  # must plan and run
