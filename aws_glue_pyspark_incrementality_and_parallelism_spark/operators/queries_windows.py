@@ -813,6 +813,12 @@ def q_window_range_between_numeric(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("cp.bin").alias("bin"),
         F.col("cp.is_home").alias("is_home"),
     )
+    # NULL-cents rows: home_bin is NULL, and the halo expression is NULL
+    # too — without this filter the halo copy would land in the SAME
+    # (priority, NULL) partition as the home copy and double every
+    # NULL-peer count. Keeping only the home copy reproduces the
+    # unbanded form's NULL semantics: NULLs are each other's sole peers.
+    copies = copies.where(F.col("is_home") | F.col("bin").isNotNull())
     w = (
         Window.partitionBy("o_orderpriority", "bin")
         .orderBy("cents")
