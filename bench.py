@@ -153,9 +153,19 @@ def _fresh_isolated_movers(
         if n in prior and prior[n] > 0 and sec > 0
         and max(sec / prior[n], prior[n] / sec) > 1.3
     ]
-    if not movers:
-        return {}
     names = [n for _, n in sorted(movers, reverse=True)[:12]]
+    # The expensive tail ALWAYS gets a fresh number too: a query whose
+    # prior-round reading was equally warmth-inflated never crosses the
+    # mover threshold (ts_linear_interpolate_grid read 10.6 s in r6 and
+    # 12.3 s in r7 — ratio 1.16 — while a fresh session reads ~5 s), so
+    # the 5 slowest isolated queries are fresh-measured unconditionally.
+    names += [
+        n
+        for n in sorted(isolated, key=lambda n: -isolated[n])[:5]
+        if n not in names
+    ]
+    if not names:
+        return {}
     prog = _FRESH_PROG.format(repo=_REPO_ROOT)
     try:
         res = subprocess.run(
