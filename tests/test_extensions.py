@@ -800,3 +800,94 @@ def test_duplicate_key_corpus_does_not_crash(spark, dup_sf_dir, name):
     )
 
     REGISTRY[name].fn(spark, dup_sf_dir).count()  # must plan and run
+
+
+@pytest.fixture(scope="module")
+def megakey_sf_dir(spark, tmp_path_factory):
+    """Mega-key twins: the hottest-key-owns-everything corpus (round-7
+    fifth robustness class) — one user owns every event, one customer
+    every order, one (part, supplier) every lineitem, every document is
+    the SAME text, every embedding the SAME vector. Primary keys stay
+    unique; schemas match the base tables exactly. This is the
+    adversarial-skew shape the salted/banded/capped paths exist for."""
+    import duckdb
+
+    root = tmp_path_factory.mktemp("sf_megakey")
+    con = duckdb.connect()
+    txt = "the quick brown fox jumps over the lazy dog and runs far away fast"
+    con.execute(
+        f"COPY (SELECT doc_id, '{txt}' AS text, 'en' AS lang,"
+        f" first(source) OVER () AS source,"
+        f" CAST({len(txt)} AS BIGINT) AS n_chars"
+        f" FROM '{SF_SMALL}/documents.parquet')"
+        f" TO '{root}/documents.parquet' (FORMAT parquet)"
+    )
+    con.execute(
+        f"COPY (SELECT event_id, ts, CAST(1 AS BIGINT) AS user_id, event_type,"
+        f" value, props FROM '{SF_SMALL}/events.parquet')"
+        f" TO '{root}/events.parquet' (FORMAT parquet)"
+    )
+    o_cols = [d[0] for d in con.execute(
+        f"SELECT * FROM '{SF_SMALL}/orders.parquet' LIMIT 0").description]
+    sel = ", ".join(
+        "CAST(1 AS BIGINT) AS o_custkey" if c == "o_custkey"
+        else "'3-MEDIUM' AS o_orderpriority" if c == "o_orderpriority" else c
+        for c in o_cols
+    )
+    con.execute(
+        f"COPY (SELECT {sel} FROM '{SF_SMALL}/orders.parquet')"
+        f" TO '{root}/orders.parquet' (FORMAT parquet)"
+    )
+    l_cols = [d[0] for d in con.execute(
+        f"SELECT * FROM '{SF_SMALL}/lineitem.parquet' LIMIT 0").description]
+    sel = ", ".join(
+        "CAST(1 AS BIGINT) AS l_partkey" if c == "l_partkey"
+        else "CAST(1 AS BIGINT) AS l_suppkey" if c == "l_suppkey" else c
+        for c in l_cols
+    )
+    con.execute(
+        f"COPY (SELECT {sel} FROM '{SF_SMALL}/lineitem.parquet')"
+        f" TO '{root}/lineitem.parquet' (FORMAT parquet)"
+    )
+    con.execute(
+        f"COPY (SELECT vec_id, first(embedding) OVER () AS embedding,"
+        f" first(label) OVER () AS label FROM '{SF_SMALL}/embeddings.parquet')"
+        f" TO '{root}/embeddings.parquet' (FORMAT parquet)"
+    )
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        con.execute(
+            f"COPY (SELECT * FROM '{SF_SMALL}/{t}.parquet')"
+            f" TO '{root}/{t}.parquet' (FORMAT parquet)"
+        )
+    return str(root)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # the skew-sensitive shapes the mega-key corpus exists to stress:
+        # single-user sessionization/series, all-identical-text dedup
+        # (LSH mega-bucket chain-linearization), all-identical embeddings
+        # (ANN total ties), hot-key joins/aggregates (salted paths), and
+        # one-giant-partition windows. Full-registry sweep ran 368/368
+        # with zero errors in round 7; these pins keep the class closed.
+        "events_sessionization",
+        "events_max_concurrent_sessions",
+        "udf_ewma_per_user",
+        "dedup_minhash_lsh",
+        "dedup_exact",
+        "er_fuzzy_parts",
+        "window_gaps_islands",
+        "agg_salted_skew",
+        "join_salted_skew",
+        "sim_brute_force_topk",
+        "sim_pq_adc_topk",
+        "graph_pagerank_parts",
+    ],
+)
+def test_megakey_corpus_does_not_crash(spark, megakey_sf_dir, name):
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import (
+        REGISTRY,
+    )
+
+    REGISTRY[name].fn(spark, megakey_sf_dir).count()  # must plan and run
