@@ -977,3 +977,35 @@ def test_range_between_numeric_is_banded(spark):
         .count()
     )
     assert dupes == 0, "an order landed twice in one (priority, bin) partition"
+
+
+def test_plan_audit_invariants_on_representative_sample(spark):
+    """Keep the PLAN_AUDIT.json invariants alive in-suite on a
+    representative sample (the full 368-query audit is a CLI artifact,
+    `plan_audit.py`): zero row-at-a-time BatchEvalPython nodes anywhere
+    (the repo policy — Python boundaries must be Arrow-batched), scans
+    carry pushed filters where the query filters on scan columns, and
+    the broadcast dimension joins actually broadcast."""
+    import plan_audit
+
+    sample = {
+        "report_sales_by_customer": {"pushed_filters": True, "min_broadcasts": 2},
+        "tpch_q6_forecast_revenue": {"pushed_filters": True},
+        "incremental_scan_hwm": {"pushed_filters": True},
+        "udf_pandas_scalar_charge": {},
+        "udf_cogroup_asof_merge": {},
+        "multimodal_features": {},
+        "dedup_minhash_lsh": {},
+        "window_range_between_numeric": {},
+        "join_broadcast_snowflake": {"min_broadcasts": 2},
+        "sort_limit_topk": {"min_topk": 1},
+    }
+    for name, want in sample.items():
+        stats = plan_audit.audit_plan(REGISTRY[name].fn(spark, SF_SMALL))
+        assert stats["row_at_a_time_python"] == 0, (name, stats)
+        if want.get("pushed_filters"):
+            assert stats["pushed_filters"], (name, stats)
+        if "min_broadcasts" in want:
+            assert stats["n_broadcasts"] >= want["min_broadcasts"], (name, stats)
+        if "min_topk" in want:
+            assert stats["n_topk_nodes"] >= want["min_topk"], (name, stats)
