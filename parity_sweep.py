@@ -2,8 +2,18 @@
 compare against its DuckDB oracle with the driver's strict normalization,
 and time both sides per query.
 
-Usage: python parity_sweep.py [sf_dir]  (default /root/testdata/sf0.01)
-Writes SWEEP_DETAIL.json and prints one summary JSON line.
+Usage:
+    python parity_sweep.py [sf_dir]            sweep a parquet dir
+    python parity_sweep.py --corpus KIND [src] build a degenerate corpus
+                                               from src (default sf0.001)
+                                               under /tmp and sweep it
+
+KIND is one of: empty (zero-row), one (one-row), nulls (half-NULL
+non-key columns), dup (every fact row doubled), megakey (hottest key
+owns everything) — the five robustness classes ledgered in
+DEGENERATE.md. Plain sweeps write SWEEP_DETAIL.json; corpus sweeps
+write SWEEP_DETAIL_<KIND>.json so a probe run never clobbers the
+standard-corpus artifact.
 """
 
 from __future__ import annotations
@@ -22,8 +32,97 @@ from aws_glue_pyspark_incrementality_and_parallelism_spark.session import build_
 from tests.oracle import driver_canonicalize, duckdb_rows, normalize
 
 
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+#: Non-key columns NULLed on alternating rows by the `nulls` corpus.
+NULLABLE = {
+    "documents": ["text", "lang", "source"],
+    "events": ["event_type", "value", "props"],
+    "orders": ["o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    "customer": ["c_name", "c_acctbal", "c_mktsegment"],
+    "supplier": ["s_name", "s_acctbal"],
+    "part": ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "embeddings": ["embedding", "label"],
+}
+
+#: Fact tables doubled by the `dup` corpus (dims stay intact).
+DUP_FACTS = {"orders", "lineitem", "events", "documents", "embeddings"}
+
+
+def build_corpus(kind: str, src: str, dst: str) -> str:
+    """Materialize one of the five degenerate corpora (same recipes as
+    the pytest fixtures in tests/test_extensions.py) into dst."""
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+
+    def copy(table: str, select_sql: str) -> None:
+        con.execute(f"COPY ({select_sql}) TO '{dst}/{table}.parquet' (FORMAT parquet)")
+
+    for t in TABLES:
+        base = f"SELECT * FROM '{src}/{t}.parquet'"
+        if kind == "empty":
+            copy(t, base + " LIMIT 0")
+        elif kind == "one":
+            copy(t, base + " LIMIT 1")
+        elif kind == "nulls":
+            cols = [d[0] for d in con.execute(base + " LIMIT 0").description]
+            exprs = [
+                f"CASE WHEN (ROW_NUMBER() OVER ()) % 2 = 0 THEN NULL ELSE {c} END AS {c}"
+                if c in NULLABLE.get(t, []) else c
+                for c in cols
+            ]
+            copy(t, f"SELECT {', '.join(exprs)} FROM '{src}/{t}.parquet'")
+        elif kind == "dup":
+            copy(t, f"{base} UNION ALL {base}" if t in DUP_FACTS else base)
+        elif kind == "megakey":
+            txt = ("the quick brown fox jumps over the lazy dog "
+                   "and runs far away fast")
+            if t == "documents":
+                copy(t, f"SELECT doc_id, '{txt}' AS text, 'en' AS lang,"
+                        f" first(source) OVER () AS source,"
+                        f" CAST({len(txt)} AS BIGINT) AS n_chars"
+                        f" FROM '{src}/{t}.parquet'")
+            elif t == "events":
+                copy(t, f"SELECT event_id, ts, CAST(1 AS BIGINT) AS user_id,"
+                        f" event_type, value, props FROM '{src}/{t}.parquet'")
+            elif t == "orders":
+                cols = [d[0] for d in con.execute(base + " LIMIT 0").description]
+                sel = ", ".join(
+                    "CAST(1 AS BIGINT) AS o_custkey" if c == "o_custkey"
+                    else "'3-MEDIUM' AS o_orderpriority" if c == "o_orderpriority"
+                    else c for c in cols)
+                copy(t, f"SELECT {sel} FROM '{src}/{t}.parquet'")
+            elif t == "lineitem":
+                cols = [d[0] for d in con.execute(base + " LIMIT 0").description]
+                sel = ", ".join(
+                    "CAST(1 AS BIGINT) AS l_partkey" if c == "l_partkey"
+                    else "CAST(1 AS BIGINT) AS l_suppkey" if c == "l_suppkey"
+                    else c for c in cols)
+                copy(t, f"SELECT {sel} FROM '{src}/{t}.parquet'")
+            elif t == "embeddings":
+                copy(t, f"SELECT vec_id, first(embedding) OVER () AS embedding,"
+                        f" first(label) OVER () AS label FROM '{src}/{t}.parquet'")
+            else:
+                copy(t, base)
+        else:
+            raise SystemExit(f"unknown corpus kind: {kind}")
+    return dst
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    detail_name = "SWEEP_DETAIL.json"
+    if len(sys.argv) > 1 and sys.argv[1] == "--corpus":
+        kind = sys.argv[2]
+        src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
+        sf_dir = build_corpus(kind, src, f"/tmp/sf_{kind}_sweep")
+        detail_name = f"SWEEP_DETAIL_{kind.upper()}.json"
+    else:
+        sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = build_spark(app_name="parity-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     results = {}
@@ -67,7 +166,7 @@ def main() -> None:
         multimodal.release_decode_caches()
     spark.stop()
 
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "SWEEP_DETAIL.json"), "w") as f:
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name), "w") as f:
         json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1, sort_keys=True)
     n_oracle = sum(1 for r in results.values() if r["oracle"])
     n_pass = sum(1 for r in results.values() if r.get("value_match"))
