@@ -1213,7 +1213,12 @@ SIMHASH_PORTABLE_BITS = 60
 SIMHASH_PORTABLE_HAMMING = 8
 
 
-def _simhash_portable_oracle() -> str:
+def _simhash_portable_fp_cte() -> str:
+    """The portable-SimHash fingerprint as a reusable SQL CTE chain
+    (``tok``/``hashed``/``sums``/``fp``) over the single bounded corpus
+    — shared by the pair oracle (``dedup_simhash_portable``) and the
+    multiplicity pin (``dedup_simhash_multiplicity_pin``) so the two
+    oracles cannot drift."""
     bit_sums = ",\n             ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
         for b in range(SIMHASH_PORTABLE_BITS)
@@ -1238,11 +1243,45 @@ def _simhash_portable_oracle() -> str:
     ), fp AS (
       SELECT doc_id, {fp} AS fingerprint FROM sums
     )
+    """
+
+
+def _simhash_portable_oracle() -> str:
+    return (
+        _simhash_portable_fp_cte()
+        + f"""
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS BIGINT) AS hamming
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {SIMHASH_PORTABLE_HAMMING}
     """
+    )
+
+
+def _portable_simhash_fp(tok: DataFrame) -> DataFrame:
+    """Portable-SimHash fingerprint kernel: given (doc_id, w) token
+    rows, md5-hash each token to 60 usable bits, take per-bit ±1 vote
+    sums in ONE hash-aggregate, and fold the vote signs into a BIGINT
+    fingerprint. Shared by ``dedup_simhash_portable`` and
+    ``dedup_simhash_multiplicity_pin`` so the Spark kernel cannot drift
+    between the pair query and the multiplicity pin (same convention as
+    ``_simhash_vote_agg`` on the xxhash64 scale path)."""
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("bigint")
+    hashed = tok.select("doc_id", h.alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_PORTABLE_BITS)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*bit_sums)
+    fp_col = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint")),
+        range(1, SIMHASH_PORTABLE_BITS),
+        F.when(F.col("s0") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint")),
+    )
+    return sums.select("doc_id", fp_col.alias("fingerprint"))
 
 
 @query("dedup_simhash_portable", oracle=_simhash_portable_oracle())
@@ -1262,22 +1301,7 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("w")
     )
-    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("bigint")
-    hashed = tok.select("doc_id", h.alias("h"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(SIMHASH_PORTABLE_BITS)
-    ]
-    sums = hashed.groupBy("doc_id").agg(*bit_sums)
-    fp_col = reduce(
-        lambda acc, b: acc
-        + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint")),
-        range(1, SIMHASH_PORTABLE_BITS),
-        F.when(F.col("s0") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint")),
-    )
-    fp = sums.select("doc_id", fp_col.alias("fingerprint"))
+    fp = _portable_simhash_fp(tok)
     a = fp.alias("a")
     b_ = fp.alias("b")
     ham = F.bit_count(F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint")))
@@ -1290,6 +1314,45 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.cast("bigint").alias("hamming"),
         )
     )
+
+
+@query(
+    "dedup_simhash_multiplicity_pin",
+    oracle=_simhash_portable_fp_cte()
+    + """
+    SELECT doc_id, fingerprint FROM fp
+    """,
+)
+def q_dedup_simhash_multiplicity_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 keyed-fingerprint multiplicity pin (DEGENERATE.md Class D1,
+    promoted to a first-class driver row per the round-7 verdict's
+    unfreeze plan): a fingerprint is a property of the DOCUMENT, not of
+    the ingest row, so duplicating input rows must not change it.
+
+    The Spark side inflates each document to 1–3 identical ingest rows
+    (multiplicity = doc_id % 3 + 1 — odd multiplicities catch any
+    hidden halving/averaging a uniform ×2 corpus would miss, and it
+    strictly generalizes the duplicate-key robustness corpus's UNION
+    ALL doubling), then runs the SHARED portable-SimHash kernel
+    (``_portable_simhash_fp``) over the inflated rows. The oracle
+    computes the same fingerprint over the SINGLE corpus — bit-for-bit
+    equality holds because per-doc multiplicity m scales every ±1 vote
+    sum by m, which preserves sign(s) including ties (s = 0 ⇒ ms = 0),
+    so the majority-vote fingerprint is invariant to ingest-row
+    multiplicity by algebra, and the driver row now pins that
+    convention against an independent engine."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    inflated = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), (F.col("doc_id") % 3 + 1).cast("int"))
+        ).alias("copy"),
+    )
+    tok = inflated.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("w")
+    )
+    return _portable_simhash_fp(tok)
 
 
 @query(

@@ -799,8 +799,17 @@ def q_window_range_between_numeric(spark: SparkSession, sf_dir: str) -> DataFram
                     F.col("home_bin").alias("bin"), F.lit(True).alias("is_home")
                 ),
                 F.struct(
+                    # pmod, not %: the in-bin offset must match the
+                    # floor-division binning for ALL signs. Spark's %
+                    # is a signed remainder (in (-B, 0] for negative
+                    # cents), which would send the upper half of every
+                    # negative bin's halo to home_bin - 1 instead of
+                    # home_bin + 1; pmod(cents, B) = cents - B*floor(
+                    # cents/B) is in [0, B) always, so lower half
+                    # (< W) -> bin below, upper half -> bin above,
+                    # sign-independent.
                     F.when(
-                        F.col("cents") % B < W, F.col("home_bin") - 1
+                        F.pmod(F.col("cents"), F.lit(B)) < W, F.col("home_bin") - 1
                     ).otherwise(F.col("home_bin") + 1).alias("bin"),
                     F.lit(False).alias("is_home"),
                 ),

@@ -120,16 +120,29 @@ def _current_round() -> int:
 
 def _fresh_isolated_movers(
     isolated: dict[str, float], sf_dir: str, current_round: int, sf: float
-) -> dict[str, float]:
-    """Re-time isolated movers (>1.3x vs last round, either direction) in
-    ONE fresh subprocess session; returns {} when there is no prior-round
-    detail at the same SF or no movers. Bounded to the 12 biggest movers
-    so a noisy round cannot turn the bench into 12 session spawns."""
+) -> tuple[dict[str, float], str | None]:
+    """Re-time a fresh-subprocess panel; returns (fresh_map, error).
+
+    Panel = the PREVIOUS same-SF round's entire ``isolated_fresh`` panel
+    (round-7 verdict task #3: re-measuring the same names every round
+    makes the round-over-round signal fresh-vs-fresh, the only
+    warmth-free comparison) ∪ movers (>1.3x either direction vs the
+    prior round — against the prior FRESH reading when one exists, else
+    the prior in-session isolated column; bounded to the 12 biggest)
+    ∪ the 5 slowest isolated queries (a query whose prior reading was
+    equally warmth-inflated never crosses the mover threshold).
+
+    Failure modes are NOT silent (round-7 ADVICE): a subprocess crash,
+    timeout, or missing/bad FRESH_JSON line prints a one-line warning
+    with the returncode and a stderr tail, and the error string is
+    recorded under ``isolated_fresh_error`` in BENCH_DETAIL so a
+    dropped fresh column is visible in the artifact."""
     import glob as _glob
     import re as _re
     import subprocess
 
-    prior = None
+    prior: dict[str, float] = {}
+    prior_fresh: dict[str, float] = {}
     candidates = sorted(
         (int(m.group(1)), p)
         for p in _glob.glob(os.path.join(_REPO_ROOT, "BENCH_DETAIL_r*.json"))
@@ -144,40 +157,51 @@ def _fresh_isolated_movers(
             continue
         if detail.get("sf") == sf:  # only like-for-like SFs are comparable
             prior = detail.get("isolated", {})
+            prior_fresh = detail.get("isolated_fresh", {}) or {}
             break
-    if not prior:
-        return {}
+    if not prior and not prior_fresh:
+        return {}, None
+    # movers: fresh-vs-fresh where a prior fresh reading exists,
+    # fresh-vs-in-session otherwise
+    base = dict(prior)
+    base.update(prior_fresh)
     movers = [
-        (max(sec / prior[n], prior[n] / sec), n)
+        (max(sec / base[n], base[n] / sec), n)
         for n, sec in isolated.items()
-        if n in prior and prior[n] > 0 and sec > 0
-        and max(sec / prior[n], prior[n] / sec) > 1.3
+        if n in base and base[n] > 0 and sec > 0
+        and max(sec / base[n], base[n] / sec) > 1.3
     ]
     names = [n for _, n in sorted(movers, reverse=True)[:12]]
-    # The expensive tail ALWAYS gets a fresh number too: a query whose
-    # prior-round reading was equally warmth-inflated never crosses the
-    # mover threshold (ts_linear_interpolate_grid read 10.6 s in r6 and
-    # 12.3 s in r7 — ratio 1.16 — while a fresh session reads ~5 s), so
-    # the 5 slowest isolated queries are fresh-measured unconditionally.
+    # the previous round's whole fresh panel, re-measured verbatim
+    names += [n for n in sorted(prior_fresh) if n not in names and n in isolated]
     names += [
         n
         for n in sorted(isolated, key=lambda n: -isolated[n])[:5]
         if n not in names
     ]
     if not names:
-        return {}
+        return {}, None
     prog = _FRESH_PROG.format(repo=_REPO_ROOT)
+    err: str | None = None
     try:
         res = subprocess.run(
             [sys.executable, "-c", prog, sf_dir, ",".join(names)],
-            capture_output=True, text=True, timeout=1200, check=False,
+            capture_output=True, text=True, timeout=2400, check=False,
         )
         for line in res.stdout.splitlines():
             if line.startswith("FRESH_JSON:"):
-                return json.loads(line[len("FRESH_JSON:"):])
-    except (subprocess.TimeoutExpired, ValueError):
-        pass
-    return {}
+                try:
+                    return json.loads(line[len("FRESH_JSON:"):]), None
+                except ValueError as e:
+                    err = f"bad FRESH_JSON ({e}); rc={res.returncode}"
+                    break
+        else:
+            tail = (res.stderr or "").strip().splitlines()[-3:]
+            err = f"no FRESH_JSON line; rc={res.returncode}; stderr tail: " + " | ".join(tail)
+    except subprocess.TimeoutExpired:
+        err = f"fresh subprocess timed out (2400s) over {len(names)} queries"
+    print(f"WARNING: isolated_fresh pass failed: {err}", file=sys.stderr)
+    return {}, err
 
 
 def main() -> None:
@@ -328,7 +352,7 @@ def main() -> None:
     # recorded under "isolated_fresh" — that column, not the in-session
     # one, is the round-over-round regression signal for movers.
     bench_round = _current_round()
-    isolated_fresh = _fresh_isolated_movers(isolated, sf_dir, bench_round, sf)
+    isolated_fresh, fresh_error = _fresh_isolated_movers(isolated, sf_dir, bench_round, sf)
     # Full per-query map -> side artifact; stdout gets one short line the
     # driver can parse even if it only keeps the tail of the stream
     # (round 1: the 6 KB queries map made the line unparseable).
@@ -340,6 +364,7 @@ def main() -> None:
         "spans": spans,
         "isolated": isolated,
         "isolated_fresh": isolated_fresh,
+        "isolated_fresh_error": fresh_error,
         "isolated_pass_sec": isolated_pass_sec,
         # headline "value" = concurrent wave + sequential phase + ETL
         # anchor (the whole suite, as in prior rounds); the phase split

@@ -21,9 +21,18 @@ executed/physical plan:
                     queries — the exchange/python/pushdown columns are the
                     load-bearing ones
 - pushed_filters  — whether any scan carries PushedFilters: [non-empty]
-- global_sort     — a Sort with global ordering NOT feeding a
-                    TakeOrderedAndProject / WindowGroupLimit (top-k is
-                    fine; a full global sort of a fact table is not)
+- global_sort     — EVERY Sort node with the global flag set, counted
+                    unconditionally (round-7 ADVICE: the regex does not
+                    walk the tree, so it cannot tell a presentation sort
+                    from one feeding a top-k node). Read it together
+                    with the companion n_topk_nodes column: a top-k
+                    plan's GOOD shape is TakeOrderedAndProject /
+                    WindowGroupLimit with NO global Sort at all, so a
+                    query with n_global_sorts > 0 deserves a manual
+                    look whether or not it also has top-k nodes — a
+                    full global sort of a fact table is the node to
+                    hunt, a global sort of a few-thousand-row final
+                    result is fine
 
 Writes PLAN_AUDIT.json and prints one summary line. Queries whose
 operators intentionally materialize intermediates (maintenance_*,

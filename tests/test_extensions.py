@@ -891,3 +891,42 @@ def test_megakey_corpus_does_not_crash(spark, megakey_sf_dir, name):
     )
 
     REGISTRY[name].fn(spark, megakey_sf_dir).count()  # must plan and run
+
+
+@pytest.fixture(scope="module")
+def negative_price_sf_dir(tmp_path_factory):
+    """Mixed-sign price corpus (round-8 ADVICE item): orders with
+    negative o_totalprice spanning many price-band bins in BOTH halves
+    of negative bins, so the banded RANGE window's halo routing is
+    exercised where Spark's signed % and pmod disagree."""
+    import duckdb
+
+    root = tmp_path_factory.mktemp("sf_negprice")
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * REPLACE ("
+        f"  CASE WHEN o_orderkey % 2 = 0 THEN -o_totalprice ELSE o_totalprice END"
+        f"  AS o_totalprice)"
+        f" FROM '{SF_SMALL}/orders.parquet')"
+        f" TO '{root}/orders.parquet' (FORMAT parquet)"
+    )
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"COPY (SELECT * FROM '{SF_SMALL}/{t}.parquet')"
+            f" TO '{root}/{t}.parquet' (FORMAT parquet)"
+        )
+    return str(root)
+
+
+def test_range_between_numeric_negative_cents_parity(spark, negative_price_sf_dir):
+    """Halo-bin routing must use the non-negative remainder (pmod), not
+    Spark's signed %: for negative cents the signed remainder is in
+    (-B, 0], so `cents % B < W` is always true and every upper-half row
+    of a negative bin would send its halo DOWN instead of UP, silently
+    corrupting the banded RANGE COUNT/SUM. End-to-end oracle parity on
+    a corpus where half the orders have negative prices pins the fix
+    (this test fails on the pre-pmod construction)."""
+    from .oracle import assert_parity
+
+    assert_parity(spark, "window_range_between_numeric", negative_price_sf_dir)
