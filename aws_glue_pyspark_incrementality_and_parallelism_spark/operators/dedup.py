@@ -630,22 +630,44 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Propagate+jump rounds fused into each materialized loop step.
+#: DEFAULT 1 — a recorded NEGATIVE result (round-8, verdict task #4):
+#: the loop's per-job cost at converged-graph sizes is ~0.5 s/job
+#: (scheduler + localCheckpoint materialization over a 651-node active
+#: set at sf0.1 — the semdedup loop runs 5 rounds: changed counts
+#: 351/47/7/2/0), so batching k rounds per job LOOKS like it should
+#: halve the loop cost. Measured fresh-subprocess (warm-up + min of 2,
+#: sf0.1): dedup_semdedup_purge 4.76 s at k=1, 6.17 s at k=2, 10.69 s
+#: at k=4; dedup_embedding_components 3.01 / 4.52 / 14.47 s. Each
+#: unrolled round deepens the un-checkpointed plan by three joins, and
+#: Catalyst's analysis/optimization of the deepened tree costs MORE
+#: than the ~0.5 s/job it saves — at every k tested. The per-iteration
+#: floor is therefore the flat-plan job itself, and the knob stays for
+#: environments where scheduling (not driver planning) dominates.
+CC_UNROLL = 1
+
+
 def connected_components(
     edges: DataFrame, nodes: DataFrame, max_iters: int = 15
 ) -> DataFrame:
     """Connected components by min-label propagation: every node starts
-    labeled with its own id; each iteration takes the min label over
+    labeled with its own id; each round takes the min label over
     neighbors, then POINTER-JUMPS (path halving: relabel to the label's
     label); fixpoint = component id (the component's minimum node).
 
-    The iterative-join pattern at corpus scale: per iteration one join
-    edges⋈labels + one min-aggregate + one labels⋈labels jump join,
-    labels localCheckpoint'ed so lineage stays flat. Plain propagation
-    alone needs O(component diameter) rounds — fine for shallow
-    near-dup clusters, quadratic-feeling on the long chains a dense
-    threshold graph grows; the jump step cuts that to O(log diameter)
-    (the Hash-to-Min idea, cf. Rastogi et al. '12 / large-star–
-    small-star). ``nodes``/``edges`` columns: (doc_id), (doc_a, doc_b).
+    The iterative-join pattern at corpus scale: per round one join
+    edges⋈labels + one min-aggregate + one labels⋈labels jump join.
+    Plain propagation alone needs O(component diameter) rounds — fine
+    for shallow near-dup clusters, quadratic-feeling on the long chains
+    a dense threshold graph grows; the jump step cuts that to
+    O(log diameter) (the Hash-to-Min idea, cf. Rastogi et al. '12 /
+    large-star–small-star). ``CC_UNROLL`` rounds are fused into each
+    materialized step (one localCheckpoint + one Observation
+    convergence count per JOB, not per round); the default is 1 —
+    unrolling was measured SLOWER because Catalyst's planning of the
+    deepened join tree costs more than the saved jobs (see the
+    ``CC_UNROLL`` note for the numbers). ``nodes``/``edges`` columns:
+    (doc_id), (doc_a, doc_b).
 
     Two scale guards, both essential when edges come from an expensive
     upstream (blocked GEMM / LSH verification):
@@ -664,17 +686,26 @@ def connected_components(
     labels = active.withColumn("comp", F.col("doc_id")).transform(pin)
     from pyspark.sql import Observation
 
-    for _ in range(max_iters):
+    def _round(lbl: DataFrame) -> DataFrame:
+        """One propagate+jump round over (doc_id, prev, comp); ``prev``
+        (the label at the start of the current JOB batch) rides through
+        untouched so the batch's convergence count needs no extra
+        join."""
         neighbor_min = (
-            sym.join(labels, sym.doc_b == labels.doc_id)
+            sym.join(
+                lbl.select(
+                    F.col("doc_id").alias("n_id"), F.col("comp").alias("n_comp")
+                ),
+                sym.doc_b == F.col("n_id"),
+            )
             .groupBy("doc_a")
-            .agg(F.min("comp").alias("nmin"))
+            .agg(F.min("n_comp").alias("nmin"))
         )
         stepped = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            lbl.join(neighbor_min, lbl.doc_id == neighbor_min.doc_a, "left")
             .select(
                 "doc_id",
-                F.col("comp").alias("prev"),
+                "prev",
                 F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
             )
         )
@@ -684,7 +715,7 @@ def connected_components(
         lut = stepped.select(
             F.col("doc_id").alias("c_id"), F.col("comp").alias("c_comp")
         )
-        jumped = (
+        return (
             stepped.join(lut, stepped.comp == lut.c_id, "left")
             .select(
                 "doc_id",
@@ -692,11 +723,21 @@ def connected_components(
                 F.least(F.col("comp"), F.coalesce("c_comp", "comp")).alias("comp"),
             )
         )
+
+    rounds_left = max_iters
+    while rounds_left > 0:
+        k = min(CC_UNROLL, rounds_left)
+        rounds_left -= k
+        cur = labels.select("doc_id", F.col("comp").alias("prev"), "comp")
+        for _ in range(k):
+            cur = _round(cur)
         # The convergence count rides the SAME action as the checkpoint
         # (Observation metrics fire on the eager materialization), so
-        # each iteration is ONE Spark job — no separate count-join pass.
+        # each k-round batch is ONE Spark job — no separate count pass.
+        # Labels only ever decrease, so changed == 0 across a whole
+        # batch implies the per-round fixpoint.
         obs = Observation()
-        observed = jumped.observe(
+        observed = cur.observe(
             obs, F.sum((F.col("comp") != F.col("prev")).cast("long")).alias("changed")
         )
         labels = observed.select("doc_id", "comp").transform(pin)
