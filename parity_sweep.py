@@ -10,10 +10,11 @@ Usage:
 
 KIND is one of: empty (zero-row), one (one-row), nulls (half-NULL
 non-key columns), dup (every fact row doubled), megakey (hottest key
-owns everything) — the five robustness classes ledgered in
-DEGENERATE.md. Plain sweeps write SWEEP_DETAIL.json; corpus sweeps
-write SWEEP_DETAIL_<KIND>.json so a probe run never clobbers the
-standard-corpus artifact.
+owns everything), dupmega (megakey THEN every fact row doubled —
+duplicate keys inside one mega partition) — the six robustness
+classes ledgered in DEGENERATE.md. Plain sweeps write
+SWEEP_DETAIL.json; corpus sweeps write SWEEP_DETAIL_<KIND>.json so a
+probe run never clobbers the standard-corpus artifact.
 """
 
 from __future__ import annotations
@@ -80,38 +81,55 @@ def build_corpus(kind: str, src: str, dst: str) -> str:
         elif kind == "dup":
             copy(t, f"{base} UNION ALL {base}" if t in DUP_FACTS else base)
         elif kind == "megakey":
-            txt = ("the quick brown fox jumps over the lazy dog "
-                   "and runs far away fast")
-            if t == "documents":
-                copy(t, f"SELECT doc_id, '{txt}' AS text, 'en' AS lang,"
-                        f" first(source) OVER () AS source,"
-                        f" CAST({len(txt)} AS BIGINT) AS n_chars"
-                        f" FROM '{src}/{t}.parquet'")
-            elif t == "events":
-                copy(t, f"SELECT event_id, ts, CAST(1 AS BIGINT) AS user_id,"
-                        f" event_type, value, props FROM '{src}/{t}.parquet'")
-            elif t == "orders":
-                cols = [d[0] for d in con.execute(base + " LIMIT 0").description]
-                sel = ", ".join(
-                    "CAST(1 AS BIGINT) AS o_custkey" if c == "o_custkey"
-                    else "'3-MEDIUM' AS o_orderpriority" if c == "o_orderpriority"
-                    else c for c in cols)
-                copy(t, f"SELECT {sel} FROM '{src}/{t}.parquet'")
-            elif t == "lineitem":
-                cols = [d[0] for d in con.execute(base + " LIMIT 0").description]
-                sel = ", ".join(
-                    "CAST(1 AS BIGINT) AS l_partkey" if c == "l_partkey"
-                    else "CAST(1 AS BIGINT) AS l_suppkey" if c == "l_suppkey"
-                    else c for c in cols)
-                copy(t, f"SELECT {sel} FROM '{src}/{t}.parquet'")
-            elif t == "embeddings":
-                copy(t, f"SELECT vec_id, first(embedding) OVER () AS embedding,"
-                        f" first(label) OVER () AS label FROM '{src}/{t}.parquet'")
-            else:
-                copy(t, base)
+            copy(t, _megakey_select(con, src, t, base))
+        elif kind == "dupmega":
+            # Sixth robustness class (round-7 verdict stretch task):
+            # duplicate rows UNDER mega-key skew — the megakey corpus
+            # (hottest key owns everything) with every FACT row then
+            # doubled, so the salted paths' tie handling and the dedup
+            # lanes' multiplicity semantics are probed SIMULTANEOUSLY
+            # (duplicate primary keys inside one mega partition).
+            sel = _megakey_select(con, src, t, base)
+            copy(t, f"{sel} UNION ALL {sel}" if t in DUP_FACTS else sel)
         else:
             raise SystemExit(f"unknown corpus kind: {kind}")
     return dst
+
+
+def _megakey_select(con, src: str, t: str, base: str) -> str:
+    """The mega-key transform as a SELECT (shared by the `megakey` and
+    `dupmega` corpora): one user owns every event, one customer every
+    order, one (part, supplier) every lineitem row, every document the
+    SAME text, every embedding the SAME vector; primary keys stay
+    unique, schemas exact."""
+    txt = ("the quick brown fox jumps over the lazy dog "
+           "and runs far away fast")
+    if t == "documents":
+        return (f"SELECT doc_id, '{txt}' AS text, 'en' AS lang,"
+                f" first(source) OVER () AS source,"
+                f" CAST({len(txt)} AS BIGINT) AS n_chars"
+                f" FROM '{src}/{t}.parquet'")
+    if t == "events":
+        return (f"SELECT event_id, ts, CAST(1 AS BIGINT) AS user_id,"
+                f" event_type, value, props FROM '{src}/{t}.parquet'")
+    if t == "orders":
+        cols = [d[0] for d in con.execute(base + " LIMIT 0").description]
+        sel = ", ".join(
+            "CAST(1 AS BIGINT) AS o_custkey" if c == "o_custkey"
+            else "'3-MEDIUM' AS o_orderpriority" if c == "o_orderpriority"
+            else c for c in cols)
+        return f"SELECT {sel} FROM '{src}/{t}.parquet'"
+    if t == "lineitem":
+        cols = [d[0] for d in con.execute(base + " LIMIT 0").description]
+        sel = ", ".join(
+            "CAST(1 AS BIGINT) AS l_partkey" if c == "l_partkey"
+            else "CAST(1 AS BIGINT) AS l_suppkey" if c == "l_suppkey"
+            else c for c in cols)
+        return f"SELECT {sel} FROM '{src}/{t}.parquet'"
+    if t == "embeddings":
+        return (f"SELECT vec_id, first(embedding) OVER () AS embedding,"
+                f" first(label) OVER () AS label FROM '{src}/{t}.parquet'")
+    return base
 
 
 def main() -> None:
