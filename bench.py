@@ -172,8 +172,13 @@ def _fresh_isolated_movers(
         and max(sec / base[n], base[n] / sec) > 1.3
     ]
     names = [n for _, n in sorted(movers, reverse=True)[:12]]
-    # the previous round's whole fresh panel, re-measured verbatim
-    names += [n for n in sorted(prior_fresh) if n not in names and n in isolated]
+    # The previous round's whole fresh panel, re-measured verbatim —
+    # membership is NOT conditioned on this round's isolated top-50
+    # (the fresh subprocess needs no in-session reading), only on the
+    # name still existing in the registry; otherwise a panel query
+    # that fell out of the concurrent top-50 would silently drop out
+    # of the fresh-vs-fresh series.
+    names += [n for n in sorted(prior_fresh) if n not in names and n in catalog.REGISTRY]
     names += [
         n
         for n in sorted(isolated, key=lambda n: -isolated[n])[:5]
