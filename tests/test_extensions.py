@@ -930,3 +930,57 @@ def test_range_between_numeric_negative_cents_parity(spark, negative_price_sf_di
     from .oracle import assert_parity
 
     assert_parity(spark, "window_range_between_numeric", negative_price_sf_dir)
+
+
+@pytest.fixture(scope="module")
+def dupmega_sf_dir(megakey_sf_dir, tmp_path_factory):
+    """Sixth robustness corpus (round 8): duplicate rows UNDER mega-key
+    skew — the mega-key corpus with every FACT row then doubled, so
+    duplicate primary keys land inside one mega partition. Built from
+    the megakey fixture the same way `parity_sweep.py --corpus dupmega`
+    composes the two recipes."""
+    import duckdb
+
+    fact = {"orders", "lineitem", "events", "documents", "embeddings"}
+    root = tmp_path_factory.mktemp("sf_dupmega")
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        src = f"SELECT * FROM '{megakey_sf_dir}/{t}.parquet'"
+        q = f"{src} UNION ALL {src}" if t in fact else src
+        con.execute(f"COPY ({q}) TO '{root}/{t}.parquet' (FORMAT parquet)")
+    return str(root)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # the intersection of the two constituent corpora's risk sets:
+        # multiplicity-sensitive dedup lanes AND skew-sensitive salted/
+        # capped/banded paths, now stressed simultaneously (duplicate
+        # keys inside one mega partition). The full-registry sweep ran
+        # 356/369 value-pass with ZERO errors on first contact in round
+        # 8 (divergences = exactly Class D ∪ Class M, ledgered); these
+        # pins keep the crash-free guarantee closed in-suite.
+        "dedup_ngram_jaccard",
+        "dedup_components_keeper",
+        "dedup_minhash_lsh",
+        "dedup_exact",
+        "dedup_simhash",
+        "dedup_simhash_multiplicity_pin",
+        "graph_triangle_count",
+        "events_sessionization",
+        "udf_ewma_per_user",
+        "agg_salted_skew",
+        "join_salted_skew",
+        "sim_pq_adc_topk",
+        "window_range_between_numeric",
+        "text_sequence_pack",
+    ],
+)
+def test_dupmega_corpus_does_not_crash(spark, dupmega_sf_dir, name):
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import (
+        REGISTRY,
+    )
+
+    REGISTRY[name].fn(spark, dupmega_sf_dir).count()  # must plan and run
