@@ -118,6 +118,14 @@ def _current_round() -> int:
     return max(recorded, default=0) + 1
 
 
+#: Hard cap on fresh-panel size (the panel otherwise grows monotonically:
+#: prev panel ∪ movers ∪ slowest-5 every round) and the per-subprocess
+#: chunk size — each chunk is its own Spark session with its own 1200s
+#: timeout, so a hang costs one chunk, not the round's whole fresh column.
+_FRESH_PANEL_CAP = 30
+_FRESH_CHUNK = 12
+
+
 def _fresh_isolated_movers(
     isolated: dict[str, float], sf_dir: str, current_round: int, sf: float
 ) -> tuple[dict[str, float], str | None]:
@@ -126,17 +134,30 @@ def _fresh_isolated_movers(
     Panel = the PREVIOUS same-SF round's entire ``isolated_fresh`` panel
     (round-7 verdict task #3: re-measuring the same names every round
     makes the round-over-round signal fresh-vs-fresh, the only
-    warmth-free comparison) ∪ movers (>1.3x either direction vs the
-    prior round — against the prior FRESH reading when one exists, else
-    the prior in-session isolated column; bounded to the 12 biggest)
-    ∪ the 5 slowest isolated queries (a query whose prior reading was
-    equally warmth-inflated never crosses the mover threshold).
+    warmth-free comparison) ∪ movers ∪ the 5 slowest isolated queries
+    (a query whose prior reading was equally warmth-inflated never
+    crosses the mover threshold).
 
-    Failure modes are NOT silent (round-7 ADVICE): a subprocess crash,
+    Mover detection is LIKE-FOR-LIKE: this round's in-session isolated
+    column vs the prior round's in-session isolated column, and names
+    already in the prior fresh panel are excluded — they are re-timed
+    unconditionally anyway, and comparing an in-session reading against
+    a prior FRESH baseline would manufacture a permanent ~2x "mover"
+    out of every warmth-sensitive panel query, eating the 12-slot mover
+    cap that exists for genuinely moved non-panel queries.
+
+    Bounded: the panel is capped at ``_FRESH_PANEL_CAP`` names (movers
+    first, then the prior panel slowest-first, then the 5 slowest;
+    anything cut is reported), and the subprocess work is CHUNKED at 12
+    names per fresh session with a per-chunk timeout — so one hung
+    chunk costs that chunk's readings, not the whole round's fresh
+    column, and panel growth can never outrun the timeout.
+
+    Failure modes are NOT silent (round-7 ADVICE): a chunk crash,
     timeout, or missing/bad FRESH_JSON line prints a one-line warning
     with the returncode and a stderr tail, and the error string is
     recorded under ``isolated_fresh_error`` in BENCH_DETAIL so a
-    dropped fresh column is visible in the artifact."""
+    dropped fresh reading is visible in the artifact."""
     import glob as _glob
     import re as _re
     import subprocess
@@ -161,15 +182,13 @@ def _fresh_isolated_movers(
             break
     if not prior and not prior_fresh:
         return {}, None
-    # movers: fresh-vs-fresh where a prior fresh reading exists,
-    # fresh-vs-in-session otherwise
-    base = dict(prior)
-    base.update(prior_fresh)
+    # movers: like-for-like in-session vs in-session; prior-panel names
+    # are excluded (re-timed unconditionally below)
     movers = [
-        (max(sec / base[n], base[n] / sec), n)
+        (max(sec / prior[n], prior[n] / sec), n)
         for n, sec in isolated.items()
-        if n in base and base[n] > 0 and sec > 0
-        and max(sec / base[n], base[n] / sec) > 1.3
+        if n in prior and n not in prior_fresh and prior[n] > 0 and sec > 0
+        and max(sec / prior[n], prior[n] / sec) > 1.3
     ]
     names = [n for _, n in sorted(movers, reverse=True)[:12]]
     # The previous round's whole fresh panel, re-measured verbatim —
@@ -177,36 +196,53 @@ def _fresh_isolated_movers(
     # (the fresh subprocess needs no in-session reading), only on the
     # name still existing in the registry; otherwise a panel query
     # that fell out of the concurrent top-50 would silently drop out
-    # of the fresh-vs-fresh series.
-    names += [n for n in sorted(prior_fresh) if n not in names and n in catalog.REGISTRY]
+    # of the fresh-vs-fresh series. Slowest-first so the cap (below)
+    # cuts the cheapest, least informative readings.
+    names += [
+        n
+        for n in sorted(prior_fresh, key=lambda n: -prior_fresh[n])
+        if n not in names and n in catalog.REGISTRY
+    ]
     names += [
         n
         for n in sorted(isolated, key=lambda n: -isolated[n])[:5]
         if n not in names
     ]
+    dropped = names[_FRESH_PANEL_CAP:]
+    names = names[:_FRESH_PANEL_CAP]
     if not names:
         return {}, None
     prog = _FRESH_PROG.format(repo=_REPO_ROOT)
-    err: str | None = None
-    try:
-        res = subprocess.run(
-            [sys.executable, "-c", prog, sf_dir, ",".join(names)],
-            capture_output=True, text=True, timeout=2400, check=False,
-        )
-        for line in res.stdout.splitlines():
-            if line.startswith("FRESH_JSON:"):
-                try:
-                    return json.loads(line[len("FRESH_JSON:"):]), None
-                except ValueError as e:
-                    err = f"bad FRESH_JSON ({e}); rc={res.returncode}"
+    fresh: dict[str, float] = {}
+    errs: list[str] = []
+    if dropped:
+        errs.append(f"panel capped at {_FRESH_PANEL_CAP}; dropped: {','.join(dropped)}")
+    for i in range(0, len(names), _FRESH_CHUNK):
+        chunk = names[i:i + _FRESH_CHUNK]
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", prog, sf_dir, ",".join(chunk)],
+                capture_output=True, text=True, timeout=1200, check=False,
+            )
+            for line in res.stdout.splitlines():
+                if line.startswith("FRESH_JSON:"):
+                    try:
+                        fresh.update(json.loads(line[len("FRESH_JSON:"):]))
+                    except ValueError as e:
+                        errs.append(f"bad FRESH_JSON ({e}); rc={res.returncode}")
                     break
-        else:
-            tail = (res.stderr or "").strip().splitlines()[-3:]
-            err = f"no FRESH_JSON line; rc={res.returncode}; stderr tail: " + " | ".join(tail)
-    except subprocess.TimeoutExpired:
-        err = f"fresh subprocess timed out (2400s) over {len(names)} queries"
-    print(f"WARNING: isolated_fresh pass failed: {err}", file=sys.stderr)
-    return {}, err
+            else:
+                tail = (res.stderr or "").strip().splitlines()[-3:]
+                errs.append(
+                    f"no FRESH_JSON for chunk {chunk[0]}..{chunk[-1]};"
+                    f" rc={res.returncode}; stderr tail: " + " | ".join(tail)
+                )
+        except subprocess.TimeoutExpired:
+            errs.append(f"chunk {chunk[0]}..{chunk[-1]} timed out (1200s, {len(chunk)} queries)")
+    err = "; ".join(errs) if errs else None
+    if err:
+        print(f"WARNING: isolated_fresh pass degraded: {err}", file=sys.stderr)
+    return fresh, err
 
 
 def main() -> None:

@@ -54,7 +54,7 @@ DUP_FACTS = {"orders", "lineitem", "events", "documents", "embeddings"}
 
 
 def build_corpus(kind: str, src: str, dst: str) -> str:
-    """Materialize one of the five degenerate corpora (same recipes as
+    """Materialize one of the six degenerate corpora (same recipes as
     the pytest fixtures in tests/test_extensions.py) into dst."""
     import duckdb
 
@@ -89,8 +89,21 @@ def build_corpus(kind: str, src: str, dst: str) -> str:
             # doubled, so the salted paths' tie handling and the dedup
             # lanes' multiplicity semantics are probed SIMULTANEOUSLY
             # (duplicate primary keys inside one mega partition).
+            # MATERIALIZE the megakey table first, then double the
+            # parquet: `sel UNION ALL sel` would re-evaluate the
+            # transform's order-free `first(...) OVER ()` picks
+            # independently per branch, so the two halves could carry
+            # DIFFERENT "the same" vectors/sources — the doubled rows
+            # must be exact twins of one materialized corpus (the
+            # pytest fixture composes the recipes the same way).
             sel = _megakey_select(con, src, t, base)
-            copy(t, f"{sel} UNION ALL {sel}" if t in DUP_FACTS else sel)
+            if t in DUP_FACTS:
+                stage = f"{dst}/{t}.stage.parquet"
+                con.execute(f"COPY ({sel}) TO '{stage}' (FORMAT parquet)")
+                copy(t, f"SELECT * FROM '{stage}' UNION ALL SELECT * FROM '{stage}'")
+                os.remove(stage)
+            else:
+                copy(t, sel)
         else:
             raise SystemExit(f"unknown corpus kind: {kind}")
     return dst

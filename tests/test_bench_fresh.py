@@ -72,22 +72,82 @@ def test_unregistered_prior_panel_names_are_skipped(repo_root, monkeypatch):
     assert "gone_query" not in captured["names"]
 
 
-def test_movers_judged_fresh_vs_fresh_when_prior_fresh_exists(repo_root, monkeypatch):
-    """A query whose in-session isolated number moved >1.3x vs the prior
-    IN-SESSION column but is flat vs the prior FRESH reading must be
-    judged against the fresh reading (no false mover)."""
+def test_prior_panel_names_never_consume_mover_slots(repo_root, monkeypatch):
+    """Mover detection is like-for-like (in-session vs prior in-session)
+    and EXCLUDES prior-panel names: a warmth-sensitive panel query would
+    otherwise read as a permanent ~2x 'mover' every round, eating the
+    12-slot mover cap meant for genuinely moved non-panel queries. The
+    panel query is re-timed anyway via the panel rule."""
     a, b = _NAMES[:2]
-    # a: prior in-session 10.0 but prior fresh 5.0; current 5.0 -> flat fresh-vs-fresh
-    # b: no prior fresh; current 4.0 vs prior 1.0 -> true mover
+    # a: in prior fresh panel, in-session moved 10.0 -> 5.0 (ratio 2)
+    # b: not in panel, moved 1.0 -> 4.0 -> the only true mover
     _write_prior(repo_root, isolated={a: 10.0, b: 1.0}, isolated_fresh={a: 5.0})
     captured = {}
     _capture_subprocess(monkeypatch, captured)
     bench._fresh_isolated_movers({a: 5.0, b: 4.0}, "/tmp/sf", 8, 0.1)
-    # both end up in the panel (a via the prior-fresh re-measure rule),
-    # but only b crosses the mover threshold: check ordering — movers
-    # lead the name list, so b must appear before a.
     names = captured["names"]
+    # movers lead the list: b (true mover) before a (panel re-measure)
     assert names.index(b) < names.index(a)
+
+
+def test_panel_capped_with_dropped_names_reported(repo_root, monkeypatch):
+    cap, chunk = bench._FRESH_PANEL_CAP, bench._FRESH_CHUNK
+    pool = sorted(REGISTRY)[: cap + 5]
+    _write_prior(
+        repo_root,
+        isolated={n: 1.0 for n in pool},
+        isolated_fresh={n: float(i + 1) for i, n in enumerate(pool)},
+    )
+    chunks = []
+
+    def fake_run(argv, **kw):
+        chunks.append(argv[4].split(","))
+
+        class R:
+            returncode = 0
+            stdout = "FRESH_JSON:" + json.dumps({n: 1.0 for n in argv[4].split(",")})
+            stderr = ""
+
+        return R()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    fresh, err = bench._fresh_isolated_movers({pool[0]: 1.0}, "/tmp/sf", 8, 0.1)
+    ran = [n for c in chunks for n in c]
+    assert len(ran) == cap, "panel not capped"
+    assert all(len(c) <= chunk for c in chunks), "chunk size exceeded"
+    assert err is not None and "panel capped" in err and "dropped:" in err
+    assert len(fresh) == cap
+
+
+def test_chunk_failure_keeps_other_chunks_partial_results(repo_root, monkeypatch):
+    chunk = bench._FRESH_CHUNK
+    pool = sorted(REGISTRY)[: chunk + 2]  # two chunks
+    _write_prior(
+        repo_root,
+        isolated={n: 1.0 for n in pool},
+        isolated_fresh={n: float(i + 1) for i, n in enumerate(pool)},
+    )
+    calls = {"n": 0}
+
+    def fake_run(argv, **kw):
+        calls["n"] += 1
+        names = argv[4].split(",")
+
+        class R:
+            returncode = 0
+            stdout = "FRESH_JSON:" + json.dumps({n: 1.0 for n in names})
+            stderr = ""
+
+        if calls["n"] == 2:  # second chunk crashes
+            R.returncode = 1
+            R.stdout = ""
+            R.stderr = "boom"
+        return R()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    fresh, err = bench._fresh_isolated_movers({pool[0]: 1.0}, "/tmp/sf", 8, 0.1)
+    assert len(fresh) == chunk, "first chunk's readings must survive"
+    assert err is not None and "rc=1" in err and "boom" in err
 
 
 def test_failure_is_reported_not_swallowed(repo_root, monkeypatch):

@@ -252,6 +252,28 @@ def test_connected_components_planted_chain(spark):
     assert comp[99] == 99
 
 
+def test_connected_components_unroll_k_is_equivalent(spark, monkeypatch):
+    """CC_UNROLL > 1 (the measured-slower but documented knob) must
+    produce identical components to the k=1 default — the per-BATCH
+    convergence check (changed==0 across k rounds) has to reach the
+    same fixpoint. Probed on a long chain (worst case for round count:
+    the fixpoint needs several propagate+jump rounds) plus a cycle and
+    isolated nodes, at k=2 and k=3 (odd k exercises a batch that ends
+    mid-doubling)."""
+    chain = [(i, i + 1) for i in range(1, 12)]          # 1-2-3-...-12
+    cycle = [(20, 21), (21, 22), (22, 20)]
+    edges = spark.createDataFrame(chain + cycle, "doc_a long, doc_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(1, 13)) + [20, 21, 22, 99]], "doc_id long"
+    )
+    base = {r.doc_id: r.comp for r in dedup.connected_components(edges, nodes).collect()}
+    assert base[12] == 1 and base[22] == 20 and base[99] == 99
+    for k in (2, 3):
+        monkeypatch.setattr(dedup, "CC_UNROLL", k)
+        got = {r.doc_id: r.comp for r in dedup.connected_components(edges, nodes).collect()}
+        assert got == base, f"CC_UNROLL={k} diverged from k=1"
+
+
 def test_hll_rollup_estimate_within_5pct(spark):
     """The merged-sketch year estimate must track exact distinct counts
     (HLL lgK=12 has ~1.6% relative standard error)."""
