@@ -31,6 +31,7 @@ import os
 import shutil
 import tempfile
 import uuid
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -478,10 +479,25 @@ def maintenance_commit_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     n_commits = len(os.listdir(logdir))
 
     snapshot = spark.read.parquet(*live_files)
-    diff = (
-        snapshot.join(orders, snapshot.columns, "left_anti").count()
-        + orders.join(snapshot, snapshot.columns, "left_anti").count()
-    )
+
+    # Null-safe equality for the both-direction anti-join audit: a
+    # column-list anti join uses plain `=`, under which a row with ANY
+    # NULL column never matches its own twin (NULL != NULL), so a table
+    # with NULL keys would read "inconsistent" while counts and sums
+    # match exactly (found by the round-8 null-key robustness corpus).
+    # eqNullSafe (SQL `IS NOT DISTINCT FROM`) keeps the audit a hash
+    # join and makes NULLs compare equal, which is the row-identity
+    # semantics a snapshot-equality check needs.
+    def _anti_count(left, right) -> int:
+        l, r = left.alias("l"), right.alias("r")
+        cond = reduce(
+            lambda a, c: a & F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}")),
+            left.columns[1:],
+            F.col(f"l.{left.columns[0]}").eqNullSafe(F.col(f"r.{left.columns[0]}")),
+        )
+        return l.join(r, cond, "left_anti").count()
+
+    diff = _anti_count(snapshot, orders) + _anti_count(orders, snapshot)
     dead_on_disk = set(parquet_files(data)) - set(live_files)
     return snapshot.agg(
         F.count("*").alias("n_rows"),

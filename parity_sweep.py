@@ -9,12 +9,13 @@ Usage:
                                                under /tmp and sweep it
 
 KIND is one of: empty (zero-row), one (one-row), nulls (half-NULL
-non-key columns), dup (every fact row doubled), megakey (hottest key
-owns everything), dupmega (megakey THEN every fact row doubled —
-duplicate keys inside one mega partition) — the six robustness
-classes ledgered in DEGENERATE.md. Plain sweeps write
-SWEEP_DETAIL.json; corpus sweeps write SWEEP_DETAIL_<KIND>.json so a
-probe run never clobbers the standard-corpus artifact.
+non-key columns), nullkeys (join/group keys NULL on every 4th row),
+dup (every fact row doubled), megakey (hottest key owns everything),
+dupmega (megakey THEN every fact row doubled — duplicate keys inside
+one mega partition) — the seven robustness classes ledgered in
+DEGENERATE.md. Plain sweeps write SWEEP_DETAIL.json; corpus sweeps
+write SWEEP_DETAIL_<KIND>.json so a probe run never clobbers the
+standard-corpus artifact.
 """
 
 from __future__ import annotations
@@ -52,9 +53,24 @@ NULLABLE = {
 #: Fact tables doubled by the `dup` corpus (dims stay intact).
 DUP_FACTS = {"orders", "lineitem", "events", "documents", "embeddings"}
 
+#: JOIN/GROUP key columns NULLed on every 4th row by the `nullkeys`
+#: corpus. The `nulls` corpus deliberately keeps keys intact (it probes
+#: NULL measures/attributes); this one probes the OTHER production
+#: hazard — NULL foreign/grouping keys, which inner joins drop, groupBy
+#: collapses into a NULL group, window partitions isolate, and the
+#: pandas/Arrow lanes surface as float64 NaN (a nullable int64 key
+#: column crosses the Arrow boundary as floats). Row-identity primary
+#: keys (event_id, doc_id, vec_id, o_orderkey, l_linenumber) stay
+#: intact — a feed that loses its row ids is a different failure.
+NULLKEY = {
+    "events": ["user_id"],
+    "orders": ["o_custkey"],
+    "lineitem": ["l_partkey", "l_suppkey"],
+}
+
 
 def build_corpus(kind: str, src: str, dst: str) -> str:
-    """Materialize one of the six degenerate corpora (same recipes as
+    """Materialize one of the seven degenerate corpora (same recipes as
     the pytest fixtures in tests/test_extensions.py) into dst."""
     import duckdb
 
@@ -75,6 +91,14 @@ def build_corpus(kind: str, src: str, dst: str) -> str:
             exprs = [
                 f"CASE WHEN (ROW_NUMBER() OVER ()) % 2 = 0 THEN NULL ELSE {c} END AS {c}"
                 if c in NULLABLE.get(t, []) else c
+                for c in cols
+            ]
+            copy(t, f"SELECT {', '.join(exprs)} FROM '{src}/{t}.parquet'")
+        elif kind == "nullkeys":
+            cols = [d[0] for d in con.execute(base + " LIMIT 0").description]
+            exprs = [
+                f"CASE WHEN (ROW_NUMBER() OVER ()) % 4 = 0 THEN NULL ELSE {c} END AS {c}"
+                if c in NULLKEY.get(t, []) else c
                 for c in cols
             ]
             copy(t, f"SELECT {', '.join(exprs)} FROM '{src}/{t}.parquet'")

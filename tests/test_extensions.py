@@ -1006,3 +1006,81 @@ def test_dupmega_corpus_does_not_crash(spark, dupmega_sf_dir, name):
     )
 
     REGISTRY[name].fn(spark, dupmega_sf_dir).count()  # must plan and run
+
+
+@pytest.fixture(scope="module")
+def nullkeys_sf_dir(tmp_path_factory):
+    """Seventh robustness corpus (round 8): JOIN/GROUP key columns NULL
+    on every 4th row (user_id, o_custkey, l_partkey/l_suppkey) —
+    row-identity primary keys stay intact. Same recipe as
+    `parity_sweep.py --corpus nullkeys`."""
+    import duckdb
+
+    nullkey = {
+        "events": ["user_id"],
+        "orders": ["o_custkey"],
+        "lineitem": ["l_partkey", "l_suppkey"],
+    }
+    root = tmp_path_factory.mktemp("sf_nullkeys")
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        cols = [d[0] for d in con.execute(
+            f"SELECT * FROM '{SF_SMALL}/{t}.parquet' LIMIT 0").description]
+        exprs = [
+            f"CASE WHEN (ROW_NUMBER() OVER ()) % 4 = 0 THEN NULL ELSE {c} END AS {c}"
+            if c in nullkey.get(t, []) else c
+            for c in cols
+        ]
+        con.execute(
+            f"COPY (SELECT {', '.join(exprs)} FROM '{SF_SMALL}/{t}.parquet')"
+            f" TO '{root}/{t}.parquet' (FORMAT parquet)"
+        )
+    return str(root)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # the lanes NULL join/group keys stress: per-key pandas/Arrow
+        # UDFs (nullable int64 keys cross the boundary as float64 NaN),
+        # as-of/window partitions with a NULL pseudo-group, equi-joins
+        # that must DROP null keys, the graph built on nullable edge
+        # endpoints, and the null-safe snapshot audit this corpus found
+        # broken (maintenance_commit_log_replay, fixed with eqNullSafe).
+        # Full-registry sweep: 356/369 value-pass, ZERO errors (Class K
+        # in DEGENERATE.md).
+        "udf_cogroup_asof_merge",
+        "udf_ewma_per_user",
+        "join_asof_tolerance",
+        "join_asof_last_view",
+        "join_point_in_time_features",
+        "incremental_session_stitch",
+        "incremental_scd2_apply",
+        "stream_stateful_hwm_dedup",
+        "graph_pagerank_parts",
+        "events_sessionization",
+        "report_sales_by_customer",
+        "agg_argmax_bool",
+    ],
+)
+def test_nullkeys_corpus_does_not_crash(spark, nullkeys_sf_dir, name):
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import (
+        REGISTRY,
+    )
+
+    REGISTRY[name].fn(spark, nullkeys_sf_dir).count()  # must plan and run
+
+
+def test_commit_log_replay_audit_is_null_safe(spark, nullkeys_sf_dir):
+    """The snapshot-equality audit must use null-safe equality: with
+    plain `=` a row with any NULL column never matches its own twin and
+    the audit reads inconsistent while counts/checksums match (found by
+    this corpus, fixed with eqNullSafe)."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import (
+        REGISTRY,
+    )
+
+    row = REGISTRY["maintenance_commit_log_replay"].fn(spark, nullkeys_sf_dir).collect()[0]
+    assert row.snapshot_consistent is True
+    assert row.removed_files_invisible is True
