@@ -102,6 +102,37 @@ def build_corpus(kind: str, src: str, dst: str) -> str:
                 for c in cols
             ]
             copy(t, f"SELECT {', '.join(exprs)} FROM '{src}/{t}.parquet'")
+        elif kind == "extremes":
+            # Float-edge corpus: NaN/±Inf and magnitude extremes in
+            # events.value; zero-norm / NaN-component / Inf-component
+            # embedding vectors. The shapes that break cosine math
+            # (zero-norm division), ANSI arithmetic, and NaN ordering.
+            if t == "events":
+                copy(t, f"""
+                    SELECT event_id, ts, user_id, event_type,
+                           CASE WHEN event_id % 7 = 0 THEN 'NaN'::DOUBLE
+                                WHEN event_id % 11 = 0 THEN 'Infinity'::DOUBLE
+                                WHEN event_id % 13 = 0 THEN '-Infinity'::DOUBLE
+                                WHEN event_id % 17 = 0 THEN 1e300
+                                WHEN event_id % 19 = 0 THEN -1e300
+                                WHEN event_id % 23 = 0 THEN 1e-300
+                                ELSE value END AS value,
+                           props
+                    FROM '{src}/{t}.parquet'""")
+            elif t == "embeddings":
+                copy(t, f"""
+                    SELECT vec_id,
+                           CASE WHEN vec_id % 7 = 0
+                                THEN list_transform(embedding, x -> 0.0::FLOAT)
+                                WHEN vec_id % 11 = 0
+                                THEN list_append(embedding[:len(embedding)-1], 'NaN'::FLOAT)
+                                WHEN vec_id % 13 = 0
+                                THEN list_append(embedding[:len(embedding)-1], 'Infinity'::FLOAT)
+                                ELSE embedding END AS embedding,
+                           label
+                    FROM '{src}/{t}.parquet'""")
+            else:
+                copy(t, base)
         elif kind == "dup":
             copy(t, f"{base} UNION ALL {base}" if t in DUP_FACTS else base)
         elif kind == "megakey":
