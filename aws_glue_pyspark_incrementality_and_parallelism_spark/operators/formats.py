@@ -570,3 +570,97 @@ def q_source_fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ingest validity gate pin (round-9 Exception B — Class F driver row)
+# ---------------------------------------------------------------------------
+
+from ..sources.io import (  # noqa: E402
+    EMBEDDINGS_GATE_SQL,
+    EVENTS_GATE_SQL,
+    embeddings_validity_gate,
+    events_validity_gate,
+)
+
+
+@query(
+    "source_validity_gate_pin",
+    oracle=f"""
+    WITH eprobe(probe_id, value) AS (VALUES
+        (1, 1.5),
+        (2, CAST(NULL AS DOUBLE)),
+        (3, 'NaN'::DOUBLE),
+        (4, 'Infinity'::DOUBLE),
+        (5, '-Infinity'::DOUBLE),
+        (6, 1e300),
+        (7, -1e300),
+        (8, 1e-300),
+        (9, 1000000000.0),
+        (10, -1000000000.0),
+        (11, 1000000001.0)
+    ), vprobe(probe_id, embedding) AS (VALUES
+        (1, [0.5::FLOAT, -0.25::FLOAT]),
+        (2, NULL::FLOAT[]),
+        (3, [0.0::FLOAT, 0.0::FLOAT]),
+        (4, [1.0::FLOAT, 'NaN'::FLOAT]),
+        (5, [1.0::FLOAT, 'Infinity'::FLOAT]),
+        (6, [1.0::FLOAT, 2000000000.0::FLOAT]),
+        (7, []::FLOAT[]),
+        (8, [0.0::FLOAT, 3.0::FLOAT])
+    )
+    SELECT 'events' AS lane, CAST(probe_id AS BIGINT) AS probe_id
+    FROM eprobe WHERE {EVENTS_GATE_SQL}
+    UNION ALL
+    SELECT 'embeddings' AS lane, CAST(probe_id AS BIGINT) AS probe_id
+    FROM vprobe WHERE {EMBEDDINGS_GATE_SQL}
+    """,
+)
+def q_source_validity_gate_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row pinning the Class F ingest-gate contract bit-for-bit.
+
+    The engine quarantines out-of-domain measures and malformed
+    embedding vectors at the ingest boundary (sources/io.py:
+    events_validity_gate / embeddings_validity_gate); the oracle
+    harness mirrors the same predicates into its DuckDB views. That
+    symmetry rests on one cross-engine convention — both Spark and
+    DuckDB order NaN after every other value, so ``NaN <= bound`` is
+    FALSE, never an error — and this pin adjudicates exactly that on
+    inline probe literals: NaN, ±Inf, ±1e300, the ±1e9 domain boundary
+    itself, a subnormal, NULL (kept: missing is data, garbage is not),
+    a zero-norm vector, an all-zero-adjacent vector, and an empty
+    vector. The probes are literals, not table rows, so the pin runs
+    identically on the driver's UNGATED standard views.
+    """
+    e_rows = [
+        (1, 1.5),
+        (2, None),
+        (3, float("nan")),
+        (4, float("inf")),
+        (5, float("-inf")),
+        (6, 1e300),
+        (7, -1e300),
+        (8, 1e-300),
+        (9, 1e9),
+        (10, -1e9),
+        (11, 1000000001.0),
+    ]
+    v_rows = [
+        (1, [0.5, -0.25]),
+        (2, None),
+        (3, [0.0, 0.0]),
+        (4, [1.0, float("nan")]),
+        (5, [1.0, float("inf")]),
+        (6, [1.0, 2e9]),
+        (7, []),
+        (8, [0.0, 3.0]),
+    ]
+    eprobe = spark.createDataFrame(e_rows, "probe_id bigint, value double")
+    vprobe = spark.createDataFrame(v_rows, "probe_id bigint, embedding array<float>")
+    kept_e = events_validity_gate(eprobe).select(
+        F.lit("events").alias("lane"), "probe_id"
+    )
+    kept_v = embeddings_validity_gate(vprobe).select(
+        F.lit("embeddings").alias("lane"), "probe_id"
+    )
+    return kept_e.unionAll(kept_v)

@@ -781,7 +781,11 @@ def stream_sliding_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = "sgq_sliding_complete_" + os.path.basename(ckpt).split("_")[-1]
 
     schema = load_table(spark, sf_dir, "events").schema
-    events = spark.readStream.schema(schema).parquet(src)
+    from ..sources.io import events_validity_gate
+
+    # src is a RAW file copy of the events parquet, so the ingest gate
+    # (sources/io.py) must be re-applied on the stream side.
+    events = events_validity_gate(spark.readStream.schema(schema).parquet(src))
     rollup = (
         events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
         .agg(
@@ -1127,11 +1131,17 @@ def stream_sink_batchid_idempotence(spark: SparkSession, sf_dir: str) -> DataFra
         replay_log.append(batch_id)
         write_batch(batch_df, batch_id)
 
+    from ..sources.io import events_validity_gate
+
     schema = load_table(spark, sf_dir, "events").schema
     (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(src)
+        # src is a RAW file copy — re-apply the ingest gate stream-side
+        # (sources/io.py) so the sink matches the oracle's gated view.
+        events_validity_gate(
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+        )
         .writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
         .foreachBatch(capture)

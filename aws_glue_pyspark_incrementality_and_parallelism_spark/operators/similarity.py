@@ -1273,7 +1273,13 @@ def q_rag_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                  p -> p[1]*p[2])) AS BIGINT) AS rel
       FROM q WHERE q.vec_id <> 0
     ), short AS MATERIALIZED (
-      SELECT vec_id, qv, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 20
+      -- rel IS NULL ⟺ the row's qv or the query vector qv0 is missing
+      -- (NULL embedding, or vec_id 0 quarantined by the ingest gate) —
+      -- the Spark side drops both via isNotNull + crossJoin-on-empty,
+      -- so the shortlist must too (a retrieval against a nonexistent
+      -- query vector returns nothing, not NULL-scored rows).
+      SELECT vec_id, qv, rel FROM rel WHERE rel IS NOT NULL
+      ORDER BY rel DESC, vec_id LIMIT 20
     ), sims AS MATERIALIZED (
       SELECT a.vec_id AS va, b.vec_id AS vb,
              CAST(list_sum(list_transform(list_zip(a.qv, b.qv),

@@ -59,8 +59,88 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return normalize_events_ts(df)
+        return events_validity_gate(normalize_events_ts(df))
+    if name == "embeddings":
+        return embeddings_validity_gate(spark.read.parquet(table_path(sf_dir, name)))
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+#: Validity domain of the ``events.value`` measure and of embedding
+#: components, enforced at the ingest boundary (the quarantine lane —
+#: Class F in DEGENERATE.md). |value| ≤ 1e9 keeps every downstream exact
+#: lane representable: DECIMAL(18,4) holds up to ~1e14, the integer
+#: micro-cents lanes (floor(value*1e6) AS BIGINT) up to ~9.2e12 per row.
+#: NaN/±Inf are excluded by the same range predicate in BOTH engines
+#: because Spark and DuckDB share the "NaN is larger than any other
+#: value" comparison convention (so NaN <= bound is false, never an
+#: error). In-domain AGGREGATE overflow deliberately stays a loud ANSI
+#: error: silently clamping a sum would corrupt statistics, while a
+#: per-row domain gate is an auditable ingest contract.
+MEASURE_DOMAIN_BOUND = 1e9
+
+#: DuckDB mirror of :func:`events_validity_gate` — the oracle harness
+#: (tests/oracle.py) bakes this into its ``events`` view so both engines
+#: always see the same post-ingest relation. A plain range predicate, so
+#: both Spark's parquet reader (PushedFilters) and DuckDB's zone maps can
+#: prune on it.
+EVENTS_GATE_SQL = (
+    "(value IS NULL OR (value >= -1000000000.0 AND value <= 1000000000.0))"
+)
+
+#: DuckDB mirror of :func:`embeddings_validity_gate`: every component in
+#: domain (NaN/±Inf excluded by the shared comparison convention) and at
+#: least one nonzero component (a zero-norm vector has no direction —
+#: unusable for cosine math, quarantined as malformed at ingest).
+EMBEDDINGS_GATE_SQL = (
+    "(embedding IS NULL OR ("
+    "len(list_filter(embedding, x -> NOT (x >= -1000000000.0 AND x <= 1000000000.0))) = 0"
+    " AND len(list_filter(embedding, x -> x != 0)) > 0))"
+)
+
+
+def events_validity_gate(df: DataFrame) -> DataFrame:
+    """Quarantine out-of-domain measure rows at the events ingest boundary.
+
+    A 100 TB feed WILL contain NaN/±Inf/absurd-magnitude measures (bad
+    sensors, serialization bugs, unit mix-ups); without a gate, the first
+    such row crashes every ANSI decimal/bigint lane mid-job. Rows whose
+    ``value`` is non-NULL and outside ±MEASURE_DOMAIN_BOUND (which by the
+    NaN-sorts-last convention includes NaN and ±Inf) are dropped here —
+    the same policy, with the same predicate, that the oracle harness
+    applies to its DuckDB view (EVENTS_GATE_SQL), so parity is preserved
+    by construction. NULL measures pass: missing is data, garbage is not.
+    The predicate is two plain comparisons, so it pushes into the parquet
+    scan and costs row-group pruning, not compute.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col("value")
+    return df.filter(
+        c.isNull()
+        | ((c >= -MEASURE_DOMAIN_BOUND) & (c <= MEASURE_DOMAIN_BOUND))
+    )
+
+
+def embeddings_validity_gate(df: DataFrame) -> DataFrame:
+    """Quarantine malformed embedding vectors at the ingest boundary.
+
+    A vector with a NaN/Inf/out-of-domain component poisons every dot
+    product it touches; a zero-norm vector breaks cosine normalization
+    (division by zero). Both are quarantined here with the exact DuckDB
+    twin predicate (EMBEDDINGS_GATE_SQL). NULL embeddings pass through —
+    downstream lanes already handle missing vectors. JVM-side lambda
+    expressions (forall/exists), no Python in the path.
+    """
+    from pyspark.sql import functions as F
+
+    e = F.col("embedding")
+    in_domain = F.forall(
+        e,
+        lambda x: (x >= F.lit(-MEASURE_DOMAIN_BOUND))
+        & (x <= F.lit(MEASURE_DOMAIN_BOUND)),
+    )
+    nonzero = F.exists(e, lambda x: x != F.lit(0.0))
+    return df.filter(e.isNull() | (in_domain & nonzero))
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:

@@ -12,10 +12,11 @@ KIND is one of: empty (zero-row), one (one-row), nulls (half-NULL
 non-key columns), nullkeys (join/group keys NULL on every 4th row),
 dup (every fact row doubled), megakey (hottest key owns everything),
 dupmega (megakey THEN every fact row doubled — duplicate keys inside
-one mega partition) — the seven robustness classes ledgered in
-DEGENERATE.md. Plain sweeps write SWEEP_DETAIL.json; corpus sweeps
-write SWEEP_DETAIL_<KIND>.json so a probe run never clobbers the
-standard-corpus artifact.
+one mega partition), extremes (NaN/±Inf/±1e300 float edges in
+events.value; zero-norm / NaN- / Inf-component embedding vectors) —
+the eight robustness classes ledgered in DEGENERATE.md. Plain sweeps
+write SWEEP_DETAIL.json; corpus sweeps write SWEEP_DETAIL_<KIND>.json
+so a probe run never clobbers the standard-corpus artifact.
 """
 
 from __future__ import annotations
@@ -70,7 +71,7 @@ NULLKEY = {
 
 
 def build_corpus(kind: str, src: str, dst: str) -> str:
-    """Materialize one of the seven degenerate corpora (same recipes as
+    """Materialize one of the eight degenerate corpora (same recipes as
     the pytest fixtures in tests/test_extensions.py) into dst."""
     import duckdb
 
@@ -153,10 +154,18 @@ def build_corpus(kind: str, src: str, dst: str) -> str:
             # pytest fixture composes the recipes the same way).
             sel = _megakey_select(con, src, t, base)
             if t in DUP_FACTS:
-                stage = f"{dst}/{t}.stage.parquet"
-                con.execute(f"COPY ({sel}) TO '{stage}' (FORMAT parquet)")
-                copy(t, f"SELECT * FROM '{stage}' UNION ALL SELECT * FROM '{stage}'")
-                os.remove(stage)
+                # Stage OUTSIDE the corpus dir and clean up even when the
+                # doubling COPY throws — a stray *.stage.parquet inside
+                # dst would be swept up by later directory globs.
+                import tempfile
+
+                fd, stage = tempfile.mkstemp(suffix=f"_{t}.stage.parquet")
+                os.close(fd)
+                try:
+                    con.execute(f"COPY ({sel}) TO '{stage}' (FORMAT parquet)")
+                    copy(t, f"SELECT * FROM '{stage}' UNION ALL SELECT * FROM '{stage}'")
+                finally:
+                    os.remove(stage)
             else:
                 copy(t, sel)
         else:

@@ -9,13 +9,51 @@ import math
 import duckdb
 
 from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import REGISTRY
-from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import TABLES, table_path
+from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import (
+    EMBEDDINGS_GATE_SQL,
+    EVENTS_GATE_SQL,
+    TABLES,
+    table_path,
+)
+
+#: Ingest-boundary validity gates (Class F in DEGENERATE.md), mirrored
+#: from sources/io.py so both engines see the same post-ingest relation.
+#: The driver registers its own UNGATED views at sf0.01, where the gates
+#: filter nothing — these only bite on the float-edge `extremes` corpus.
+_VIEW_GATES = {"events": EVENTS_GATE_SQL, "embeddings": EMBEDDINGS_GATE_SQL}
+
+
+def _register_views(con, sf_dir: str, materialize_gated: bool = True) -> None:
+    """Register the ten tables; gated ones as MATERIALIZED tables.
+
+    Materialization is load-bearing, not an optimization: with a plain
+    ``CREATE VIEW ... WHERE gate``, DuckDB merges an oracle's own
+    predicates into the same scan node and may evaluate them BEFORE the
+    gate (filter reordering is cost-based, not left-to-right), so an
+    expression like ``CAST(floor(x*1e6) AS BIGINT)`` can still be
+    computed on a quarantined NaN row and crash. ``CREATE TABLE AS``
+    is a hard evaluation barrier: no downstream expression ever sees a
+    quarantined row. ``materialize_gated=False`` keeps the lazy views
+    for schema-only probes (duckdb_result_types) where nothing is
+    evaluated.
+    """
+    for t in TABLES:
+        gate = _VIEW_GATES.get(t)
+        if gate and materialize_gated:
+            con.execute(
+                f"CREATE TABLE {t} AS SELECT * FROM '{table_path(sf_dir, t)}'"
+                f" WHERE {gate}"
+            )
+        else:
+            where = f" WHERE {gate}" if gate else ""
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'{where}"
+            )
 
 
 def duckdb_rows(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+    _register_views(con, sf_dir)
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
     return cols, cur.fetchall()
@@ -24,8 +62,7 @@ def duckdb_rows(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
 def duckdb_result_types(sql: str, sf_dir: str) -> dict[str, str]:
     """Column -> DuckDB type name for an oracle query, without executing it."""
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+    _register_views(con, sf_dir, materialize_gated=False)
     rel = con.sql(sql)
     return dict(zip(rel.columns, (str(t).upper() for t in rel.types)))
 

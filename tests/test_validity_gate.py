@@ -1,0 +1,163 @@
+"""Class F ingest-gate pins: the events/embeddings validity gates must
+(1) be exact cross-engine twins of their DuckDB mirror predicates,
+(2) be a no-op on the standard corpora, and (3) stay a pushdown-able
+scan predicate on the events side (so quarantine costs pruning, not
+compute). Corpus-level behavior is swept by
+``parity_sweep.py --corpus extremes`` (SWEEP_DETAIL_EXTREMES.json)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import (
+    EMBEDDINGS_GATE_SQL,
+    EVENTS_GATE_SQL,
+    embeddings_validity_gate,
+    events_validity_gate,
+    load_table,
+    table_path,
+)
+
+SF = "/root/testdata/sf0.001"
+
+#: probe_id -> value; expected-kept ids must match the DuckDB mirror.
+_E_PROBES = [
+    (1, 1.5),
+    (2, None),
+    (3, float("nan")),
+    (4, float("inf")),
+    (5, float("-inf")),
+    (6, 1e300),
+    (7, -1e300),
+    (8, 1e-300),
+    (9, 1e9),
+    (10, -1e9),
+    (11, 1000000001.0),
+]
+_E_KEPT = {1, 2, 8, 9, 10}
+
+_V_PROBES = [
+    (1, [0.5, -0.25]),
+    (2, None),
+    (3, [0.0, 0.0]),
+    (4, [1.0, float("nan")]),
+    (5, [1.0, float("inf")]),
+    (6, [1.0, 2e9]),
+    (7, []),
+    (8, [0.0, 3.0]),
+]
+_V_KEPT = {1, 2, 8}
+
+
+def test_events_gate_spark_semantics(spark):
+    df = spark.createDataFrame(_E_PROBES, "probe_id bigint, value double")
+    kept = {r.probe_id for r in events_validity_gate(df).collect()}
+    assert kept == _E_KEPT
+
+
+def _dlit(v, typ: str) -> str:
+    """Render a Python float as a DuckDB literal (NaN/Inf need quotes)."""
+    if v is None:
+        return f"CAST(NULL AS {typ})"
+    if v != v or v in (float("inf"), float("-inf")):
+        return f"'{v}'::{typ}"
+    return f"{v!r}::{typ}"
+
+
+def test_events_gate_duckdb_mirror_matches():
+    con = duckdb.connect()
+    vals = ", ".join(f"({pid}, {_dlit(v, 'DOUBLE')})" for pid, v in _E_PROBES)
+    kept = {
+        r[0]
+        for r in con.execute(
+            f"WITH p(probe_id, value) AS (VALUES {vals})"
+            f" SELECT probe_id FROM p WHERE {EVENTS_GATE_SQL}"
+        ).fetchall()
+    }
+    assert kept == _E_KEPT
+
+
+def test_embeddings_gate_spark_semantics(spark):
+    df = spark.createDataFrame(_V_PROBES, "probe_id bigint, embedding array<float>")
+    kept = {r.probe_id for r in embeddings_validity_gate(df).collect()}
+    assert kept == _V_KEPT
+
+
+def test_embeddings_gate_duckdb_mirror_matches():
+    def lit(vec):
+        if vec is None:
+            return "NULL::FLOAT[]"
+        if not vec:
+            return "[]::FLOAT[]"
+        return "[" + ", ".join(_dlit(x, "FLOAT") for x in vec) + "]"
+
+    con = duckdb.connect()
+    vals = ", ".join(f"({pid}, {lit(v)})" for pid, v in _V_PROBES)
+    kept = {
+        r[0]
+        for r in con.execute(
+            f"WITH p(probe_id, embedding) AS (VALUES {vals})"
+            f" SELECT probe_id FROM p WHERE {EMBEDDINGS_GATE_SQL}"
+        ).fetchall()
+    }
+    assert kept == _V_KEPT
+
+
+def test_gate_is_noop_on_standard_corpus(spark):
+    """Standard testdata is fully in-domain: the gates must filter
+    NOTHING at any driver SF — this is what keeps the 369-green ledger
+    valid after the gates landed."""
+    for t in ("events", "embeddings"):
+        raw = spark.read.parquet(table_path(SF, t)).count()
+        gated = load_table(spark, SF, t).count()
+        assert gated == raw, f"{t}: gate filtered {raw - gated} standard rows"
+
+
+def test_events_gate_pushes_into_scan(spark):
+    """The events gate is two plain range comparisons, so it must reach
+    the parquet reader as PushedFilters — quarantine via row-group
+    pruning, not post-scan compute."""
+    plan = (
+        load_table(spark, SF, "events")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "GreaterThanOrEqual(value" in pushed or "value" in pushed, pushed
+
+
+def test_stream_source_applies_gate(spark, tmp_path):
+    """A raw staged file with out-of-domain measures must be quarantined
+    by the STREAM ingest path too (read_events_stream), not only batch."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.streaming.incremental import (
+        read_events_stream,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "view", 2.0, None),
+        (2, "2024-01-01 00:01:00", 11, "view", float("nan"), None),
+        (3, "2024-01-01 00:02:00", 12, "view", 1e300, None),
+        (4, "2024-01-01 00:03:00", 13, "view", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(src)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (
+        read_events_stream(spark, src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {r.event_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 4}
