@@ -97,6 +97,34 @@ print("FRESH_JSON:" + json.dumps(out))
 """
 
 
+def _sysinfo() -> dict:
+    """One-line machine/session-speed context for BENCH_DETAIL: load
+    average at start-of-write, online CPUs, and free memory. Best-effort
+    — a missing /proc or API never fails the bench."""
+    info: dict = {}
+    try:
+        la1, la5, la15 = os.getloadavg()
+        info["loadavg"] = [round(la1, 2), round(la5, 2), round(la15, 2)]
+    except OSError:
+        pass
+    try:
+        info["cpus_online"] = os.cpu_count()
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        with open("/proc/meminfo") as f:
+            mem = {
+                line.split(":")[0]: int(line.split()[1])
+                for line in f
+                if line.startswith(("MemTotal", "MemAvailable"))
+            }
+        info["mem_total_gib"] = round(mem.get("MemTotal", 0) / 1048576, 1)
+        info["mem_available_gib"] = round(mem.get("MemAvailable", 0) / 1048576, 1)
+    except OSError:
+        pass
+    return info
+
+
 def _current_round() -> int:
     """Round labeling (ADVICE r4): $SPARK_GRAFT_ROUND wins when set — a
     re-run performed AFTER the driver records the current round's
@@ -421,6 +449,11 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "threads": threads,
+        # Session-speed stamp (round-8 verdict task #6): the r8 official
+        # 121 s headline vs 94-106 s repro spread was pure VM/session
+        # speed; recording the machine context lets a future reader
+        # dismiss headline noise without re-deriving it.
+        "sysinfo": _sysinfo(),
     }
     # Archive per round (round-3 verdict task #4): BENCH_DETAIL.json is
     # the rolling "latest" pointer; BENCH_DETAIL_r{N}.json is immutable

@@ -13,10 +13,13 @@ non-key columns), nullkeys (join/group keys NULL on every 4th row),
 dup (every fact row doubled), megakey (hottest key owns everything),
 dupmega (megakey THEN every fact row doubled — duplicate keys inside
 one mega partition), extremes (NaN/±Inf/±1e300 float edges in
-events.value; zero-norm / NaN- / Inf-component embedding vectors) —
-the eight robustness classes ledgered in DEGENERATE.md. Plain sweeps
-write SWEEP_DETAIL.json; corpus sweeps write SWEEP_DETAIL_<KIND>.json
-so a probe run never clobbers the standard-corpus artifact.
+events.value; zero-norm / NaN- / Inf-component embedding vectors),
+unicode (encoding-edge text in documents.text: astral plane, combining
+marks, RTL/bidi, zero-width chars, U+FFFD/controls, exotic whitespace,
+fullwidth forms, unsegmented CJK) — the nine robustness classes
+ledgered in DEGENERATE.md. Plain sweeps write SWEEP_DETAIL.json;
+corpus sweeps write SWEEP_DETAIL_<KIND>.json so a probe run never
+clobbers the standard-corpus artifact.
 """
 
 from __future__ import annotations
@@ -71,8 +74,9 @@ NULLKEY = {
 
 
 def build_corpus(kind: str, src: str, dst: str) -> str:
-    """Materialize one of the eight degenerate corpora (same recipes as
-    the pytest fixtures in tests/test_extensions.py) into dst."""
+    """Materialize one of the nine degenerate corpora (the first seven
+    share recipes with the pytest fixtures in tests/test_extensions.py)
+    into dst."""
     import duckdb
 
     os.makedirs(dst, exist_ok=True)
@@ -131,6 +135,49 @@ def build_corpus(kind: str, src: str, dst: str) -> str:
                                 THEN list_append(embedding[:len(embedding)-1], 'Infinity'::FLOAT)
                                 ELSE embedding END AS embedding,
                            label
+                    FROM '{src}/{t}.parquet'""")
+            else:
+                copy(t, base)
+        elif kind == "unicode":
+            # Unicode/encoding-edge text corpus (round-9 stretch task):
+            # the last untested input class for the text pipeline. Eight
+            # shapes injected into documents.text on doc_id residues:
+            # astral-plane emoji + flags + math alphanumerics (chars
+            # above U+FFFF — surrogate pairs in any UTF-16 lane),
+            # combining marks (NFD-style e + U+0301 — length vs grapheme
+            # traps), RTL Hebrew/Arabic with bidi marks, zero-width
+            # joiners/non-joiners/ZWSP inside words (tokenizer traps),
+            # U+FFFD + C0 controls (the residue a lossy decode leaves),
+            # exotic whitespace (NBSP, ideographic space, thin space —
+            # \s-class divergence bait), fullwidth digits/latin
+            # (case/digit-class bait), and an unsegmented CJK run (no
+            # whitespace at all). lang/source/doc_id stay intact;
+            # n_chars is recomputed (both engines count code points).
+            if t == "documents":
+                zwj = "‍"
+                zwnj = "‌"
+                zwsp = "​"
+                nfd = "café résumé naïve"
+                rtl = "שלום السلام ‏mixed‎ tail"
+                astral = "\U0001f600\U0001f680 \U0001f1fa\U0001f1f8 \U0001d54a\U0001d554\U0001d556 \U00020000\U00020001"
+                ctrl = "bad�decode \x01tab\ttail"
+                wsp = "a b　c d e"
+                full = "０１２ ＡＢＣ ａｂｃ"
+                cjk = "汉字文本解析测试文档" * 3
+                wordjoin = f"zero{zwj}width{zwnj}join{zwsp}er test"
+                cases = f"""
+                    CASE WHEN doc_id % 7 = 0 THEN text || ' {astral}'
+                         WHEN doc_id % 11 = 0 THEN '{nfd} ' || text
+                         WHEN doc_id % 13 = 0 THEN '{rtl} ' || text
+                         WHEN doc_id % 17 = 0 THEN '{wordjoin} ' || text
+                         WHEN doc_id % 19 = 0 THEN '{ctrl} ' || text
+                         WHEN doc_id % 23 = 0 THEN '{wsp} ' || text
+                         WHEN doc_id % 29 = 0 THEN '{full} ' || text
+                         WHEN doc_id % 31 = 0 THEN '{cjk}'
+                         ELSE text END"""
+                copy(t, f"""
+                    SELECT doc_id, {cases} AS text, lang, source,
+                           length({cases}) AS n_chars
                     FROM '{src}/{t}.parquet'""")
             else:
                 copy(t, base)

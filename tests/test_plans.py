@@ -286,7 +286,16 @@ def test_pii_scrub_scan_bound_shapes(spark):
     events variant gets exactly two exchanges (the countDistinct
     two-phase rewrite); the docs variant exactly one."""
     plan = _plan(spark, "events_pii_scrub")
-    assert "ReadSchema: struct<event_type:string,props:string>" in plan
+    # Since the Class F ingest gate (sources/io.py), every events scan
+    # also reads `value`: row-level quarantine is a WHERE on the gated
+    # column even for queries that never use it (the oracle's gated
+    # view excludes those rows from COUNT(*) too). The gate predicate
+    # must reach the scan as pushed filters, not a post-scan Filter.
+    assert "ReadSchema: struct<event_type:string,value:double,props:string>" in plan
+    assert (
+        "PushedFilters: [Or(IsNull(value),And(GreaterThanOrEqual(value,-1.0E9),"
+        "LessThanOrEqual(value,1.0E9)))]" in plan
+    ), plan
     # ≤ 2 hash exchanges (the countDistinct two-phase rewrite needs
     # two; a regression adding a join/window/repartition would add
     # more). Upper bound, not equality — equality broke spuriously on
