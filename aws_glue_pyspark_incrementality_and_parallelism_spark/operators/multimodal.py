@@ -1084,7 +1084,8 @@ _WAV_SR = 8000
     SELECT doc_id, {_WAV_SR} AS sample_rate, n AS n_samples,
            CAST(n AS DOUBLE) / {_WAV_SR}.0 AS duration_sec,
            CASE WHEN n = 0 THEN 0.0
-                ELSE CAST(floor(sqrt(CAST(list_sum(list_transform(smp, x -> x*x)) AS DOUBLE)
+                ELSE CAST(floor(sqrt(CAST(list_sum(list_transform(smp,
+                                       x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS DOUBLE)
                                      / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) / 10000.0
            END AS rms,
            CAST(COALESCE(list_max(list_transform(smp, x -> abs(x))), 0) AS BIGINT) AS peak

@@ -844,7 +844,10 @@ def q_sample_weighted_reservoir_per_key(spark: SparkSession, sf_dir: str) -> Dat
     "fn_aes_roundtrip",
     oracle="""
     SELECT doc_id,
-           CAST(16 * ((length(text) + 16) // 16) AS BIGINT) AS cipher_len,
+           -- PKCS#7 pads BYTES (strlen), not code points: on non-ASCII
+           -- text the ciphertext length follows the UTF-8 byte count
+           -- (unicode-corpus divergence fixed in round 9)
+           CAST(16 * ((strlen(text) + 16) // 16) AS BIGINT) AS cipher_len,
            TRUE AS roundtrip_ok,
            CAST(length(text) AS BIGINT) AS plain_len
     FROM documents
