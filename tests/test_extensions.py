@@ -1084,3 +1084,99 @@ def test_commit_log_replay_audit_is_null_safe(spark, nullkeys_sf_dir):
     row = REGISTRY["maintenance_commit_log_replay"].fn(spark, nullkeys_sf_dir).collect()[0]
     assert row.snapshot_consistent is True
     assert row.removed_files_invisible is True
+
+
+@pytest.fixture(scope="module")
+def extremes_sf_dir(tmp_path_factory):
+    """Float-edge twins (round-9 eighth robustness class): NaN/±Inf/
+    ±1e300 in events.value, zero-norm/NaN/Inf-component embedding
+    vectors — built by the same recipe as
+    `parity_sweep.py --corpus extremes` (single recipe source)."""
+    from parity_sweep import build_corpus
+
+    root = tmp_path_factory.mktemp("sf_extremes")
+    return build_corpus("extremes", SF_SMALL, str(root))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # representatives of the 35 queries that CRASHED on float-edge
+        # input before the round-9 ingest gates (sources/io.py):
+        # DECIMAL(18,4) cast lane, integer micro-cents lane, CUSUM
+        # bigint lane, zero-norm cosine divide, int8 quantize scale,
+        # CDC apply, and the two streaming ingest shapes
+        "events_hourly_rollup",
+        "events_sessionization",
+        "ts_cusum_changepoint",
+        "sim_lsh_topk",
+        "embed_int8_quantize",
+        "cdc_apply_changelog",
+        "stream_stateful_hwm_dedup",
+        "stream_sliding_complete_mode",
+    ],
+)
+def test_extremes_corpus_does_not_crash(spark, extremes_sf_dir, name):
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import (
+        REGISTRY,
+    )
+
+    REGISTRY[name].fn(spark, extremes_sf_dir).count()  # must plan and run
+
+
+@pytest.fixture(scope="module")
+def unicode_sf_dir(tmp_path_factory):
+    """Encoding-edge text twins (round-9 ninth robustness class):
+    astral plane, combining marks, RTL/bidi, zero-width chars,
+    U+FFFD/controls, exotic whitespace, fullwidth forms, unsegmented
+    CJK in documents.text — `parity_sweep.py --corpus unicode`."""
+    from parity_sweep import build_corpus
+
+    root = tmp_path_factory.mktemp("sf_unicode")
+    return build_corpus("unicode", SF_SMALL, str(root))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # tokenizer/shingle/BPE/byte-synthesis representatives — the
+        # engine side must stay crash-free on any UTF-8 text (the
+        # round-9 sweep found only ORACLE bugs, pinned below)
+        "text_token_count_bpe",
+        "text_langid",
+        "dedup_minhash_lsh",
+        "multimodal_features",
+        "multimodal_audio_wav",
+        "fn_aes_roundtrip",
+    ],
+)
+def test_unicode_corpus_does_not_crash(spark, unicode_sf_dir, name):
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import (
+        REGISTRY,
+    )
+
+    REGISTRY[name].fn(spark, unicode_sf_dir).count()  # must plan and run
+
+
+def test_unicode_corpus_oracle_fixes_hold(unicode_sf_dir):
+    """Round-9 oracle bug pins on the unicode corpus: the audio-wav RMS
+    sum must not overflow INT32 on astral code points (BIGINT cast),
+    and the AES oracle must measure PKCS#7 geometry in BYTES (strlen)
+    — it must run AND agree with itself on byte math: every cipher_len
+    is a multiple of 16 and strictly greater than the byte length."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import (
+        REGISTRY,
+    )
+
+    from .oracle import duckdb_rows
+
+    cols, rows = duckdb_rows(REGISTRY["multimodal_audio_wav"].oracle, unicode_sf_dir)
+    assert rows, "audio_wav oracle produced no rows"
+
+    cols, rows = duckdb_rows(REGISTRY["fn_aes_roundtrip"].oracle, unicode_sf_dir)
+    i_cipher = cols.index("cipher_len")
+    i_plain = cols.index("plain_len")
+    for r in rows:
+        assert r[i_cipher] % 16 == 0
+        # cipher length is byte-based: >= plain CHAR length + 1 always
+        assert r[i_cipher] > r[i_plain]
