@@ -607,7 +607,8 @@ from ..sources.io import (  # noqa: E402
         (5, [1.0::FLOAT, 'Infinity'::FLOAT]),
         (6, [1.0::FLOAT, 2000000000.0::FLOAT]),
         (7, []::FLOAT[]),
-        (8, [0.0::FLOAT, 3.0::FLOAT])
+        (8, [0.0::FLOAT, 3.0::FLOAT]),
+        (9, [1.0::FLOAT, NULL::FLOAT])
     )
     SELECT 'events' AS lane, CAST(probe_id AS BIGINT) AS probe_id
     FROM eprobe WHERE {EVENTS_GATE_SQL}
@@ -628,8 +629,11 @@ def q_source_validity_gate_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
     FALSE, never an error — and this pin adjudicates exactly that on
     inline probe literals: NaN, ±Inf, ±1e300, the ±1e9 domain boundary
     itself, a subnormal, NULL (kept: missing is data, garbage is not),
-    a zero-norm vector, an all-zero-adjacent vector, and an empty
-    vector. The probes are literals, not table rows, so the pin runs
+    a zero-norm vector, an all-zero-adjacent vector, an empty vector,
+    and a NULL-COMPONENT vector — the one case where implicit semantics
+    diverge (Spark's ``forall`` propagates the element NULL, DuckDB's
+    ``list_filter`` skips it), which is why both gates quarantine it
+    explicitly. The probes are literals, not table rows, so the pin runs
     identically on the driver's UNGATED standard views.
     """
     e_rows = [
@@ -654,6 +658,7 @@ def q_source_validity_gate_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
         (6, [1.0, 2e9]),
         (7, []),
         (8, [0.0, 3.0]),
+        (9, [1.0, None]),
     ]
     eprobe = spark.createDataFrame(e_rows, "probe_id bigint, value double")
     vprobe = spark.createDataFrame(v_rows, "probe_id bigint, embedding array<float>")

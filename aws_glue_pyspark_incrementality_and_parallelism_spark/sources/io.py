@@ -87,13 +87,18 @@ EVENTS_GATE_SQL = (
     "(value IS NULL OR (value >= -1000000000.0 AND value <= 1000000000.0))"
 )
 
-#: DuckDB mirror of :func:`embeddings_validity_gate`: every component in
-#: domain (NaN/±Inf excluded by the shared comparison convention) and at
-#: least one nonzero component (a zero-norm vector has no direction —
-#: unusable for cosine math, quarantined as malformed at ingest).
+#: DuckDB mirror of :func:`embeddings_validity_gate`: no NULL component
+#: (a hole in a vector is malformed the same way NaN is — it poisons any
+#: dot product; and without the explicit conjunct the two engines would
+#: silently disagree, because Spark's ``forall`` propagates the NULL into
+#: the filter while ``list_filter`` skips it), every component in domain
+#: (NaN/±Inf excluded by the shared comparison convention), and at least
+#: one nonzero component (a zero-norm vector has no direction — unusable
+#: for cosine math, quarantined as malformed at ingest).
 EMBEDDINGS_GATE_SQL = (
     "(embedding IS NULL OR ("
-    "len(list_filter(embedding, x -> NOT (x >= -1000000000.0 AND x <= 1000000000.0))) = 0"
+    "len(list_filter(embedding, x -> x IS NULL)) = 0"
+    " AND len(list_filter(embedding, x -> NOT (x >= -1000000000.0 AND x <= 1000000000.0))) = 0"
     " AND len(list_filter(embedding, x -> x != 0)) > 0))"
 )
 
@@ -124,23 +129,28 @@ def events_validity_gate(df: DataFrame) -> DataFrame:
 def embeddings_validity_gate(df: DataFrame) -> DataFrame:
     """Quarantine malformed embedding vectors at the ingest boundary.
 
-    A vector with a NaN/Inf/out-of-domain component poisons every dot
-    product it touches; a zero-norm vector breaks cosine normalization
-    (division by zero). Both are quarantined here with the exact DuckDB
-    twin predicate (EMBEDDINGS_GATE_SQL). NULL embeddings pass through —
-    downstream lanes already handle missing vectors. JVM-side lambda
-    expressions (forall/exists), no Python in the path.
+    A vector with a NULL/NaN/Inf/out-of-domain component poisons every
+    dot product it touches; a zero-norm vector breaks cosine
+    normalization (division by zero). All are quarantined here with the
+    exact DuckDB twin predicate (EMBEDDINGS_GATE_SQL). NULL *vectors*
+    pass through — downstream lanes already handle missing vectors. The
+    NULL-component conjunct is explicit rather than left to ``forall``'s
+    three-valued NULL propagation, because the DuckDB twin's
+    ``list_filter`` SKIPS null elements — implicit semantics would make
+    the engines silently disagree on e.g. ``[1.0, NULL]``. JVM-side
+    lambda expressions (forall/exists), no Python in the path.
     """
     from pyspark.sql import functions as F
 
     e = F.col("embedding")
+    no_null = ~F.exists(e, lambda x: x.isNull())
     in_domain = F.forall(
         e,
         lambda x: (x >= F.lit(-MEASURE_DOMAIN_BOUND))
         & (x <= F.lit(MEASURE_DOMAIN_BOUND)),
     )
     nonzero = F.exists(e, lambda x: x != F.lit(0.0))
-    return df.filter(e.isNull() | (in_domain & nonzero))
+    return df.filter(e.isNull() | (no_null & in_domain & nonzero))
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:

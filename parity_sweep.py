@@ -13,7 +13,8 @@ non-key columns), nullkeys (join/group keys NULL on every 4th row),
 dup (every fact row doubled), megakey (hottest key owns everything),
 dupmega (megakey THEN every fact row doubled — duplicate keys inside
 one mega partition), extremes (NaN/±Inf/±1e300 float edges in
-events.value; zero-norm / NaN- / Inf-component embedding vectors),
+events.value; zero-norm / NaN- / Inf- / NULL-component embedding
+vectors),
 unicode (encoding-edge text in documents.text: astral plane, combining
 marks, RTL/bidi, zero-width chars, U+FFFD/controls, exotic whitespace,
 fullwidth forms, unsegmented CJK) — the nine robustness classes
@@ -109,9 +110,10 @@ def build_corpus(kind: str, src: str, dst: str) -> str:
             copy(t, f"SELECT {', '.join(exprs)} FROM '{src}/{t}.parquet'")
         elif kind == "extremes":
             # Float-edge corpus: NaN/±Inf and magnitude extremes in
-            # events.value; zero-norm / NaN-component / Inf-component
-            # embedding vectors. The shapes that break cosine math
-            # (zero-norm division), ANSI arithmetic, and NaN ordering.
+            # events.value; zero-norm / NaN-component / Inf-component /
+            # NULL-component embedding vectors. The shapes that break
+            # cosine math (zero-norm division), ANSI arithmetic, NaN
+            # ordering, and three-valued array-lambda logic.
             if t == "events":
                 copy(t, f"""
                     SELECT event_id, ts, user_id, event_type,
@@ -133,6 +135,8 @@ def build_corpus(kind: str, src: str, dst: str) -> str:
                                 THEN list_append(embedding[:len(embedding)-1], 'NaN'::FLOAT)
                                 WHEN vec_id % 13 = 0
                                 THEN list_append(embedding[:len(embedding)-1], 'Infinity'::FLOAT)
+                                WHEN vec_id % 17 = 0
+                                THEN list_append(embedding[:len(embedding)-1], NULL::FLOAT)
                                 ELSE embedding END AS embedding,
                            label
                     FROM '{src}/{t}.parquet'""")

@@ -46,6 +46,10 @@ _V_PROBES = [
     (6, [1.0, 2e9]),
     (7, []),
     (8, [0.0, 3.0]),
+    # NULL component: the one probe where IMPLICIT semantics diverge
+    # (Spark forall propagates the NULL, DuckDB list_filter skips it) —
+    # both gates quarantine it explicitly.
+    (9, [1.0, None]),
 ]
 _V_KEPT = {1, 2, 8}
 
