@@ -587,18 +587,25 @@ from ..sources.io import (  # noqa: E402
 @query(
     "source_validity_gate_pin",
     oracle=f"""
-    WITH eprobe(probe_id, value) AS (VALUES
-        (1, 1.5),
-        (2, CAST(NULL AS DOUBLE)),
-        (3, 'NaN'::DOUBLE),
-        (4, 'Infinity'::DOUBLE),
-        (5, '-Infinity'::DOUBLE),
-        (6, 1e300),
-        (7, -1e300),
-        (8, 1e-300),
-        (9, 1000000000.0),
-        (10, -1000000000.0),
-        (11, 1000000001.0)
+    WITH eprobe(probe_id, value, ts) AS (VALUES
+        (1, 1.5, TIMESTAMP '2024-06-01 12:00:00'),
+        (2, CAST(NULL AS DOUBLE), TIMESTAMP '2024-06-01 12:00:00'),
+        (3, 'NaN'::DOUBLE, TIMESTAMP '2024-06-01 12:00:00'),
+        (4, 'Infinity'::DOUBLE, TIMESTAMP '2024-06-01 12:00:00'),
+        (5, '-Infinity'::DOUBLE, TIMESTAMP '2024-06-01 12:00:00'),
+        (6, 1e300, TIMESTAMP '2024-06-01 12:00:00'),
+        (7, -1e300, TIMESTAMP '2024-06-01 12:00:00'),
+        (8, 1e-300, TIMESTAMP '2024-06-01 12:00:00'),
+        (9, 1000000000.0, TIMESTAMP '2024-06-01 12:00:00'),
+        (10, -1000000000.0, TIMESTAMP '2024-06-01 12:00:00'),
+        (11, 1000000001.0, TIMESTAMP '2024-06-01 12:00:00'),
+        (12, 1.0, CAST(NULL AS TIMESTAMP)),
+        (13, 1.0, TIMESTAMP '1905-03-15 07:30:00'),
+        (14, 1.0, TIMESTAMP '1970-01-01 00:00:00'),
+        (15, 1.0, TIMESTAMP '1970-01-01 00:00:00.000001'),
+        (16, 1.0, TIMESTAMP '2099-12-31 23:59:59.999999'),
+        (17, 1.0, TIMESTAMP '2100-01-01 00:00:00'),
+        (18, 1.0, TIMESTAMP '9999-12-31 23:59:59.999999')
     ), vprobe(probe_id, embedding) AS (VALUES
         (1, [0.5::FLOAT, -0.25::FLOAT]),
         (2, NULL::FLOAT[]),
@@ -629,6 +636,10 @@ def q_source_validity_gate_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
     FALSE, never an error — and this pin adjudicates exactly that on
     inline probe literals: NaN, ±Inf, ±1e300, the ±1e9 domain boundary
     itself, a subnormal, NULL (kept: missing is data, garbage is not),
+    the Class T temporal domain (probes 12–18: NULL ts kept, pre-epoch
+    and the exact epoch-0 zeroed-field marker dropped, the first
+    microsecond after epoch kept, the 2100 bound exclusive, far-future
+    9999 dropped),
     a zero-norm vector, an all-zero-adjacent vector, an empty vector,
     and a NULL-COMPONENT vector — the one case where implicit semantics
     diverge (Spark's ``forall`` propagates the element NULL, DuckDB's
@@ -636,18 +647,28 @@ def q_source_validity_gate_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicitly. The probes are literals, not table rows, so the pin runs
     identically on the driver's UNGATED standard views.
     """
+    import datetime as _dt
+
+    _mid = _dt.datetime(2024, 6, 1, 12, 0, 0)
     e_rows = [
-        (1, 1.5),
-        (2, None),
-        (3, float("nan")),
-        (4, float("inf")),
-        (5, float("-inf")),
-        (6, 1e300),
-        (7, -1e300),
-        (8, 1e-300),
-        (9, 1e9),
-        (10, -1e9),
-        (11, 1000000001.0),
+        (1, 1.5, _mid),
+        (2, None, _mid),
+        (3, float("nan"), _mid),
+        (4, float("inf"), _mid),
+        (5, float("-inf"), _mid),
+        (6, 1e300, _mid),
+        (7, -1e300, _mid),
+        (8, 1e-300, _mid),
+        (9, 1e9, _mid),
+        (10, -1e9, _mid),
+        (11, 1000000001.0, _mid),
+        (12, 1.0, None),
+        (13, 1.0, _dt.datetime(1905, 3, 15, 7, 30, 0)),
+        (14, 1.0, _dt.datetime(1970, 1, 1, 0, 0, 0)),
+        (15, 1.0, _dt.datetime(1970, 1, 1, 0, 0, 0, 1)),
+        (16, 1.0, _dt.datetime(2099, 12, 31, 23, 59, 59, 999999)),
+        (17, 1.0, _dt.datetime(2100, 1, 1, 0, 0, 0)),
+        (18, 1.0, _dt.datetime(9999, 12, 31, 23, 59, 59, 999999)),
     ]
     v_rows = [
         (1, [0.5, -0.25]),
@@ -660,7 +681,9 @@ def q_source_validity_gate_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
         (8, [0.0, 3.0]),
         (9, [1.0, None]),
     ]
-    eprobe = spark.createDataFrame(e_rows, "probe_id bigint, value double")
+    eprobe = spark.createDataFrame(
+        e_rows, "probe_id bigint, value double, ts timestamp"
+    )
     vprobe = spark.createDataFrame(v_rows, "probe_id bigint, embedding array<float>")
     kept_e = events_validity_gate(eprobe).select(
         F.lit("events").alias("lane"), "probe_id"

@@ -78,6 +78,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: per-row domain gate is an auditable ingest contract.
 MEASURE_DOMAIN_BOUND = 1e9
 
+#: Validity domain of the ``events.ts`` event time (Class T in
+#: DEGENERATE.md). Strictly after epoch 0 — the EXACT instant
+#: 1970-01-01 00:00:00 is the classic zeroed-field garbage marker —
+#: and strictly before 2100. A 100 TB feed WILL contain garbage event
+#: times, and they are uniquely destructive: one far-future row poisons
+#: every event-time watermark (all genuine rows become "late" and are
+#: silently dropped), and one out-of-range row makes every
+#: observed-span grid (sequence(min(h), max(h))) explode — measured:
+#: a single 9999-dated row turns a sub-second sf0.001 interpolation
+#: grid into a >120 s runaway. NULL ts passes: missing is data,
+#: garbage is not. Plain range predicates, so both engines' scans
+#: prune on them.
+TS_DOMAIN_LO = "1970-01-01 00:00:00"  # exclusive
+TS_DOMAIN_HI = "2100-01-01 00:00:00"  # exclusive
+
 #: DuckDB mirror of :func:`events_validity_gate` — the oracle harness
 #: (tests/oracle.py) bakes this into its ``events`` view so both engines
 #: always see the same post-ingest relation. A plain range predicate, so
@@ -85,6 +100,8 @@ MEASURE_DOMAIN_BOUND = 1e9
 #: prune on it.
 EVENTS_GATE_SQL = (
     "(value IS NULL OR (value >= -1000000000.0 AND value <= 1000000000.0))"
+    " AND (ts IS NULL OR (ts > TIMESTAMP '1970-01-01 00:00:00'"
+    " AND ts < TIMESTAMP '2100-01-01 00:00:00'))"
 )
 
 #: DuckDB mirror of :func:`embeddings_validity_gate`: no NULL component
@@ -114,16 +131,29 @@ def events_validity_gate(df: DataFrame) -> DataFrame:
     the same policy, with the same predicate, that the oracle harness
     applies to its DuckDB view (EVENTS_GATE_SQL), so parity is preserved
     by construction. NULL measures pass: missing is data, garbage is not.
-    The predicate is two plain comparisons, so it pushes into the parquet
-    scan and costs row-group pruning, not compute.
+
+    The event TIME is gated the same way (Class T): ``ts`` must lie
+    strictly inside (TS_DOMAIN_LO, TS_DOMAIN_HI) or be NULL. The exact
+    epoch-0 instant is out of domain on purpose — it is the classic
+    zeroed-field marker — and the bounds cap the damage radius of the
+    two uniquely-temporal failure modes: watermark poisoning (one
+    far-future row silently drops every genuine row as "late") and
+    observed-span grid explosion (sequence(min, max) over a 70M-hour
+    span). All predicates are plain comparisons, so they push into the
+    parquet scan and cost row-group pruning, not compute.
     """
     from pyspark.sql import functions as F
 
     c = F.col("value")
-    return df.filter(
-        c.isNull()
-        | ((c >= -MEASURE_DOMAIN_BOUND) & (c <= MEASURE_DOMAIN_BOUND))
+    t = F.col("ts")
+    value_ok = c.isNull() | (
+        (c >= -MEASURE_DOMAIN_BOUND) & (c <= MEASURE_DOMAIN_BOUND)
     )
+    ts_ok = t.isNull() | (
+        (t > F.lit(TS_DOMAIN_LO).cast("timestamp"))
+        & (t < F.lit(TS_DOMAIN_HI).cast("timestamp"))
+    )
+    return df.filter(value_ok & ts_ok)
 
 
 def embeddings_validity_gate(df: DataFrame) -> DataFrame:

@@ -17,8 +17,10 @@ events.value; zero-norm / NaN- / Inf- / NULL-component embedding
 vectors),
 unicode (encoding-edge text in documents.text: astral plane, combining
 marks, RTL/bidi, zero-width chars, U+FFFD/controls, exotic whitespace,
-fullwidth forms, unsegmented CJK) — the nine robustness classes
-ledgered in DEGENERATE.md. Plain sweeps write SWEEP_DETAIL.json;
+fullwidth forms, unsegmented CJK), tsedges (timestamp edges in
+events.ts: pre-epoch, exact epoch-0, the int64-nanos 2262 boundary,
+far-future 9999, plus in-domain leap-day/DST/midnight-microsecond
+edges) — the ten robustness classes ledgered in DEGENERATE.md. Plain sweeps write SWEEP_DETAIL.json;
 corpus sweeps write SWEEP_DETAIL_<KIND>.json so a probe run never
 clobbers the standard-corpus artifact.
 """
@@ -75,7 +77,7 @@ NULLKEY = {
 
 
 def build_corpus(kind: str, src: str, dst: str) -> str:
-    """Materialize one of the nine degenerate corpora (the first seven
+    """Materialize one of the ten degenerate corpora (the first seven
     share recipes with the pytest fixtures in tests/test_extensions.py)
     into dst."""
     import duckdb
@@ -140,6 +142,35 @@ def build_corpus(kind: str, src: str, dst: str) -> str:
                                 ELSE embedding END AS embedding,
                            label
                     FROM '{src}/{t}.parquet'""")
+            else:
+                copy(t, base)
+        elif kind == "tsedges":
+            # Timestamp-edge corpus (round 9, tenth robustness class):
+            # the time pipeline's analogue of `extremes`. Out-of-domain
+            # shapes (quarantined by the Class T temporal ingest gate):
+            # pre-epoch 1905, the EXACT epoch-0 instant (the classic
+            # zeroed-field garbage marker — one such row is also the
+            # streaming-watermark poison pill), the int64-nanos
+            # overflow boundary 2262-04-11, and far-future 9999 (one
+            # row makes every observed-span sequence grid explode:
+            # min→max hourly span ≈ 70M hours per series ungated).
+            # In-domain edges (kept — they probe bucket/window/leap
+            # semantics cross-engine): leap-day final microsecond,
+            # a DST-transition instant (UTC sessions must not care),
+            # and the first microsecond after midnight Jan 1.
+            if t == "events":
+                copy(t, """
+                    SELECT event_id,
+                           CASE WHEN event_id % 7  = 0 THEN TIMESTAMP '1905-03-15 07:30:00'
+                                WHEN event_id % 11 = 0 THEN TIMESTAMP '1970-01-01 00:00:00'
+                                WHEN event_id % 13 = 0 THEN TIMESTAMP '2262-04-11 23:47:16.854775'
+                                WHEN event_id % 17 = 0 THEN TIMESTAMP '9999-12-31 23:59:59.999999'
+                                WHEN event_id % 19 = 0 THEN TIMESTAMP '2024-02-29 23:59:59.999999'
+                                WHEN event_id % 23 = 0 THEN TIMESTAMP '2024-03-10 10:00:00'
+                                WHEN event_id % 29 = 0 THEN TIMESTAMP '2024-01-01 00:00:00.000001'
+                                ELSE ts END AS ts,
+                           user_id, event_type, value, props
+                    FROM '{src}/{t}.parquet'""".replace("{src}", src).replace("{t}", t))
             else:
                 copy(t, base)
         elif kind == "unicode":

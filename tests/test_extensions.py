@@ -1180,3 +1180,39 @@ def test_unicode_corpus_oracle_fixes_hold(unicode_sf_dir):
         assert r[i_cipher] % 16 == 0
         # cipher length is byte-based: >= plain CHAR length + 1 always
         assert r[i_cipher] > r[i_plain]
+
+
+@pytest.fixture(scope="module")
+def tsedges_sf_dir(tmp_path_factory):
+    """Timestamp-edge twins (round-9 tenth robustness class): pre-epoch,
+    exact epoch-0, the int64-nanos 2262 boundary, far-future 9999, plus
+    in-domain leap-day/DST/midnight-microsecond edges in events.ts —
+    `parity_sweep.py --corpus tsedges`."""
+    from parity_sweep import build_corpus
+
+    root = tmp_path_factory.mktemp("sf_tsedges")
+    return build_corpus("tsedges", SF_SMALL, str(root))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # temporal-lane representatives: the observed-span grid that
+        # provably explodes ungated (one 9999 row -> 70M-hour
+        # sequence; measured >120s on 1000 rows before the Class T
+        # gate), the watermark lane a far-future row poisons, plus
+        # sessionization / bucketing / as-of shapes
+        "ts_linear_interpolate_grid",
+        "stream_watermark_late_drop",
+        "events_sessionization",
+        "events_time_bucket_15min",
+        "events_ohlc_hourly",
+        "join_asof_tolerance",
+    ],
+)
+def test_tsedges_corpus_does_not_crash(spark, tsedges_sf_dir, name):
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.plans.catalog import (
+        REGISTRY,
+    )
+
+    REGISTRY[name].fn(spark, tsedges_sf_dir).count()  # must plan and run

@@ -7,6 +7,8 @@ compute). Corpus-level behavior is swept by
 
 from __future__ import annotations
 
+import datetime
+
 import duckdb
 from pyspark.sql import functions as F
 
@@ -21,21 +23,34 @@ from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import (
 
 SF = "/root/testdata/sf0.001"
 
-#: probe_id -> value; expected-kept ids must match the DuckDB mirror.
+_MID_TS = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+#: probe_id -> (value, ts); expected-kept ids must match the DuckDB
+#: mirror. 1-11 probe the measure domain (valid ts), 12-18 the Class T
+#: temporal domain (valid value): NULL ts kept, pre-epoch and the exact
+#: epoch-0 zeroed-field marker dropped, first microsecond after epoch
+#: kept, 2100 bound exclusive, far-future 9999 dropped.
 _E_PROBES = [
-    (1, 1.5),
-    (2, None),
-    (3, float("nan")),
-    (4, float("inf")),
-    (5, float("-inf")),
-    (6, 1e300),
-    (7, -1e300),
-    (8, 1e-300),
-    (9, 1e9),
-    (10, -1e9),
-    (11, 1000000001.0),
+    (1, 1.5, _MID_TS),
+    (2, None, _MID_TS),
+    (3, float("nan"), _MID_TS),
+    (4, float("inf"), _MID_TS),
+    (5, float("-inf"), _MID_TS),
+    (6, 1e300, _MID_TS),
+    (7, -1e300, _MID_TS),
+    (8, 1e-300, _MID_TS),
+    (9, 1e9, _MID_TS),
+    (10, -1e9, _MID_TS),
+    (11, 1000000001.0, _MID_TS),
+    (12, 1.0, None),
+    (13, 1.0, datetime.datetime(1905, 3, 15, 7, 30, 0)),
+    (14, 1.0, datetime.datetime(1970, 1, 1, 0, 0, 0)),
+    (15, 1.0, datetime.datetime(1970, 1, 1, 0, 0, 0, 1)),
+    (16, 1.0, datetime.datetime(2099, 12, 31, 23, 59, 59, 999999)),
+    (17, 1.0, datetime.datetime(2100, 1, 1, 0, 0, 0)),
+    (18, 1.0, datetime.datetime(9999, 12, 31, 23, 59, 59, 999999)),
 ]
-_E_KEPT = {1, 2, 8, 9, 10}
+_E_KEPT = {1, 2, 8, 9, 10, 12, 15, 16}
 
 _V_PROBES = [
     (1, [0.5, -0.25]),
@@ -55,7 +70,9 @@ _V_KEPT = {1, 2, 8}
 
 
 def test_events_gate_spark_semantics(spark):
-    df = spark.createDataFrame(_E_PROBES, "probe_id bigint, value double")
+    df = spark.createDataFrame(
+        _E_PROBES, "probe_id bigint, value double, ts timestamp"
+    )
     kept = {r.probe_id for r in events_validity_gate(df).collect()}
     assert kept == _E_KEPT
 
@@ -69,13 +86,21 @@ def _dlit(v, typ: str) -> str:
     return f"{v!r}::{typ}"
 
 
+def _tlit(ts) -> str:
+    if ts is None:
+        return "CAST(NULL AS TIMESTAMP)"
+    return f"TIMESTAMP '{ts.isoformat(sep=' ')}'"
+
+
 def test_events_gate_duckdb_mirror_matches():
     con = duckdb.connect()
-    vals = ", ".join(f"({pid}, {_dlit(v, 'DOUBLE')})" for pid, v in _E_PROBES)
+    vals = ", ".join(
+        f"({pid}, {_dlit(v, 'DOUBLE')}, {_tlit(ts)})" for pid, v, ts in _E_PROBES
+    )
     kept = {
         r[0]
         for r in con.execute(
-            f"WITH p(probe_id, value) AS (VALUES {vals})"
+            f"WITH p(probe_id, value, ts) AS (VALUES {vals})"
             f" SELECT probe_id FROM p WHERE {EVENTS_GATE_SQL}"
         ).fetchall()
     }
@@ -144,6 +169,10 @@ def test_stream_source_applies_gate(spark, tmp_path):
         (2, "2024-01-01 00:01:00", 11, "view", float("nan"), None),
         (3, "2024-01-01 00:02:00", 12, "view", 1e300, None),
         (4, "2024-01-01 00:03:00", 13, "view", None, None),
+        # watermark poison: one far-future event time would mark every
+        # genuine row "late" — the stream gate must quarantine it
+        (5, "9999-12-31 23:59:59", 14, "view", 1.0, None),
+        (6, "1970-01-01 00:00:00", 15, "view", 1.0, None),
     ]
     df = spark.createDataFrame(
         rows,
