@@ -53,7 +53,11 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     batch read) so the int64-nanos and timestamp-micros generator
     variants both work, then normalize ``ts`` exactly as the batch path.
     """
-    from ..sources.io import events_validity_gate, normalize_events_ts
+    from ..sources.io import (
+        events_measure_gate,
+        events_ts_domain_prefilter,
+        normalize_events_ts,
+    )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -69,10 +73,14 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 8)
         .parquet(source_dir)
     )
-    # Same ingest validity gate as the batch path (sources/io.py): raw
-    # staged event files may carry out-of-domain measures, and a stream
-    # must quarantine them per micro-batch, not crash the query.
-    return events_validity_gate(normalize_events_ts(raw))
+    # Same ingest validity gate as the batch path (sources/io.py), same
+    # composition: the raw-typed temporal prefilter pushes into the file
+    # scan, then normalize, then the measure gate. A stream must
+    # quarantine out-of-domain rows per micro-batch — one far-future
+    # event time would otherwise poison the watermark — not crash.
+    return events_measure_gate(
+        normalize_events_ts(events_ts_domain_prefilter(raw))
+    )
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -194,3 +194,62 @@ def test_stream_source_applies_gate(spark, tmp_path):
     )
     got = {r.event_id for r in spark.read.parquet(out).collect()}
     assert got == {1, 4}
+
+
+def test_gate_compositions_are_equivalent(spark, tmp_path):
+    """load_table's scan-pushable composition (raw-typed ts prefilter →
+    normalize → measure gate) must keep EXACTLY the rows of the
+    canonical events_validity_gate(normalize(df)) — on both physical ts
+    variants (timestamp micros and int64 epoch nanos)."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.sources.io import (
+        events_measure_gate,
+        events_ts_domain_prefilter,
+        normalize_events_ts,
+    )
+
+    probes = [
+        (1, "2024-06-01 12:00:00", 2.0),
+        (2, "1905-03-15 07:30:00", 2.0),
+        (3, "1970-01-01 00:00:00", 2.0),
+        (4, "1970-01-01 00:00:00.000001", 2.0),
+        (5, "2099-12-31 23:59:59.999999", 2.0),
+        (6, "2100-01-01 00:00:00", 2.0),
+        (7, "9999-12-31 23:59:59.999999", 2.0),
+        (8, None, 2.0),
+        (9, "2024-06-01 12:00:00", float("nan")),
+        (10, "9999-12-31 23:59:59.999999", float("nan")),
+    ]
+    micros = spark.createDataFrame(
+        [(i, ts, v) for i, ts, v in probes],
+        "event_id bigint, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    import datetime
+
+    def nanos(ts):
+        if ts is None:
+            return None
+        dt = datetime.datetime.fromisoformat(ts)
+        epoch = datetime.datetime(1970, 1, 1)
+        us = (dt - epoch) // datetime.timedelta(microseconds=1)
+        return us * 1000
+
+    nano_rows = [(i, nanos(ts), v) for i, ts, v in probes if nanos(ts) is None or abs(nanos(ts)) < 2**63]
+    nanodf = spark.createDataFrame(
+        nano_rows, "event_id bigint, ts long, value double"
+    )
+
+    for df in (micros, nanodf):
+        canonical = {
+            r.event_id
+            for r in events_validity_gate(normalize_events_ts(df)).collect()
+        }
+        pushable = {
+            r.event_id
+            for r in events_measure_gate(
+                normalize_events_ts(events_ts_domain_prefilter(df))
+            ).collect()
+        }
+        assert canonical == pushable
+    # and the expected keep-set itself: in-domain + NULL-ts + epoch+1us
+    assert canonical == {1, 4, 5, 8}
