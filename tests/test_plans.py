@@ -287,15 +287,22 @@ def test_pii_scrub_scan_bound_shapes(spark):
     two-phase rewrite); the docs variant exactly one."""
     plan = _plan(spark, "events_pii_scrub")
     # Since the Class F ingest gate (sources/io.py), every events scan
-    # also reads `value`: row-level quarantine is a WHERE on the gated
-    # column even for queries that never use it (the oracle's gated
-    # view excludes those rows from COUNT(*) too). The gate predicate
-    # must reach the scan as pushed filters, not a post-scan Filter.
-    assert "ReadSchema: struct<event_type:string,value:double,props:string>" in plan
+    # also reads `value` AND `ts`: row-level quarantine is a WHERE on
+    # the gated columns even for queries that never use them (the
+    # oracle's gated view excludes those rows from COUNT(*) too). Both
+    # gate conjuncts — the measure range and the Class T temporal
+    # domain — must reach the scan as pushed filters, not a post-scan
+    # Filter (the temporal conjunct compares the RAW physical ts
+    # column precisely so it stays pushable).
     assert (
-        "PushedFilters: [Or(IsNull(value),And(GreaterThanOrEqual(value,-1.0E9),"
-        "LessThanOrEqual(value,1.0E9)))]" in plan
+        "ReadSchema: struct<ts:timestamp_ntz,event_type:string,"
+        "value:double,props:string>" in plan
     ), plan
+    assert (
+        "Or(IsNull(value),And(GreaterThanOrEqual(value,-1.0E9),"
+        "LessThanOrEqual(value,1.0E9)))" in plan
+    ), plan
+    assert "Or(IsNull(ts),And(GreaterThan(ts," in plan, plan
     # ≤ 2 hash exchanges (the countDistinct two-phase rewrite needs
     # two; a regression adding a join/window/repartition would add
     # more). Upper bound, not equality — equality broke spuriously on
