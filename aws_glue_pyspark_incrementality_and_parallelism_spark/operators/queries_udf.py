@@ -365,10 +365,29 @@ def q_udf_cogroup_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group timestamp→datetime64 conversion was ~25% of the whole
     query (9.9 s → 7.4 s at sf0.1, output verified identical) — int64
     keys are the production shape for any asof UDF at corpus scale.
+
+    Optimization round 9 (guide §4.1): the cogroup key is a HASH BUCKET
+    of user_id, not user_id itself. Cogrouped applyInPandas pays a
+    fixed per-group cost (two pandas frames assembled, one Python call,
+    Arrow framing per group) — per-user groups meant one tiny frame
+    pair per user, and that fixed cost dominated end-to-end (~8-9 s at
+    sf0.1). Bucketing coarsens the group count to 4×parallelism while
+    ``pd.merge_asof(by=user)`` keeps the matching EXACTLY per-user
+    inside each bucket — same hash co-partitioning semantics, same
+    results, orders of magnitude fewer Python/Arrow round-trips. The
+    bucket is derived deterministically (pmod(xxhash64), guide §2.5),
+    so retried tasks regroup identically. NULL user_ids (one group
+    under Spark's grouping semantics, unlike the SQL oracle —
+    the ledgered nullkeys-corpus divergence) keep their behavior
+    bit-for-bit: xxhash64(NULL) is the fixed seed so they all land in
+    one bucket, and the UDF merges the NaN-key slice separately
+    WITHOUT ``by`` (pandas excludes NaN from ``by`` matching, Spark's
+    groupBy does not), which is exactly the old NULL-group merge.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", F.unix_micros("ts").alias("ts"), "user_id", "event_type"
     )
+    n_buckets = 4 * spark.sparkContext.defaultParallelism
     purchases = ev.filter(F.col("event_type") == "purchase").drop("event_type")
     # The right side's columns are RENAMED before the cogroup, not for
     # style: when both cogroup inputs expose the same column names,
@@ -390,30 +409,72 @@ def q_udf_cogroup_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    TOLERANCE_MICROS = 24 * 3600 * 1_000_000  # 24h
+
     def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # One bucket of users per call. float64 keys: Spark→pandas
+        # yields int64 (no NULLs) or float64+NaN (NULLs present) per
+        # frame, and merge_asof requires identical `by` dtypes on both
+        # sides — normalize to float64 (exact for |id| < 2^53).
         left = left.sort_values(["ts", "event_id"])
         right = right.sort_values(["view_ts", "view_event_id"]).rename(
             columns={"view_ts": "ts", "view_event_id": "view_id"}
         )
-        merged = pd.merge_asof(
-            left,
-            right[["ts", "view_id"]],
+        lk = left["user_id"].astype("float64")
+        rk = right["view_user_id"].astype("float64")
+        left = left.assign(_k=lk.values)
+        right = right.assign(_k=rk.values)
+        lmain = left[lk.notna().values]
+        rmain = right[rk.notna().values]
+        merged_main = pd.merge_asof(
+            lmain,
+            rmain[["ts", "_k", "view_id"]],
             on="ts",
+            by="_k",
             direction="backward",
-            tolerance=24 * 3600 * 1_000_000,  # 24h in micros
+            tolerance=TOLERANCE_MICROS,
         )
-        out = pd.DataFrame(
-            {
-                "user_id": left["user_id"].values,
-                "purchase_id": left["event_id"].values,
-                "view_id": merged["view_id"].astype("Int64").values,
-            }
-        )
-        return out
+        parts = [
+            pd.DataFrame(
+                {
+                    "user_id": lmain["user_id"].values,
+                    "purchase_id": lmain["event_id"].values,
+                    "view_id": merged_main["view_id"].astype("Int64").values,
+                }
+            )
+        ]
+        if not lk.notna().all():
+            # The NULL-user slice reproduces the old per-group merge of
+            # the NULL cogroup group: match on ts alone, no `by`.
+            lnull = left[lk.isna().values]
+            rnull = right[rk.isna().values]
+            merged_null = pd.merge_asof(
+                lnull,
+                rnull[["ts", "view_id"]],
+                on="ts",
+                direction="backward",
+                tolerance=TOLERANCE_MICROS,
+            )
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "user_id": lnull["user_id"].values,
+                        "purchase_id": lnull["event_id"].values,
+                        "view_id": merged_null["view_id"].astype("Int64").values,
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
 
     return (
-        purchases.groupBy("user_id")
-        .cogroup(views.groupBy("view_user_id"))
+        purchases.groupBy(
+            F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("b")
+        )
+        .cogroup(
+            views.groupBy(
+                F.pmod(F.xxhash64("view_user_id"), F.lit(n_buckets)).alias("vb")
+            )
+        )
         .applyInPandas(asof, schema="user_id bigint, purchase_id bigint, view_id bigint")
     )
 

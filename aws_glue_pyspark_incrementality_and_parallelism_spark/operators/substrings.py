@@ -92,7 +92,22 @@ def q_dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame
     the full algorithm): maximal runs of {SPAN_L}-char grams that recur
     in >= 2 distinct documents, with exact covered-char counts and a
     micro-unit coverage fraction — the cut signal for suffix-array-style
-    corpus dedup, computed relationally."""
+    corpus dedup, computed relationally.
+
+    Plan shape (optimization round 9 — guide §2.3/§2.4): the gram
+    relation is by far the widest intermediate (~|corpus chars| rows of
+    {SPAN_L}-char strings), so it must be produced ONCE and shuffled as
+    few times as possible. The original formulation (countDistinct
+    aggregate + left-semi join back, separate per-doc gram-count
+    branch) executed the explode pipeline FOUR times and shuffled the
+    gram relation for the aggregate AND the join; here the
+    cross-document test is a window over the gram partition —
+    ``min(doc_id) ≠ max(doc_id)`` is exactly ``COUNT(DISTINCT doc_id)
+    ≥ 2`` — so one exchange on ``gram`` replaces the
+    aggregate+semi-join pair, and the per-doc gram count rides the
+    existing islands aggregation (count per island, summed per doc)
+    instead of re-running the pipeline. Result: 4 gram pipelines → 1,
+    and the gram bytes cross the network once."""
     docs = load_table(spark, sf_dir, "documents")
     grams = (
         docs.filter(F.length("text") >= SPAN_L)
@@ -107,13 +122,17 @@ def q_dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select("doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "gram")
     )
-    dup_grams = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
+    # A gram recurs across >= 2 distinct docs ⟺ the min and max doc_id
+    # over its partition differ — one whole-partition window, no
+    # distinct-aggregate expansion, no join back.
+    wg = Window.partitionBy("gram")
+    dup_pos = (
+        grams.withColumn(
+            "is_dup", F.min("doc_id").over(wg) != F.max("doc_id").over(wg)
+        )
+        .filter(F.col("is_dup"))
+        .select("doc_id", "pos")
     )
-    dup_pos = grams.join(dup_grams, "gram", "left_semi").select("doc_id", "pos")
 
     w = Window.partitionBy("doc_id").orderBy("pos")
     cm = (
@@ -126,19 +145,23 @@ def q_dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame
             F.when(cm.isNull() | (F.col("pos") > cm), 1).otherwise(0)
         ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+    # Two-level aggregate, both satisfied by the islands windows' doc_id
+    # partitioning (no further exchange): per island the span length and
+    # its member-gram count, per doc the span census. Summing the
+    # island member counts IS the old per-doc dup-gram count.
     spans = isl.groupBy("doc_id", "isl_id").agg(
-        (F.max("pos") + F.lit(SPAN_L - 1) - F.min("pos") + 1).alias("covered")
+        (F.max("pos") + F.lit(SPAN_L - 1) - F.min("pos") + 1).alias("covered"),
+        F.count("*").alias("n_in_isl"),
     )
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
         F.sum("covered").cast("bigint").alias("covered_chars"),
+        F.sum("n_in_isl").cast("bigint").alias("n_dup_grams"),
     )
-    n_dup = dup_pos.groupBy("doc_id").agg(F.count("*").alias("n_dup_grams"))
 
     return (
         docs.select("doc_id", F.length("text").alias("tlen"))
         .join(per_doc, "doc_id", "left")
-        .join(n_dup, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),

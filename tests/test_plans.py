@@ -517,13 +517,21 @@ def test_cusum_windows_run_on_collapsed_series(spark):
 
 
 def test_substring_spans_no_cartesian_no_global_window(spark):
-    """The exact-substring dedup must stay relational: gram dup
-    detection is a hash aggregate + semi join on the gram key (never a
-    cartesian), and both window passes are partitioned by doc_id (no
-    single-partition global sort)."""
+    """The exact-substring dedup must stay relational AND single-pass:
+    gram dup detection is a min/max window over the gram partition
+    (min(doc_id) != max(doc_id) ⟺ COUNT(DISTINCT doc_id) >= 2), so the
+    gram relation — the widest intermediate — is generated ONCE and
+    never joined back (the round-9 rewrite of the countDistinct +
+    semi-join form, which executed the explode pipeline four times);
+    window passes stay partitioned (no single-partition global sort)."""
+    import re
+
     plan = _plan(spark, "dedup_exact_substring_spans")
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
-    assert "LeftSemi" in plan
+    # exactly ONE gram explode in the whole plan (numbered operator list)
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+    # and no distinct-aggregate expansion or semi join on the gram path
+    assert "LeftSemi" not in plan, plan
     # every window partitions by doc_id — a partition-less Window would
     # show 'Window [' with an empty partition spec
     import re
