@@ -902,10 +902,26 @@ def q_dedup_semdedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic on both engines: components quantized to micro-units
     (floor(x·10⁶+0.5)), then cos ≥ 0.35 ⟺ dot ≥ 0 ∧ 400·dot² ≥
     49·‖a‖²·‖b‖² (0.35² = 49/400 exactly; the square comparison runs in
-    decimal(38,0) here, HUGEINT in DuckDB — both exact). A float pair
-    within an ulp of the threshold therefore cannot become an edge on
-    one engine only, which matters because a single flipped edge
-    changes the transitive closure discretely."""
+    Python big-ints here (object dtype), HUGEINT in DuckDB — both
+    exact). A float pair within an ulp of the threshold therefore
+    cannot become an edge on one engine only, which matters because a
+    single flipped edge changes the transitive closure discretely.
+
+    Optimization round 9 (guide §4.2): the per-cell pair kernel IS the
+    blocked GEMM this docstring always promised for the 100 TB path.
+    The old form joined the cell to itself and evaluated the dot as
+    ``aggregate(zip_with(...))`` per pair — higher-order functions run
+    INTERPRETED (no codegen), and ~200k pairs × 64 dims cost 2.5 s of
+    the query's 7.8 s at sf0.1. Now each label cell ships its quantized
+    matrix across the Arrow boundary ONCE (O(n·dim) transfer, not
+    O(pairs·dim)) and one numpy int64 GEMM produces every pairwise dot
+    exactly (|dot| ≤ dim·10¹² ≪ 2⁶³); the wider-than-64-bit threshold
+    comparison runs in object-dtype Python ints, bit-identical to the
+    old decimal(38) comparison. Quantization stays JVM-side, so q/ss
+    values are unchanged; rows the old pair filter could never keep
+    (NULL q, NULL components, ss ≤ 0) are dropped before the boundary,
+    and unequal-length vectors — whose dots were NULL under zip_with's
+    NULL padding and thus filtered — pair only within length groups."""
     emb = load_table(spark, sf_dir, "embeddings")
     quant = F.transform(
         F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000000 + 0.5)
@@ -918,38 +934,44 @@ def q_dedup_semdedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q"), F.lit(0).cast("bigint"), lambda s, x: s + x * x
         ).alias("ss"),
     )
-    a = sized.select(
-        "label",
-        F.col("vec_id").alias("doc_a"),
-        F.col("q").alias("qa"),
-        F.col("ss").alias("ssa"),
-    )
-    b = sized.select(
-        "label",
-        F.col("vec_id").alias("doc_b"),
-        F.col("q").alias("qb"),
-        F.col("ss").alias("ssb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda s, x: s + x,
-    )
-    big = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+
+    def cell_edges(pdf):
+        import numpy as np
+        import pandas as pd
+
+        out_a: list = []
+        out_b: list = []
+        ok = pdf[pdf["q"].map(lambda v: not any(x is None for x in v))]
+        for _, grp in ok.groupby(ok["q"].map(len)):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("vec_id")
+            ids = grp["vec_id"].to_numpy()
+            Q = np.stack(grp["q"].to_numpy()).astype(np.int64)
+            D = Q @ Q.T  # exact: |dot| <= dim * 1e12 << 2^63
+            ss = grp["ss"].to_numpy().astype(object)
+            lhs = 400 * D.astype(object) ** 2
+            rhs = 49 * ss[:, None] * ss[None, :]
+            hit = (D >= 0) & (lhs >= rhs)
+            ia, ib = np.nonzero(np.triu(hit, k=1))
+            # strict doc_a < doc_b BY VALUE, exactly the old pair
+            # filter: duplicate vec_ids (doubled fact rows) must not
+            # emit (x, x) self-loops the join form never produced
+            ne = ids[ia] != ids[ib]
+            ia, ib = ia[ne], ib[ne]
+            out_a.extend(int(x) for x in ids[ia])
+            out_b.extend(int(x) for x in ids[ib])
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b}, dtype="int64")
+
+    # label must be non-NULL: the old self-join on `label` was an equi
+    # join, so NULL-label rows never paired — groupBy would give NULLs
+    # their own group, silently un-dropping them.
     edges = (
-        a.join(b, "label")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("dot", dot)
-        .filter(
-            (F.col("ssa") > 0)
-            & (F.col("ssb") > 0)
-            & (F.col("dot") >= 0)
-            & (
-                F.lit(400).cast("decimal(19,0)") * big(F.col("dot")) * big(F.col("dot"))
-                >= F.lit(49).cast("decimal(19,0)") * big(F.col("ssa")) * big(F.col("ssb"))
-            )
+        sized.filter(
+            F.col("label").isNotNull() & F.col("q").isNotNull() & (F.col("ss") > 0)
         )
-        .select("doc_a", "doc_b")
+        .groupBy("label")
+        .applyInPandas(cell_edges, schema="doc_a bigint, doc_b bigint")
     )
     comp = connected_components(edges, emb.select(F.col("vec_id").alias("doc_id")))
     purged = comp.filter(F.col("doc_id") != F.col("comp"))
