@@ -200,21 +200,63 @@ def q_udf_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     the X.XXXX5 rounding boundary, where the two engines' doubles can
     legitimately straddle (observed at t=4..5, impossible for t ≥ 8
     because the exact decimal value then extends past the boundary
-    digit)."""
+    digit).
+
+    Optimization round 9 (guide §4.1, same move as
+    [[udf_cogroup_asof_merge]]): the grouping key is a deterministic
+    HASH BUCKET of user_id (4×parallelism groups), not user_id — per-
+    user groups paid a fixed pandas/Arrow cost per tiny group. Inside
+    each bucket, pandas' cythonized ``groupby(user).ewm()`` runs the
+    SAME recurrence per user in one vectorized pass (group order is
+    the bucket frame's (ts, event_id) sort, exactly the old per-group
+    sort). The NaN-key slice (Spark groups NULLs together; pandas
+    groupby drops NaN) is computed separately as one series —
+    bit-identical to the old NULL group."""
     alpha = 0.3
     warmup = 8
     events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    n_buckets = 4 * spark.sparkContext.defaultParallelism
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        pdf["ewma_value"] = (
-            pdf["value"].ewm(alpha=alpha, adjust=False).mean().round(4)
-        )
-        return pdf[["user_id", "event_id", "ewma_value"]].iloc[warmup - 1:]
+        key = pdf["user_id"]
+        parts = []
+        sub = pdf[key.notna().values]
+        if len(sub):
+            g = sub.groupby("user_id", sort=False)
+            ew = g["value"].ewm(alpha=alpha, adjust=False).mean().round(4)
+            ew = ew.reset_index(level=0, drop=True)[sub.index]
+            keep = (g.cumcount() >= warmup - 1).values
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "user_id": sub["user_id"].values[keep],
+                        "event_id": sub["event_id"].values[keep],
+                        "ewma_value": ew.values[keep],
+                    }
+                )
+            )
+        nsub = pdf[key.isna().values]
+        if len(nsub):
+            ew = nsub["value"].ewm(alpha=alpha, adjust=False).mean().round(4)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "user_id": nsub["user_id"].values[warmup - 1:],
+                        "event_id": nsub["event_id"].values[warmup - 1:],
+                        "ewma_value": ew.values[warmup - 1:],
+                    }
+                )
+            )
+        if not parts:
+            return pd.DataFrame(
+                {"user_id": [], "event_id": [], "ewma_value": []}
+            ).astype({"user_id": "float64", "event_id": "int64", "ewma_value": "float64"})
+        return pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
 
-    return events.groupBy("user_id").applyInPandas(
-        ewma, "user_id long, event_id long, ewma_value double"
-    )
+    return events.groupBy(
+        F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("b")
+    ).applyInPandas(ewma, "user_id long, event_id long, ewma_value double")
 
 
 @query(
