@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
-from ..session import pin
+from ..session import fan_out_compute, pin
 from ..sources.io import load_table, register_views
 
 
@@ -1058,8 +1058,14 @@ def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         return w.otherwise(6)
 
     j = F.explode(F.sequence(F.lit(0), F.lit(24))).alias("j")
+    # r9 (guide §2.5): the single-row-group scan gives this pipeline ONE
+    # task, so the whole rows×25 md5 + 100-compare weight kernel ran on
+    # one core (3.7 s of the 4.7 s isolated floor at sf0.1). Hash
+    # repartition on the unique o_orderkey spreads the kernel across the
+    # cluster for a ~2.4 MB shuffle of the narrow (key, cents) rows;
+    # no-op once the scan already has cluster parallelism (100 TB case).
     lanes = (
-        orders.select("o_orderkey", "cents", j)
+        fan_out_compute(orders, "o_orderkey").select("o_orderkey", "cents", j)
         .withColumn("h", F.md5(F.concat_ws(":", F.col("j"), F.col("o_orderkey"))))
         .select("cents", "j", *[_wt(l).alias(f"wt{l}") for l in range(4)])
     )

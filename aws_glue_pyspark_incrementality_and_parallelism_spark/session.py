@@ -61,6 +61,39 @@ def pin(df, eager: bool = True):
     return df.localCheckpoint(eager=eager)
 
 
+def fan_out_compute(df, *cols, min_parts: int | None = None):
+    """Scale-adaptive fan-out for compute-heavy map stages (r9, guide
+    §2.5 "one huge unsplittable file" / §2.6 stragglers). Use as
+    ``df.transform(fan_out_compute)`` immediately before a CPU-bound
+    projection/partial-aggregate (md5 replicate weights, token
+    explode + hash votes, gram generation).
+
+    Why: the bench corpus — like any freshly-ingested staging drop —
+    arrives as single-row-group parquet, so a scan is ONE task no
+    matter the split config, and every expensive expression that rides
+    the scan stage runs on one core of 32 (measured: agg_bootstrap_ci's
+    explode+md5 kernel 3.7 s single-task at sf0.1). A hash repartition
+    on the relation's unique key spreads the heavy stage across the
+    cluster for the price of shuffling the narrow pre-explode rows.
+
+    Scale-adaptive, not a local constant: when the scan already has at
+    least cluster parallelism (any real 100 TB table), this is a NO-OP
+    — no exchange is added, so the production plan keeps its
+    shuffle-free scan stage. The target count is
+    ``defaultParallelism`` (driver-controlled via SPARK_GRAFT_CPUS),
+    never a literal. Pass a high-cardinality (ideally unique) key
+    column for deterministic-under-retry hash spreading (guide §2.5's
+    preference over round-robin); the keyless form round-robins
+    (deterministic via Spark's sort-before-repartition default,
+    SPARK-23207, at the cost of that local sort).
+    """
+    sc = df.sparkSession.sparkContext
+    n = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def pickle_module_by_value(module_name: str) -> None:
     """Ship a module's functions BY VALUE into Python workers.
 
