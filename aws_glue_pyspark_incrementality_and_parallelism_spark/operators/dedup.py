@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..plans.registry import query
-from ..session import pin
+from ..session import fan_out_compute, pin
 from ..sources.io import load_table
 
 #: MinHash parameters: 32 hashes = 8 bands × 4 rows. With threshold
@@ -400,7 +400,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern: hash internals stay unconstrained, the invariants are
     pinned. Pair-level values are oracled in
     ``dedup_minhash_portable``."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r9 (guide §2.5): fan the raw single-row-group scan out on doc_id
+    # so BOTH branches' shingle explode + hash kernels (the exact
+    # inverted-index truth and the 32-slot MinHash aggregate) run at
+    # cluster parallelism instead of one scan task each; the two
+    # branches share the one fan-out exchange via ReuseExchange.
+    docs = fan_out_compute(load_table(spark, sf_dir, "documents"), "doc_id")
     truth = exact_near_dup_pairs(docs).withColumn("t", F.lit(1))
     found = (
         minhash_verified_pairs(docs)
@@ -605,7 +610,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    tok = tagged.select(
+    # r9 (guide §2.4/§2.5): hash-repartition the tagged union on the
+    # vote key BEFORE tokenize/explode — the single-row-group scans gave
+    # the explode + 64-bit-count partial aggregate ONE task per branch,
+    # and the exchange it replaces (ENSURE_REQUIREMENTS after the
+    # partial agg) carried 66 aggregate columns where this one carries
+    # the raw text rows. Keyed on (doc_id, tag) = the vote aggregate's
+    # grouping key, so the downstream groupBy reuses this partitioning
+    # and the post-explode shuffle disappears. No-op at scan parallelism
+    # ≥ cluster parallelism (the 100 TB case).
+    tok = fan_out_compute(tagged, "doc_id", "tag").select(
         "tag", "doc_id", F.explode(_tokens(F.col("text"))).alias("t")
     ).select("tag", "doc_id", F.xxhash64("t").alias("h"))
     fps = _simhash_vote_agg(tok, ["doc_id", "tag"])

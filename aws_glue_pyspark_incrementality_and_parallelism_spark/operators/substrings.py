@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..plans.registry import query
+from ..session import fan_out_compute
 from ..sources.io import load_table
 
 #: Minimum duplicated-substring length, in characters.
@@ -109,8 +110,12 @@ def q_dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame
     instead of re-running the pipeline. Result: 4 gram pipelines → 1,
     and the gram bytes cross the network once."""
     docs = load_table(spark, sf_dir, "documents")
+    # r9 (guide §2.5): the single-row-group scan runs the whole gram
+    # posexplode (the ~|corpus chars|-row blow-up) on ONE task; hash
+    # fan-out on doc_id spreads it across the cluster for a shuffle of
+    # the pre-explode doc rows. No-op at real-table scan parallelism.
     grams = (
-        docs.filter(F.length("text") >= SPAN_L)
+        fan_out_compute(docs, "doc_id").filter(F.length("text") >= SPAN_L)
         .select(
             "doc_id",
             F.posexplode(
