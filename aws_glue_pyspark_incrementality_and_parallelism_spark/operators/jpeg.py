@@ -52,8 +52,7 @@ def encode_gray_baseline(img: "np.ndarray") -> bytes:
 
     dc_syms = list(range(12))
     ac_syms = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
-    dc_codes = {sym: (8, i) for i, sym in enumerate(dc_syms)}
-    ac_codes = {sym: (9, i) for i, sym in enumerate(ac_syms)}
+    ac_code = {sym: i for i, sym in enumerate(ac_syms)}
     dc_counts = [0] * 16
     dc_counts[7] = len(dc_syms)
     ac_counts = [0] * 16
@@ -67,56 +66,73 @@ def encode_gray_baseline(img: "np.ndarray") -> bytes:
         out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
     out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
 
+    # r9 (guide §4.2): the DCT runs over ALL blocks as one broadcast
+    # 8x8 matmul pair (same per-block operands and products as the old
+    # per-block loop — byte-identical output, asserted by the
+    # old-vs-new equivalence sweep in tests/test_jpeg.py), and the
+    # entropy coder packs whole symbols into an int accumulator instead
+    # of looping per BIT (the old encoder's dominant cost at ~12
+    # Python ops per output bit).
+    blocks = (
+        plane.reshape(mcus_y, 8, mcus_x, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    coefs = np.rint(_M[None] @ (blocks - 128.0) @ _M.T[None]).astype(np.int64)
+    zz_all = coefs.reshape(-1, 64)[:, _ZIGZAG]
+    nzmask = zz_all[:, 1:] != 0
+    any_nz = nzmask.any(axis=1)
+    # index (1..63) of the last nonzero AC coefficient, 0 when none
+    last_all = np.where(any_nz, 63 - np.argmax(nzmask[:, ::-1], axis=1), 0)
+    zz_list = zz_all.tolist()
+    last_list = last_all.tolist()
+
     bits = bytearray()
-    acc = nbits = 0
+    append = bits.append
+    acc = 0
+    nbits = 0
 
     def put(value: int, n: int) -> None:
         nonlocal acc, nbits
-        for i in range(n - 1, -1, -1):
-            acc = (acc << 1) | ((value >> i) & 1)
-            nbits += 1
-            if nbits == 8:
-                bits.append(acc)
-                if acc == 0xFF:
-                    bits.append(0x00)
-                acc = 0
-                nbits = 0
+        acc = (acc << n) | (value & ((1 << n) - 1))
+        nbits += n
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            append(byte)
+            if byte == 0xFF:
+                append(0x00)
+        acc &= (1 << nbits) - 1
 
     pred = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            block = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
-            coef = np.rint(_M @ (block - 128.0) @ _M.T).astype(int)
-            zz = coef.reshape(-1)[_ZIGZAG]
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            s = abs(diff).bit_length()
-            ln, code = dc_codes[s]
-            put(code, ln)
-            if s:
-                put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            nz = np.nonzero(zz[1:])[0]
-            last = (int(nz[-1]) + 1) if len(nz) else 0
+    for bi, zz in enumerate(zz_list):
+        dc = zz[0]
+        diff = dc - pred
+        pred = dc
+        s = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+        put(s, 8)  # dc code for symbol s IS s (flat 8-bit canonical table)
+        if s:
+            put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        last = last_list[bi]
+        run = 0
+        for k in range(1, last + 1):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                put(1, 9)  # ac_code[0xF0] == 1
+                run -= 16
+            s = v.bit_length() if v >= 0 else (-v).bit_length()
+            put(ac_code[(run << 4) | s], 9)
+            put(v if v >= 0 else v + (1 << s) - 1, s)
             run = 0
-            for k in range(1, last + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    ln, code = ac_codes[0xF0]
-                    put(code, ln)
-                    run -= 16
-                s = abs(v).bit_length()
-                ln, code = ac_codes[(run << 4) | s]
-                put(code, ln)
-                put(v if v >= 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last < 63:
-                ln, code = ac_codes[0x00]
-                put(code, ln)
-    while nbits:
-        put(1, 1)
+        if last < 63:
+            put(0, 9)  # ac_code[0x00] == 0 (EOB)
+    if nbits:
+        pad = 8 - nbits
+        acc = (acc << pad) | ((1 << pad) - 1)
+        append(acc & 0xFF)
+        if (acc & 0xFF) == 0xFF:
+            append(0x00)
     out += bits + b"\xff\xd9"
     return bytes(out)
 
@@ -147,55 +163,91 @@ _M = _dct_basis()
 
 class _BitReader:
     """MSB-first bit reader over an entropy-coded segment (already
-    unstuffed; RST markers handled by the caller via segment splits)."""
+    unstuffed; RST markers handled by the caller via segment splits).
 
-    __slots__ = ("data", "pos", "bit")
+    r9 (guide §4.2): int-accumulator refill + 16-bit peeks replace the
+    old per-BIT loop (the decoder's dominant cost — ~8 Python ops per
+    input bit). Reads past the end yield 0-bits, as before."""
+
+    __slots__ = ("data", "n", "pos", "acc", "nbits")
 
     def __init__(self, data: bytes):
         self.data = data
+        self.n = len(data)
         self.pos = 0
-        self.bit = 0
+        self.acc = 0
+        self.nbits = 0
 
-    def read_bit(self) -> int:
-        if self.pos >= len(self.data):
-            # Past the end: the spec pads the final byte with 1-bits.
-            return 0
-        b = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
-        return b
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            if self.pos < self.n:
+                self.acc = (self.acc << 8) | self.data[self.pos]
+                self.pos += 1
+            else:
+                self.acc <<= 8  # past the end: 0-bits (matches old reader)
+            self.nbits += 8
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill(n)
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._fill(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
 
-def _build_huffman(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
-    """Canonical Huffman: {(code_length, code): symbol}."""
-    table: dict[tuple[int, int], int] = {}
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
+
+#: (counts, symbols) -> peek-table cache. Corpus decodes see the same
+#: few DHT segments thousands of times; building the 64 KiB peek table
+#: once per distinct table makes _decode_symbol one lookup per symbol.
+_HUFF_CACHE: dict[bytes, tuple[list[int], list[int]]] = {}
+
+
+def _build_huffman(counts: list[int], symbols: bytes) -> tuple[list[int], list[int]]:
+    """Canonical Huffman as a 16-bit peek table: (sym_at, len_at) lists
+    of size 65536 — index with the next 16 bits of the stream, read the
+    symbol and its true code length (0 length = invalid prefix)."""
+    key = bytes(counts) + bytes(symbols)
+    cached = _HUFF_CACHE.get(key)
+    if cached is not None:
+        return cached
+    sym_at = [0] * 65536
+    len_at = [0] * 65536
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(counts[length - 1]):
-            table[(length, code)] = symbols[k]
+            prefix = code << (16 - length)
+            span = 1 << (16 - length)
+            sym_at[prefix : prefix + span] = [symbols[k]] * span
+            len_at[prefix : prefix + span] = [length] * span
             code += 1
             k += 1
         code <<= 1
-    return table
+    if len(_HUFF_CACHE) > 64:
+        _HUFF_CACHE.clear()
+    _HUFF_CACHE[key] = (sym_at, len_at)
+    return sym_at, len_at
 
 
-def _decode_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in entropy stream")
+def _decode_symbol(reader: _BitReader, table: tuple[list[int], list[int]]) -> int:
+    sym_at, len_at = table
+    idx = reader.peek16()
+    ln = len_at[idx]
+    if ln == 0:
+        raise ValueError("invalid Huffman code in entropy stream")
+    reader.skip(ln)
+    return sym_at[idx]
 
 
 def _extend(value: int, size: int) -> int:
@@ -336,30 +388,22 @@ def _decode_scan(
     mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
 
     # Split on RST markers (predictors reset per restart segment) and
-    # unstuff 0xFF00 inside each segment.
-    segments: list[bytes] = []
-    cur = bytearray()
-    i = 0
-    while i < len(scan):
-        b = scan[i]
-        if b == 0xFF and i + 1 < len(scan):
-            nxt = scan[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-        cur.append(b)
-        i += 1
-    segments.append(bytes(cur))
+    # unstuff 0xFF00 inside each segment — C-speed bytes ops (r9) in
+    # place of the old per-byte Python loop. The scan contains no other
+    # markers (the caller already stopped at the first non-RST,
+    # non-stuffing 0xFF), so splitting on FF D0-D7 then collapsing
+    # FF 00 is exactly the old state machine.
+    import re as _re
+
+    segments = [
+        s.replace(b"\xff\x00", b"\xff")
+        for s in _re.split(b"\xff[\xd0-\xd7]", scan)
+    ]
 
     seg_idx = 0
     reader = _BitReader(segments[0])
     mcu_count = 0
+    zz_rows: dict[int, list[list[int]]] = {id(c): [] for c in comps}
     for comp in comps:
         comp.pred = 0
     for _ in range(mcus_x * mcus_y):
@@ -370,16 +414,17 @@ def _decode_scan(
             for comp in comps:
                 comp.pred = 0
         for comp in comps:
-            q = qtables[comp.tq]
+            rows = zz_rows[id(comp)]
+            dc_table, ac_table = comp.dc_table, comp.ac_table
             for _ in range(comp.h * comp.v):
-                zz = np.zeros(64, np.int32)
-                t = _decode_symbol(reader, comp.dc_table)
+                zz = [0] * 64
+                t = _decode_symbol(reader, dc_table)
                 diff = _extend(reader.read_bits(t), t)
                 comp.pred += diff
                 zz[0] = comp.pred
                 k = 1
                 while k < 64:
-                    rs = _decode_symbol(reader, comp.ac_table)
+                    rs = _decode_symbol(reader, ac_table)
                     r, s = rs >> 4, rs & 0xF
                     if s == 0:
                         if r == 15:  # ZRL: 16 zeros
@@ -391,10 +436,18 @@ def _decode_scan(
                         raise ValueError("AC run past end of block")
                     zz[k] = _extend(reader.read_bits(s), s)
                     k += 1
-                block = np.zeros(64, np.int32)
-                block[_ZIGZAG] = zz * q
-                comp.blocks.append(block.reshape(8, 8))
+                rows.append(zz)
         mcu_count += 1
+    # Dequantize + dezigzag every block of the scan at once (was one
+    # 64-element scatter per block).
+    for comp in comps:
+        rows = zz_rows[id(comp)]
+        if not rows:
+            continue
+        deq = np.asarray(rows, np.int32) * qtables[comp.tq][None, :]
+        blocks = np.zeros((len(rows), 64), np.int32)
+        blocks[:, _ZIGZAG] = deq
+        comp.blocks.append(blocks.reshape(-1, 8, 8))
 
 
 def _assemble(comps: list[_Component], width: int, height: int) -> np.ndarray:
@@ -405,18 +458,27 @@ def _assemble(comps: list[_Component], width: int, height: int) -> np.ndarray:
 
     planes: list[np.ndarray] = []
     for comp in comps:
-        samples = _idct_blocks(np.stack(comp.blocks)).astype(np.float64)
+        samples = _idct_blocks(np.concatenate(comp.blocks)).astype(np.float64)
         pw, ph = 8 * comp.h * mcus_x, 8 * comp.v * mcus_y
-        plane = np.zeros((ph, pw), np.float64)
-        bi = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for by in range(comp.v):
-                    for bx in range(comp.h):
-                        y0 = (my * comp.v + by) * 8
-                        x0 = (mx * comp.h + bx) * 8
-                        plane[y0 : y0 + 8, x0 : x0 + 8] = samples[bi]
-                        bi += 1
+        if comp.h == 1 and comp.v == 1:
+            # one block per MCU for this component: MCU scan order IS
+            # (my, mx) row-major — a pure reshape places every block
+            plane = (
+                samples.reshape(mcus_y, mcus_x, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(ph, pw)
+            )
+        else:
+            plane = np.zeros((ph, pw), np.float64)
+            bi = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for by in range(comp.v):
+                        for bx in range(comp.h):
+                            y0 = (my * comp.v + by) * 8
+                            x0 = (mx * comp.h + bx) * 8
+                            plane[y0 : y0 + 8, x0 : x0 + 8] = samples[bi]
+                            bi += 1
         # nearest-neighbor upsample to full resolution, crop to size
         plane = np.repeat(np.repeat(plane, vmax // comp.v, axis=0), hmax // comp.h, axis=1)
         planes.append(plane[:height, :width])

@@ -122,6 +122,30 @@ def _sysinfo() -> dict:
         info["mem_available_gib"] = round(mem.get("MemAvailable", 0) / 1048576, 1)
     except OSError:
         pass
+    # Hypervisor steal (r9 bench hygiene): loadavg only sees THIS VM's
+    # runnable tasks, but round-over-round walls on this host swing 3×
+    # with CPU stolen by co-tenants (observed cumulative steal ≈ 45% of
+    # user ticks mid-round-9). Record the counter plus a ~100 ms
+    # single-core hash calibration so a reader can normalize a headline
+    # against host speed instead of guessing.
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        info["cpu_ticks_user"] = int(parts[1])
+        info["cpu_ticks_steal"] = int(parts[8])
+    except (OSError, IndexError, ValueError):
+        pass
+    try:
+        import hashlib
+        import time as _t
+
+        t0 = _t.perf_counter()
+        h = b"calib"
+        for _ in range(200_000):
+            h = hashlib.md5(h).digest()
+        info["calib_md5_200k_ms"] = round((_t.perf_counter() - t0) * 1000, 1)
+    except Exception:  # noqa: BLE001
+        pass
     return info
 
 

@@ -318,3 +318,141 @@ def test_truncated_and_garbage_fail_loudly():
     payload = encode_baseline_jpeg(img)
     with pytest.raises((ValueError, struct.error, IndexError)):
         decode_baseline_jpeg(payload[:20])
+
+
+# ------------------------------------------- r9 fast-path equivalence
+
+
+def test_encoder_bit_packer_matches_per_bit_reference():
+    """r9 pin: encode_gray_baseline's int-accumulator bit packer (and
+    batched DCT) must be byte-identical to the original per-bit
+    formulation. Reference = the pre-r9 algorithm, inlined."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.jpeg import (
+        _M,
+        _ZIGZAG,
+        encode_gray_baseline,
+    )
+
+    def reference_entropy(img: np.ndarray) -> bytes:
+        h, w = img.shape
+        mcus_x, mcus_y = (w + 7) // 8, (h + 7) // 8
+        plane = np.pad(
+            img.astype(np.float64),
+            ((0, 8 * mcus_y - h), (0, 8 * mcus_x - w)),
+            mode="edge",
+        )
+        dc_codes = {s: (8, s) for s in range(12)}
+        ac_syms = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+        ac_codes = {sym: (9, i) for i, sym in enumerate(ac_syms)}
+        bits = bytearray()
+        acc = nbits = 0
+
+        def put(value, n):
+            nonlocal acc, nbits
+            for i in range(n - 1, -1, -1):
+                acc = (acc << 1) | ((value >> i) & 1)
+                nbits += 1
+                if nbits == 8:
+                    bits.append(acc)
+                    if acc == 0xFF:
+                        bits.append(0x00)
+                    acc = 0
+                    nbits = 0
+
+        pred = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                block = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                coef = np.rint(_M @ (block - 128.0) @ _M.T).astype(int)
+                zz = coef.reshape(-1)[_ZIGZAG]
+                diff = int(zz[0]) - pred
+                pred = int(zz[0])
+                s = abs(diff).bit_length()
+                ln, code = dc_codes[s]
+                put(code, ln)
+                if s:
+                    put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                nz = np.nonzero(zz[1:])[0]
+                last = (int(nz[-1]) + 1) if len(nz) else 0
+                run = 0
+                for k in range(1, last + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_codes[0xF0]
+                        put(code, ln)
+                        run -= 16
+                    s = abs(v).bit_length()
+                    ln, code = ac_codes[(run << 4) | s]
+                    put(code, ln)
+                    put(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < 63:
+                    ln, code = ac_codes[0x00]
+                    put(code, ln)
+        while nbits:
+            put(1, 1)
+        return bytes(bits)
+
+    rng = np.random.RandomState(7)
+    for shape in [(8, 8), (12, 16), (9, 7), (16, 24), (1, 1)]:
+        for img in (
+            rng.randint(0, 256, shape).astype(np.uint8),
+            np.full(shape, 128, np.uint8),
+            (np.add.outer(np.arange(shape[0]), np.arange(shape[1])) % 256).astype(
+                np.uint8
+            ),
+        ):
+            payload = encode_gray_baseline(img)
+            sos = payload.find(b"\xff\xda")
+            scan = payload[sos + 2 + 8 : -2]  # between SOS header and EOI
+            assert scan == reference_entropy(img), shape
+
+
+def test_peek_table_huffman_matches_canonical_walk():
+    """r9 pin: the 16-bit peek-table decode must agree with a
+    bit-by-bit canonical-code walk on a NON-flat table (mixed code
+    lengths, like real optimized JPEGs)."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.jpeg import (
+        _BitReader,
+        _build_huffman,
+        _decode_symbol,
+    )
+
+    # lengths: 1 code of 2 bits, 3 of 3 bits, 2 of 5 bits
+    counts = [0, 1, 3, 0, 2] + [0] * 11
+    symbols = bytes([10, 20, 21, 22, 30, 31])
+    table = _build_huffman(counts, symbols)
+
+    # canonical codes, by construction
+    codes = {10: (2, 0b00), 20: (3, 0b010), 21: (3, 0b011), 22: (3, 0b100),
+             30: (5, 0b10100), 31: (5, 0b10101)}
+    seq = [10, 30, 22, 20, 31, 21, 10, 10, 30]
+    acc = 0
+    nbits = 0
+    for sym in seq:
+        ln, code = codes[sym]
+        acc = (acc << ln) | code
+        nbits += ln
+    pad = (8 - nbits % 8) % 8
+    acc <<= pad
+    nbits += pad
+    data = acc.to_bytes(nbits // 8, "big")
+
+    reader = _BitReader(data)
+    assert [_decode_symbol(reader, table) for _ in seq] == seq
+
+
+def test_bit_reader_past_end_yields_zero_bits():
+    """r9 pin: reads past the segment end return 0-bits (the pre-r9
+    reader's convention — decoders rely on it for final-block EOBs)."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators.jpeg import (
+        _BitReader,
+    )
+
+    r = _BitReader(b"\xa5")
+    assert r.read_bits(8) == 0xA5
+    assert r.read_bits(5) == 0
+    assert r.read_bits(16) == 0
