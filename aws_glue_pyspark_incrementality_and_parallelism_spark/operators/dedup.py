@@ -33,6 +33,12 @@ LSH_BANDS = 8
 LSH_ROWS = 4
 SHINGLE_N = 3
 
+#: Row-block edge for the semdedup per-cell GEMM (r10, guide §5): a label
+#: cell larger than this is processed in TILE×TILE dot blocks so one hot
+#: cell (the MEGAKEY shape) costs O(TILE²) peak task memory, not O(n²).
+#: 4096² int64 dots = 128 MiB/tile — comfortably inside a task's share.
+_GEMM_TILE = 4096
+
 
 def normalized_fingerprint(text: Column) -> Column:
     """Canonical-text fingerprint: lowercase, collapse all whitespace,
@@ -188,7 +194,10 @@ LSH_BUCKET_CAP = 1000
 
 
 def minhash_candidate_pairs(
-    docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP, materialize: bool = True
+    docs: DataFrame,
+    bucket_cap: int = LSH_BUCKET_CAP,
+    materialize: bool = True,
+    with_sets: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one (band, band-hash)
     bucket. The only shuffles are the doc-id hash-aggregate and the
@@ -296,6 +305,12 @@ def minhash_candidate_pairs(
     # tests, which pin the band equi-join skeleton the checkpoint hides.)
     if materialize:
         cands = cands.transform(pin)
+    if not with_sets:
+        # r10: a caller that verifies candidates against an exact pair
+        # relation it already computes (q_dedup_minhash_lsh joins the
+        # ground-truth jaccard pairs) needs no shingle sets — skip the
+        # second shingling pass entirely.
+        return cands
     cand_ids = cands.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
     cand_sets = (
         shingle_rows(docs.join(cand_ids, "doc_id", "left_semi"))
@@ -334,14 +349,48 @@ def exact_near_dup_pairs(docs: DataFrame) -> DataFrame:
     the co-shingle join stays near-linear on real text. (At web scale
     a hot boilerplate shingle would need the same cap treatment as the
     LSH mega-bucket guard — this helper is the verification oracle, the
-    LSH path is the 100 TB algorithm.)"""
-    sh = shingle_rows(docs).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    LSH path is the 100 TB algorithm.)
+
+    Optimization round 10 (guide §2.3/§2.4, r9 verdict task #4): the
+    inverted index is MATERIALIZED as one aggregate —
+    ``groupBy(s).collect_set(doc_id)`` — instead of a distinct + self
+    join. The old shape ran the shingle explode + distinct pipeline
+    three times (both join sides + the per-doc sizes) and shuffled the
+    shingle relation for the distinct AND both join inputs; now the
+    shingle rows shuffle ONCE (collect_set subsumes the distinct), the
+    co-shingle pairs are generated in place from each posting list
+    (sort_array gives strict doc_a < doc_b, exactly the old a.doc_id <
+    b.doc_id join predicate over distinct rows), and the per-doc sizes
+    are one explode over the SAME posting lists — the two consumers
+    share the aggregate's exchange. NULL shingles (NULL-text docs) are
+    dropped by collect_set exactly as the old equi-join never matched
+    them; such docs also never produced inter rows, and their sizes
+    rows were join-dead (only pair participants' sizes are read), so
+    the emitted pairs are identical."""
+    inv = (
+        # s IS NOT NULL: the old a.s == b.s equi-join never matched NULL
+        # shingles (NULL-text docs); groupBy would give NULLs one shared
+        # group and silently pair them.
+        shingle_rows(docs)
+        .filter(F.col("s").isNotNull())
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+    )
+    sizes = (
+        inv.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    pair_structs = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids) - i - 1),"
+        " y -> named_struct('doc_a', x, 'doc_b', y))))"
+    )
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        inv.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
@@ -406,10 +455,28 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster parallelism instead of one scan task each; the two
     # branches share the one fan-out exchange via ReuseExchange.
     docs = fan_out_compute(load_table(spark, sf_dir, "documents"), "doc_id")
-    truth = exact_near_dup_pairs(docs).withColumn("t", F.lit(1))
+    # r10 (r9 verdict task #4): the LSH branch's per-candidate exact
+    # verification IS membership in the exact ground-truth relation this
+    # query computes anyway — for any candidate pair, the old
+    # size(array_intersect)/size(array_union) over collect_set shingle
+    # sets equals n_common/(na+nb-n_common) over distinct shingle rows
+    # term for term (collect_set drops exactly the NULL shingles the
+    # row form never joins on, and a pair with an empty shingle union
+    # was dropped by try_divide's NULL just as an absent inter row drops
+    # it here). So verified-found = candidates ∩ truth, and the second
+    # shingling pass (semi-join + two collect_set pipelines + array
+    # intersect/union per pair) disappears from the plan.
+    # (Measured, r10: a lazy localCheckpoint of truth_pairs — RDD-level
+    # sharing instead of the duplicated subtree — was ~35% SLOWER
+    # end-to-end: AQE stage reuse already dedups the identical exchange
+    # subtrees at runtime, and the checkpoint serializes work the two
+    # branches otherwise overlap. Ledgered negative; keep the plain
+    # shared subplan.)
+    truth_pairs = exact_near_dup_pairs(docs)
+    truth = truth_pairs.withColumn("t", F.lit(1))
     found = (
-        minhash_verified_pairs(docs)
-        .select("doc_a", "doc_b")
+        minhash_candidate_pairs(docs, with_sets=False)
+        .join(truth_pairs, ["doc_a", "doc_b"])
         .withColumn("f", F.lit(1))
     )
     j = truth.join(found, ["doc_a", "doc_b"], "full")
@@ -949,34 +1016,6 @@ def q_dedup_semdedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ss"),
     )
 
-    def cell_edges(pdf):
-        import numpy as np
-        import pandas as pd
-
-        out_a: list = []
-        out_b: list = []
-        ok = pdf[pdf["q"].map(lambda v: not any(x is None for x in v))]
-        for _, grp in ok.groupby(ok["q"].map(len)):
-            if len(grp) < 2:
-                continue
-            grp = grp.sort_values("vec_id")
-            ids = grp["vec_id"].to_numpy()
-            Q = np.stack(grp["q"].to_numpy()).astype(np.int64)
-            D = Q @ Q.T  # exact: |dot| <= dim * 1e12 << 2^63
-            ss = grp["ss"].to_numpy().astype(object)
-            lhs = 400 * D.astype(object) ** 2
-            rhs = 49 * ss[:, None] * ss[None, :]
-            hit = (D >= 0) & (lhs >= rhs)
-            ia, ib = np.nonzero(np.triu(hit, k=1))
-            # strict doc_a < doc_b BY VALUE, exactly the old pair
-            # filter: duplicate vec_ids (doubled fact rows) must not
-            # emit (x, x) self-loops the join form never produced
-            ne = ids[ia] != ids[ib]
-            ia, ib = ia[ne], ib[ne]
-            out_a.extend(int(x) for x in ids[ia])
-            out_b.extend(int(x) for x in ids[ib])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b}, dtype="int64")
-
     # label must be non-NULL: the old self-join on `label` was an equi
     # join, so NULL-label rows never paired — groupBy would give NULLs
     # their own group, silently un-dropping them.
@@ -985,13 +1024,75 @@ def q_dedup_semdedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").isNotNull() & F.col("q").isNotNull() & (F.col("ss") > 0)
         )
         .groupBy("label")
-        .applyInPandas(cell_edges, schema="doc_a bigint, doc_b bigint")
+        .applyInPandas(_semdedup_cell_edges, schema="doc_a bigint, doc_b bigint")
     )
     comp = connected_components(edges, emb.select(F.col("vec_id").alias("doc_id")))
     purged = comp.filter(F.col("doc_id") != F.col("comp"))
     return purged.join(emb.select("vec_id", "label"), purged.doc_id == F.col("vec_id")).select(
         "label", "vec_id", F.col("comp").alias("keeper")
     )
+
+
+def _semdedup_cell_edges(pdf):
+    """Per-cell exact-threshold pair kernel for [[dedup_semdedup_purge]]
+    (module-level so the tiling is unit-testable; shipped by value via
+    ``pickle_module_by_value`` below)."""
+    import numpy as np
+    import pandas as pd
+
+    out_a: list = []
+    out_b: list = []
+
+    def _tile_hits(D, ssa, ssb):
+        """Exact >=-threshold mask for one dot tile, without object
+        math on the full tile (r10, guide §5): dot and ss each fit
+        float64 EXACTLY (|dot| <= dim*1e12 < 2^53), so a float64
+        screen with a relative margin decides all but the few
+        entries within rounding distance of 400*dot^2 == 49*ssa*ssb;
+        only those borderline entries pay the exact big-int compare
+        (the old behavior for every pair)."""
+        lhs = 400.0 * np.square(D, dtype=np.float64)
+        rhs = 49.0 * (ssa[:, None] * ssb[None, :])
+        hit = (D >= 0) & (lhs >= rhs * (1 + 1e-9))
+        border = (D >= 0) & ~hit & (lhs >= rhs * (1 - 1e-9))
+        for i, j in zip(*np.nonzero(border)):
+            d = int(D[i, j])
+            if 400 * d * d >= 49 * int(ssa[i]) * int(ssb[j]):
+                hit[i, j] = True
+        return hit
+
+    ok = pdf[pdf["q"].map(lambda v: not any(x is None for x in v))]
+    for _, grp in ok.groupby(ok["q"].map(len)):
+        if len(grp) < 2:
+            continue
+        grp = grp.sort_values("vec_id")
+        ids = grp["vec_id"].to_numpy()
+        Q = np.stack(grp["q"].to_numpy()).astype(np.int64)
+        ss = grp["ss"].to_numpy().astype(np.float64)  # exact: ss < 2^53
+        n = len(ids)
+        # r10 (guide §5, r9 verdict task #6): tile the GEMM so a
+        # mega-cell (one hot label owning most of the corpus) costs
+        # O(tile²) peak memory per task instead of materializing the
+        # full n×n dot/pair matrices at once. Tiles walk the upper
+        # triangle only; per-tile masks reproduce triu(k=1) exactly.
+        T = _GEMM_TILE
+        for i0 in range(0, n, T):
+            i1 = min(i0 + T, n)
+            for j0 in range(i0, n, T):
+                j1 = min(j0 + T, n)
+                D = Q[i0:i1] @ Q[j0:j1].T  # exact int64
+                hit = _tile_hits(D, ss[i0:i1], ss[j0:j1])
+                if i0 == j0:
+                    hit = np.triu(hit, k=1)
+                ia, ib = np.nonzero(hit)
+                # strict doc_a < doc_b BY VALUE, exactly the old pair
+                # filter: duplicate vec_ids (doubled fact rows) must
+                # not emit (x, x) self-loops the join never produced
+                ga, gb = ids[ia + i0], ids[ib + j0]
+                ne = ga != gb
+                out_a.extend(int(x) for x in ga[ne])
+                out_b.extend(int(x) for x in gb[ne])
+    return pd.DataFrame({"doc_a": out_a, "doc_b": out_b}, dtype="int64")
 
 
 #: Non-overlapping token-window size for exact chunk dedup (the practical
@@ -1807,3 +1908,11 @@ def q_dedup_store_retention_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_novel",
         "readmitted_checksum",
     )
+
+
+from ..session import pickle_module_by_value  # noqa: E402
+
+# This module now defines a worker-side kernel at module level
+# (_semdedup_cell_edges): ship it by value so executors never need the
+# package on their own sys.path (same pattern as archive/audio/avi/gif).
+pickle_module_by_value(__name__)

@@ -323,18 +323,25 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     sources = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id").distinct()
 
+    from pyspark.sql import Observation
+
     levels = sources.withColumn("level", F.lit(0)).transform(pin)
     frontier = levels.select("doc_id")
     for lvl in range(1, BFS_MAX_LEVELS + 1):
+        # r10: the frontier count rides the checkpoint's own action via
+        # an Observation (the connected_components trick) — the old
+        # ``nxt.isEmpty()`` was a separate per-level job.
+        obs = Observation()
         nxt = (
             sym.join(frontier, sym.doc_a == frontier.doc_id)
             .select(F.col("doc_b").alias("doc_id"))
             .distinct()
             .join(levels, "doc_id", "left_anti")
             .withColumn("level", F.lit(lvl))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .transform(pin)
         )
-        if nxt.isEmpty():
+        if obs.get["n"] == 0:
             break
         levels = levels.union(nxt).transform(pin)
         frontier = nxt.select("doc_id")
@@ -493,17 +500,37 @@ def q_graph_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.lit(0))
         .transform(pin)
     )
+    # r10 (guide §1/§5): relaxation is MONOTONE — per node the distance
+    # only ever decreases and nodes are only ever added, so a round that
+    # changes neither the node count nor the distance total has hit the
+    # fixpoint and the remaining rounds are exact no-ops (hop-bounded
+    # semantics unchanged: rounds past convergence cannot relax
+    # anything). The (count, sum) pair rides the checkpoint's own action
+    # via an Observation — no extra job.
+    from pyspark.sql import Observation
+
+    prev_sig: tuple | None = None
     for _ in range(SSSP_ROUNDS):
         cand = sym.join(dist, sym.doc_a == dist.doc_id).select(
             F.col("doc_b").alias("doc_id"),
             (F.col("dist") + F.col("wt")).alias("dist"),
         )
+        obs = Observation()
         dist = (
             dist.union(cand)
             .groupBy("doc_id")
             .agg(F.min("dist").alias("dist"))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum("dist").alias("total"),
+            )
             .transform(pin)
         )
+        sig = (obs.get["n"], obs.get["total"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
     return dist.select("doc_id", F.col("dist").cast("int").alias("dist"))
 
 
@@ -595,18 +622,35 @@ def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).transform(pin)
 
+    from pyspark.sql import Observation
+
     active = sym.select(F.col("doc_a").alias("node")).distinct().transform(pin)
+    # r10 (guide §1/§5): peeling is MONOTONE — the active set only ever
+    # shrinks, so a round that drops nothing is the fixpoint and every
+    # remaining unrolled round is an exact no-op (the docstring contract
+    # both engines share). Count survivors via an Observation riding the
+    # SAME action as the checkpoint (the connected_components trick) and
+    # break when the count stops falling: on this graph peeling settles
+    # well before KCORE_ROUNDS, so ~half the per-round jobs disappear
+    # with byte-identical output.
+    prev_n: int | None = None
     for _ in range(KCORE_ROUNDS):
         restricted = sym.join(
             active.withColumnRenamed("node", "doc_a"), "doc_a"
         ).join(active.withColumnRenamed("node", "doc_b"), "doc_b")
+        obs = Observation()
         active = (
             restricted.groupBy("doc_a")
             .agg(F.count("*").alias("deg"))
             .filter(F.col("deg") >= KCORE_K)
             .select(F.col("doc_a").alias("node"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .transform(pin)
         )
+        n = obs.get["n"]
+        if prev_n is not None and n == prev_n:
+            break
+        prev_n = n
     final = sym.join(active.withColumnRenamed("node", "doc_a"), "doc_a").join(
         active.withColumnRenamed("node", "doc_b"), "doc_b"
     )

@@ -227,6 +227,12 @@ def _build_huffman(counts: list[int], symbols: bytes) -> tuple[list[int], list[i
     k = 0
     for length in range(1, 17):
         for _ in range(counts[length - 1]):
+            if code >= (1 << length):
+                # Over-subscribed DHT (ADVICE r9): without this check the
+                # slice assignment below would silently GROW the tables
+                # past 64 Ki and decode garbage; the pre-r9 tree walker
+                # raised on such tables, so keep that contract.
+                raise ValueError("over-subscribed Huffman table in DHT")
             prefix = code << (16 - length)
             span = 1 << (16 - length)
             sym_at[prefix : prefix + span] = [symbols[k]] * span
@@ -234,8 +240,10 @@ def _build_huffman(counts: list[int], symbols: bytes) -> tuple[list[int], list[i
             code += 1
             k += 1
         code <<= 1
-    if len(_HUFF_CACHE) > 64:
-        _HUFF_CACHE.clear()
+    while len(_HUFF_CACHE) > 64:
+        # Evict oldest-inserted only (ADVICE r9): clear() dropped the hot
+        # standard tables too, causing rebuild bursts on mixed corpora.
+        _HUFF_CACHE.pop(next(iter(_HUFF_CACHE)))
     _HUFF_CACHE[key] = (sym_at, len_at)
     return sym_at, len_at
 

@@ -211,7 +211,9 @@ def q_udf_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket frame's (ts, event_id) sort, exactly the old per-group
     sort). The NaN-key slice (Spark groups NULLs together; pandas
     groupby drops NaN) is computed separately as one series —
-    bit-identical to the old NULL group."""
+    bit-identical to the old NULL group. r10 hardening: NULLs bucket to
+    -1 (their own bucket), so non-null frames arrive int64 and the
+    pandas groupby is exact over the full bigint id domain."""
     alpha = 0.3
     warmup = 8
     events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
@@ -254,9 +256,19 @@ def q_udf_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).astype({"user_id": "float64", "event_id": "int64", "ewma_value": "float64"})
         return pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
 
-    return events.groupBy(
-        F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("b")
-    ).applyInPandas(ewma, "user_id long, event_id long, ewma_value double")
+    # NULL keys get their OWN bucket (r10, r9 verdict task #7): pmod
+    # never returns -1, so no non-null bucket ever contains a NULL —
+    # every non-null frame crosses Arrow as int64 and the pandas groupby
+    # matches exactly over the full bigint domain (a bucket mixing NULLs
+    # forced float64 frames, exact only below 2⁵³). The NULL bucket
+    # itself runs the unchanged NaN path. Results are identical: the
+    # bucket is pure transport, per-user/NULL-group math is unchanged.
+    bucket = F.when(F.col("user_id").isNull(), F.lit(-1)).otherwise(
+        F.pmod(F.xxhash64("user_id"), F.lit(n_buckets))
+    )
+    return events.groupBy(bucket.alias("b")).applyInPandas(
+        ewma, "user_id long, event_id long, ewma_value double"
+    )
 
 
 @query(
@@ -421,10 +433,12 @@ def q_udf_cogroup_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     so retried tasks regroup identically. NULL user_ids (one group
     under Spark's grouping semantics, unlike the SQL oracle —
     the ledgered nullkeys-corpus divergence) keep their behavior
-    bit-for-bit: xxhash64(NULL) is the fixed seed so they all land in
-    one bucket, and the UDF merges the NaN-key slice separately
-    WITHOUT ``by`` (pandas excludes NaN from ``by`` matching, Spark's
-    groupBy does not), which is exactly the old NULL-group merge.
+    bit-for-bit: they bucket to -1 (their OWN bucket — r10 hardening,
+    so non-null frames stay int64 across Arrow and the ``by`` match is
+    exact for the full bigint domain), and the UDF merges the NaN-key
+    slice separately WITHOUT ``by`` (pandas excludes NaN from ``by``
+    matching, Spark's groupBy does not) — exactly the old NULL-group
+    merge.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", F.unix_micros("ts").alias("ts"), "user_id", "event_type"
@@ -454,20 +468,22 @@ def q_udf_cogroup_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     TOLERANCE_MICROS = 24 * 3600 * 1_000_000  # 24h
 
     def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        # One bucket of users per call. float64 keys: Spark→pandas
-        # yields int64 (no NULLs) or float64+NaN (NULLs present) per
-        # frame, and merge_asof requires identical `by` dtypes on both
-        # sides — normalize to float64 (exact for |id| < 2^53).
+        # One bucket of users per call. NULL user_ids have their own
+        # bucket upstream (r10, r9 verdict task #7), so every non-null
+        # frame arrives as int64 on BOTH sides and the `by` match is
+        # exact over the full bigint domain — the old float64
+        # normalization was exact only below 2^53. The NULL bucket's
+        # frames are all-NaN and take the no-`by` path below unchanged.
         left = left.sort_values(["ts", "event_id"])
         right = right.sort_values(["view_ts", "view_event_id"]).rename(
             columns={"view_ts": "ts", "view_event_id": "view_id"}
         )
-        lk = left["user_id"].astype("float64")
-        rk = right["view_user_id"].astype("float64")
-        left = left.assign(_k=lk.values)
-        right = right.assign(_k=rk.values)
+        lk = left["user_id"]
+        rk = right["view_user_id"]
         lmain = left[lk.notna().values]
         rmain = right[rk.notna().values]
+        lmain = lmain.assign(_k=lmain["user_id"].astype("int64").values)
+        rmain = rmain.assign(_k=rmain["view_user_id"].astype("int64").values)
         merged_main = pd.merge_asof(
             lmain,
             rmain[["ts", "_k", "view_id"]],
@@ -508,15 +524,18 @@ def q_udf_cogroup_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
 
+    # NULL keys bucket to -1 on both sides (pmod never returns -1): no
+    # non-null cogroup frame ever mixes in a NULL, so int64 survives the
+    # Arrow boundary — see the kernel comment. Same plan shape, same
+    # groups-as-transport semantics as the plain pmod bucket.
+    def _bucket(col: str):
+        return F.when(F.col(col).isNull(), F.lit(-1)).otherwise(
+            F.pmod(F.xxhash64(col), F.lit(n_buckets))
+        )
+
     return (
-        purchases.groupBy(
-            F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("b")
-        )
-        .cogroup(
-            views.groupBy(
-                F.pmod(F.xxhash64("view_user_id"), F.lit(n_buckets)).alias("vb")
-            )
-        )
+        purchases.groupBy(_bucket("user_id").alias("b"))
+        .cogroup(views.groupBy(_bucket("view_user_id").alias("vb")))
         .applyInPandas(asof, schema="user_id bigint, purchase_id bigint, view_id bigint")
     )
 

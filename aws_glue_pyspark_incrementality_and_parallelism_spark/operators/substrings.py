@@ -115,7 +115,10 @@ def q_dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame
     # fan-out on doc_id spreads it across the cluster for a shuffle of
     # the pre-explode doc rows. No-op at real-table scan parallelism.
     grams = (
-        fan_out_compute(docs, "doc_id").filter(F.length("text") >= SPAN_L)
+        # Filter BEFORE the fan-out (ADVICE r9): rows shorter than SPAN_L
+        # produce no grams, so shuffling them into the fan-out exchange
+        # is pure waste; the pushed length predicate also reaches the scan.
+        fan_out_compute(docs.filter(F.length("text") >= SPAN_L), "doc_id")
         .select(
             "doc_id",
             F.posexplode(

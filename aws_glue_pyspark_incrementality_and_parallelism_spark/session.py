@@ -87,8 +87,25 @@ def fan_out_compute(df, *cols, min_parts: int | None = None):
     (deterministic via Spark's sort-before-repartition default,
     SPARK-23207, at the cost of that local sort).
     """
+    if os.environ.get("SPARK_GRAFT_FANOUT", "1") == "0":
+        # A/B kill-switch (r9 verdict task #1): lets the official bench
+        # measure suite-concurrency cost of the fan-out exchanges with
+        # everything else identical. Default ON — the isolated wins are
+        # proven; this knob exists to measure, not to tune.
+        return df
     sc = df.sparkSession.sparkContext
     n = min_parts or sc.defaultParallelism
+    # Cheap wide-input exit first (ADVICE r9): a scan over >= n files can
+    # never need the fan-out, and len(inputFiles()) only needs the
+    # analyzed plan — the .rdd probe below forces a full physical-plan ->
+    # RDD conversion on the driver, which on a 100 TB table with a huge
+    # file listing is the expensive part. Narrow/unknown inputs (0 or few
+    # files, e.g. post-localCheckpoint) fall through to the precise probe.
+    try:
+        if len(df.inputFiles()) >= n:
+            return df
+    except Exception:  # pragma: no cover - probe is best-effort
+        pass
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n, *cols) if cols else df.repartition(n)
