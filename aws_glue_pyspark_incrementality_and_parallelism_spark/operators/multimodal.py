@@ -203,9 +203,18 @@ def fan_out(df: DataFrame) -> DataFrame:
     Round-robin repartition to the session's parallelism before the
     Python stage: the shuffled text bytes are trivial next to per-row
     codec cost, and at 100 TB the same decoupling holds — decode
-    parallelism should track CPUs, not input byte splits."""
-    sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    parallelism should track CPUs, not input byte splits.
+
+    r10: routed through ``session.fan_out_compute`` so the codec lanes
+    inherit the busy-scheduler policy (an elective 32-way exchange buys
+    no throughput when the cluster is already saturated with concurrent
+    independent jobs — guide §2.6; measured in the r10 fan-out A/B) and
+    the SPARK_GRAFT_FANOUT A/B knob. An isolated codec job — the
+    production shape, the bench's isolated/fresh columns — sees an idle
+    scheduler and keeps the full fan-out exactly as before."""
+    from ..session import fan_out_compute
+
+    return fan_out_compute(df)
 
 
 #: Magic prefixes of codec formats we cannot decode without external

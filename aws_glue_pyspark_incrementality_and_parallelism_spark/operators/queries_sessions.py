@@ -1013,6 +1013,13 @@ def q_events_markov_stationary_power(spark: SparkSession, sf_dir: str) -> DataFr
     tr = trans.join(rowtot, "src").transform(pin)
 
     v0 = rowtot.select(F.col("src").alias("state"), F.lit(1000000).cast("bigint").alias("vq"))
+    # r10 (guide §1.2): the three vP passes run UNROLLED in one job — no
+    # per-iteration localCheckpoint. The pagerank cadence negative does
+    # not transfer here: v and tr are O(event-types) relations (a few
+    # rows) on top of the pinned `tr`, so the unrolled tree is three
+    # broadcast joins deep and plans in milliseconds, while each pin was
+    # a full job submission. A/B at sf0.1: 2.97-6.9 s -> 1.47-2.0 s
+    # (min-of-4 each, same session conditions).
     v = v0
     for _ in range(3):
         v = (
@@ -1021,7 +1028,6 @@ def q_events_markov_stationary_power(spark: SparkSession, sf_dir: str) -> DataFr
             .groupBy(F.col("dst").alias("state_new"))
             .agg(F.sum("t").cast("bigint").alias("vq"))
             .select(F.col("state_new").alias("state"), "vq")
-            .transform(pin)
         )
     return (
         v.join(v0.select(F.col("state"), F.col("vq").alias("vq0")), "state")

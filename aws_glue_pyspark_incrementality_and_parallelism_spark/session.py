@@ -61,6 +61,12 @@ def pin(df, eager: bool = True):
     return df.localCheckpoint(eager=eager)
 
 
+#: Active-job threshold above which the elective fan-out is skipped (the
+#: scheduler is already saturated with concurrent independent jobs —
+#: guide §2.6). 3 = "clearly more than this one pipeline's own work".
+_FANOUT_BUSY_JOBS = 3
+
+
 def fan_out_compute(df, *cols, min_parts: int | None = None):
     """Scale-adaptive fan-out for compute-heavy map stages (r9, guide
     §2.5 "one huge unsplittable file" / §2.6 stragglers). Use as
@@ -87,13 +93,35 @@ def fan_out_compute(df, *cols, min_parts: int | None = None):
     (deterministic via Spark's sort-before-repartition default,
     SPARK-23207, at the cost of that local sort).
     """
-    if os.environ.get("SPARK_GRAFT_FANOUT", "1") == "0":
+    mode = os.environ.get("SPARK_GRAFT_FANOUT", "")
+    if mode == "0":
         # A/B kill-switch (r9 verdict task #1): lets the official bench
         # measure suite-concurrency cost of the fan-out exchanges with
-        # everything else identical. Default ON — the isolated wins are
-        # proven; this knob exists to measure, not to tune.
+        # everything else identical.
         return df
     sc = df.sparkSession.sparkContext
+    if mode != "1":
+        # Adaptive default (r10, measured per r9 verdict task #1): the
+        # fan-out exists to fill an IDLE cluster when a lone job's heavy
+        # kernel rides a one-task scan — the 8.6×/5×/2× isolated wins.
+        # When the scheduler is already saturated with concurrent
+        # independent jobs (guide §2.6: a few jobs in flight fill every
+        # core), the elective exchange buys no throughput and costs a
+        # shuffle plus 32-way task pressure per query: the r10 official
+        # A/B measured the 24-thread suite concurrent wall at ~62 s with
+        # fan-outs off vs ~87-131 s forced on (interleaved pairs,
+        # calibration-stamped — plans/r10/BENCH_AB_*.json). So consult
+        # the live scheduler (public StatusTracker API) at plan-build
+        # time and skip the elective fan-out when the cluster is already
+        # busy with other jobs. SPARK_GRAFT_FANOUT=1 forces the r9
+        # always-on behavior; =0 forces off. An isolated run — any lone
+        # production job, the bench's isolated/fresh columns — sees an
+        # idle scheduler and keeps the fan-out, at any scale.
+        try:
+            if len(sc.statusTracker().getActiveJobsIds()) >= _FANOUT_BUSY_JOBS:
+                return df
+        except Exception:  # pragma: no cover - probe is best-effort
+            pass
     n = min_parts or sc.defaultParallelism
     # Cheap wide-input exit first (ADVICE r9): a scan over >= n files can
     # never need the fan-out, and len(inputFiles()) only needs the

@@ -225,6 +225,35 @@ def test_cogroup_asof_matches_within_user_across_2e53(spark, big_id_events_dir):
     assert got[p + 1]["purchase_id"] == 20 and got[p + 1]["view_id"] == 19
 
 
+# ------------------------------------------------- fan_out_compute modes
+
+
+def test_fan_out_modes_and_busy_scheduler_skip(spark, monkeypatch):
+    from aws_glue_pyspark_incrementality_and_parallelism_spark import session as S
+
+    df = spark.range(10).coalesce(1)
+    monkeypatch.setenv("SPARK_GRAFT_FANOUT", "0")
+    assert S.fan_out_compute(df, min_parts=4).rdd.getNumPartitions() == 1
+    monkeypatch.setenv("SPARK_GRAFT_FANOUT", "1")
+    assert S.fan_out_compute(df, min_parts=4).rdd.getNumPartitions() == 4
+    # adaptive default: idle scheduler -> fan out
+    monkeypatch.delenv("SPARK_GRAFT_FANOUT", raising=False)
+    assert S.fan_out_compute(df, min_parts=4).rdd.getNumPartitions() == 4
+
+    # adaptive default: saturated scheduler -> elective fan-out skipped
+    class _BusyTracker:
+        def getActiveJobsIds(self):
+            return [1, 2, 3, 4, 5]
+
+    monkeypatch.setattr(
+        spark.sparkContext, "statusTracker", lambda: _BusyTracker()
+    )
+    assert S.fan_out_compute(df, min_parts=4).rdd.getNumPartitions() == 1
+    # forced ON ignores the busy probe
+    monkeypatch.setenv("SPARK_GRAFT_FANOUT", "1")
+    assert S.fan_out_compute(df, min_parts=4).rdd.getNumPartitions() == 4
+
+
 # ----------------------------------------------------- JPEG DHT guards
 
 
