@@ -205,16 +205,21 @@ def fan_out(df: DataFrame) -> DataFrame:
     codec cost, and at 100 TB the same decoupling holds — decode
     parallelism should track CPUs, not input byte splits.
 
-    r10: routed through ``session.fan_out_compute`` so the codec lanes
-    inherit the busy-scheduler policy (an elective 32-way exchange buys
-    no throughput when the cluster is already saturated with concurrent
-    independent jobs — guide §2.6; measured in the r10 fan-out A/B) and
-    the SPARK_GRAFT_FANOUT A/B knob. An isolated codec job — the
-    production shape, the bench's isolated/fresh columns — sees an idle
-    scheduler and keeps the full fan-out exactly as before."""
+    r10: routed through ``session.fan_out_compute`` with
+    ``elective=False`` — the spread here is LOAD-BEARING, not elective:
+    per-partition decode cost is tens of seconds, so skipping it under
+    a busy scheduler (tried first, measured in the r10 official bench)
+    turned each codec lane into a single-task straggler that held a
+    FAIR-pool slot for its whole serial runtime and took the concurrent
+    wave 60 s -> 272 s while the box idled at load ~13/32 (guide §2.6).
+    The busy-scheduler skip and the SPARK_GRAFT_FANOUT knob therefore
+    do NOT apply; the wide-input exit still does (a >=parallelism-file
+    production scan keeps its partitioning instead of collapsing to a
+    32-way exchange, which the pre-r10 unconditional repartition would
+    have forced)."""
     from ..session import fan_out_compute
 
-    return fan_out_compute(df)
+    return fan_out_compute(df, elective=False)
 
 
 #: Magic prefixes of codec formats we cannot decode without external

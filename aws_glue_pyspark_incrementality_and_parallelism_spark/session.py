@@ -67,7 +67,7 @@ def pin(df, eager: bool = True):
 _FANOUT_BUSY_JOBS = 3
 
 
-def fan_out_compute(df, *cols, min_parts: int | None = None):
+def fan_out_compute(df, *cols, min_parts: int | None = None, elective: bool = True):
     """Scale-adaptive fan-out for compute-heavy map stages (r9, guide
     §2.5 "one huge unsplittable file" / §2.6 stragglers). Use as
     ``df.transform(fan_out_compute)`` immediately before a CPU-bound
@@ -92,15 +92,25 @@ def fan_out_compute(df, *cols, min_parts: int | None = None):
     preference over round-robin); the keyless form round-robins
     (deterministic via Spark's sort-before-repartition default,
     SPARK-23207, at the cost of that local sort).
+
+    ``elective=False`` marks the fan-out as LOAD-BEARING: the stage it
+    feeds does so much per-row work (the Python codec lanes — tens of
+    seconds per partition) that skipping the spread turns the query
+    into a single-task straggler that holds one FAIR-pool slot hostage
+    for its whole serial runtime (guide §2.6), so neither the
+    busy-scheduler skip nor the SPARK_GRAFT_FANOUT A/B knob applies —
+    measured r10: routing the codec lanes through the busy skip took
+    the official concurrent wave 60 s -> 272 s (phash span 3 s -> 97 s)
+    while the box sat at load ~13 of 32.
     """
-    mode = os.environ.get("SPARK_GRAFT_FANOUT", "")
+    sc = df.sparkSession.sparkContext
+    mode = os.environ.get("SPARK_GRAFT_FANOUT", "") if elective else ""
     if mode == "0":
         # A/B kill-switch (r9 verdict task #1): lets the official bench
         # measure suite-concurrency cost of the fan-out exchanges with
         # everything else identical.
         return df
-    sc = df.sparkSession.sparkContext
-    if mode != "1":
+    if elective and mode != "1":
         # Adaptive default (r10, measured per r9 verdict task #1): the
         # fan-out exists to fill an IDLE cluster when a lone job's heavy
         # kernel rides a one-task scan — the 8.6×/5×/2× isolated wins.

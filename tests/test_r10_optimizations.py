@@ -249,6 +249,21 @@ def test_fan_out_modes_and_busy_scheduler_skip(spark, monkeypatch):
         spark.sparkContext, "statusTracker", lambda: _BusyTracker()
     )
     assert S.fan_out_compute(df, min_parts=4).rdd.getNumPartitions() == 1
+    # load-bearing (elective=False) fan-outs — the codec lanes — ignore
+    # the busy probe: skipping would serialize a tens-of-seconds Python
+    # decode stage onto one task (measured 60 s -> 272 s concurrent wave)
+    assert (
+        S.fan_out_compute(df, min_parts=4, elective=False)
+        .rdd.getNumPartitions()
+        == 4
+    )
+    # ... and the A/B kill-switch does not apply to them either
+    monkeypatch.setenv("SPARK_GRAFT_FANOUT", "0")
+    assert (
+        S.fan_out_compute(df, min_parts=4, elective=False)
+        .rdd.getNumPartitions()
+        == 4
+    )
     # forced ON ignores the busy probe
     monkeypatch.setenv("SPARK_GRAFT_FANOUT", "1")
     assert S.fan_out_compute(df, min_parts=4).rdd.getNumPartitions() == 4
