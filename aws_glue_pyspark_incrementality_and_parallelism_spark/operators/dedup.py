@@ -727,6 +727,53 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: environments where scheduling (not driver planning) dominates.
 CC_UNROLL = 1
 
+#: Edge-count ceiling for the single-task union-find finish (r10). Two
+#: regimes, the classic MapReduce-CC design (Kiveris et al. 2014,
+#: "Connected Components in MapReduce and Beyond", §"finish on one
+#: machine when the graph fits"): below this many (symmetrized) edges
+#: the whole active subgraph fits ONE executor task with room to spare
+#: (2²¹ edges ≈ 32 MB of int64 pairs + O(nodes) DSU arrays), so the
+#: exact union-find replaces ~⌈log d⌉+1 propagate+jump JOBS whose cost
+#: at converged-graph sizes is pure scheduler/checkpoint latency (the
+#: CC_UNROLL ledger above: ~0.5-1.5 s per job). Above it, the iterative
+#: path runs unchanged — at 100 TB a billion-edge near-dup graph never
+#: sees the local regime. The count rides the sym checkpoint's own
+#: materialization job via an Observation (no extra action).
+_CC_LOCAL_EDGE_MAX = 1 << 21
+
+
+def _cc_local_union_find(pdf):
+    """Exact union-find over one task's worth of symmetrized edges;
+    returns (doc_id, comp) for every edge-touching node with comp = the
+    component's MIN node id — precisely the fixpoint min-label
+    propagation converges to, for any id type whose pandas/numpy sort
+    order matches Spark's (int64s trivially; strings because UTF-8 byte
+    order preserves code-point order)."""
+    import numpy as np
+    import pandas as pd
+
+    a = pdf["doc_a"].to_numpy()
+    b = pdf["doc_b"].to_numpy()
+    nodes, idx = np.unique(np.concatenate([a, b]), return_inverse=True)
+    parent = list(range(len(nodes)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    # np.unique sorts ascending, so a smaller DSU index IS a smaller
+    # node id: union-by-min-index makes every root the component min.
+    for x, y in zip(idx[: len(a)].tolist(), idx[len(a) :].tolist()):
+        rx, ry = find(x), find(y)
+        if rx < ry:
+            parent[ry] = rx
+        elif ry < rx:
+            parent[rx] = ry
+    roots = np.fromiter((find(i) for i in range(len(nodes))), dtype=np.int64)
+    return pd.DataFrame({"doc_id": nodes, "comp": nodes[roots]})
+
 
 def connected_components(
     edges: DataFrame, nodes: DataFrame, max_iters: int = 15
@@ -755,17 +802,45 @@ def connected_components(
 
     * the symmetrized edge set is materialized ONCE
       (``localCheckpoint``) — without it every iteration would re-run
-      the whole pair-generation pipeline;
+      the whole pair-generation pipeline; its row count rides that same
+      job (Observation) and routes small graphs (≤ _CC_LOCAL_EDGE_MAX
+      edges) to a single exact union-find task instead of the loop —
+      the two-regime design of Kiveris et al. 2014;
     * only nodes that touch an edge iterate. In a near-dup graph almost
       every doc is isolated (its label can never change — it has no
       neighbors), so the loop's joins run over the edge-touching
       minority and the isolated majority is unioned back at the end."""
-    sym = edges.select("doc_a", "doc_b").union(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).transform(pin)
+    from pyspark.sql import Observation
+
+    sym_obs = Observation()
+    sym = (
+        edges.select("doc_a", "doc_b")
+        .union(
+            edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .observe(sym_obs, F.count(F.lit(1)).alias("n"))
+        .transform(pin)
+    )
+    if sym_obs.get["n"] <= _CC_LOCAL_EDGE_MAX:
+        # Small-graph regime (r10, see _CC_LOCAL_EDGE_MAX): one exact
+        # union-find task instead of ~⌈log d⌉+1 propagate+jump jobs.
+        # Executor-side (applyInPandas over a constant group), NOT a
+        # driver collect; output is identical to the converged loop
+        # below — both are "comp = component's min node id".
+        dt = dict(edges.select("doc_a", "doc_b").dtypes)["doc_a"]
+        labels = (
+            sym.withColumn("_g", F.lit(1))
+            .groupBy("_g")
+            .applyInPandas(_cc_local_union_find, schema=f"doc_id {dt}, comp {dt}")
+        )
+        isolated_l = nodes.select("doc_id").join(
+            sym.select(F.col("doc_a").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        return labels.unionByName(isolated_l.withColumn("comp", F.col("doc_id")))
     active = sym.select(F.col("doc_a").alias("doc_id")).distinct()
     labels = active.withColumn("comp", F.col("doc_id")).transform(pin)
-    from pyspark.sql import Observation
 
     def _round(lbl: DataFrame) -> DataFrame:
         """One propagate+jump round over (doc_id, prev, comp); ``prev``

@@ -296,3 +296,40 @@ def test_huff_cache_bounded_with_oldest_first_eviction():
         assert (bytes([1] + [0] * 15) + bytes([79])) in jpeg._HUFF_CACHE
     finally:
         jpeg._HUFF_CACHE.clear()
+
+
+# ----------------------------------------- connected_components regimes
+
+
+def test_cc_local_union_find_matches_iterative(spark, monkeypatch):
+    """The single-task union-find finish (small-graph regime) must be
+    row-identical to the iterative propagate+jump loop on a graph with
+    a long chain (exercises path compression), a clique, duplicate and
+    self edges, two separate components, and isolated nodes."""
+    from aws_glue_pyspark_incrementality_and_parallelism_spark.operators import (
+        dedup as D,
+    )
+
+    chain = [(i, i + 1) for i in range(10, 30)]  # one 21-node chain
+    clique = [(a, b) for a in range(50, 55) for b in range(a + 1, 55)]
+    extras = [(100, 101), (101, 100), (100, 100), (30, 10)]  # dups/self/cycle
+    edges = spark.createDataFrame(
+        chain + clique + extras, "doc_a long, doc_b long"
+    )
+    nodes = spark.range(0, 120).selectExpr("id as doc_id")  # 0-9 isolated
+
+    local = {
+        (r["doc_id"], r["comp"])
+        for r in D.connected_components(edges, nodes).collect()
+    }
+    monkeypatch.setattr(D, "_CC_LOCAL_EDGE_MAX", -1)  # force the loop
+    iterative = {
+        (r["doc_id"], r["comp"])
+        for r in D.connected_components(edges, nodes).collect()
+    }
+    assert local == iterative
+    # spot-check the analytic answer: chain+cycle collapse to min=10,
+    # clique to 50, pair to 100, isolated nodes label themselves
+    as_map = dict(local)
+    assert as_map[29] == 10 and as_map[54] == 50 and as_map[101] == 100
+    assert as_map[5] == 5 and len(local) == 120
