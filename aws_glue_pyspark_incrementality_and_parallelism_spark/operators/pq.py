@@ -71,18 +71,25 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
-def train_codebooks(spark: SparkSession, sf_dir: str) -> np.ndarray:
+def train_codebooks(spark: SparkSession, sf_dir: str, rows: list | None = None) -> np.ndarray:
     """Learn (M_SUB, K_CODES, SUB_DIM) codebooks from the bounded
     sample ``vec_id < TRAIN_SAMPLE`` with deterministic Lloyd
     iterations (init = first K_CODES sample subvectors; ties take the
-    lowest code via argmin; empty cells keep their codeword)."""
-    rows = (
-        load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-        .filter(F.col("vec_id") < TRAIN_SAMPLE)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    )  # control-plane: ≤ TRAIN_SAMPLE rows regardless of corpus size
+    lowest code via argmin; empty cells keep their codeword).
+
+    ``rows`` (r10): pre-collected, vec_id-ascending sample rows with an
+    ``embedding`` field — lets ``pq_adc_topk_pairs`` share ONE
+    control-plane collect between training and the query vectors
+    instead of two scheduler round-trips over the same id range."""
+    if rows is None:
+        rows = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("embedding").isNotNull())
+            .filter(F.col("vec_id") < TRAIN_SAMPLE)
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        )  # control-plane: ≤ TRAIN_SAMPLE rows regardless of corpus size
     if not rows:
         # empty corpus: zero codebooks keep every downstream stage
         # empty without crashing (no-new-data incremental case)
@@ -136,14 +143,21 @@ def pq_adc_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC search + exact rerank: compressed-domain shortlist per
     partition → global shortlist → exact cosine top-k."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    books = train_codebooks(spark, sf_dir)
-    codes = encode_codes(emb, books)
-
-    qrows = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
+    # ONE control-plane collect (r10): the training sample id range
+    # covers the query id range (TRAIN_SAMPLE > N_QUERIES), so collect
+    # it once and slice — training and query extraction were two
+    # separate jobs over the same rows.
+    sample_rows = (
+        emb.filter(F.col("vec_id") < max(TRAIN_SAMPLE, N_QUERIES))
         .orderBy("vec_id")
         .collect()
-    )  # control-plane: N_QUERIES vectors
+    )  # control-plane: ≤ max(TRAIN_SAMPLE, N_QUERIES) rows at any corpus size
+    books = train_codebooks(
+        spark, sf_dir, rows=[r for r in sample_rows if r["vec_id"] < TRAIN_SAMPLE]
+    )
+    codes = encode_codes(emb, books)
+
+    qrows = [r for r in sample_rows if r["vec_id"] < N_QUERIES]
     if not qrows:
         # empty corpus ⇒ no query vectors: the ADC top-k is empty by
         # definition (no-new-data incremental case must not crash);

@@ -290,7 +290,11 @@ IVF_NPROBE = 4
 
 
 def assign_nearest_cells(
-    df: DataFrame, centroids: DataFrame, vec_col: str = "embedding", k: int = 1
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 1,
+    cent_rows: list | None = None,
 ) -> DataFrame:
     """Top-k nearest-centroid assignment as ONE Arrow pass over ``df``.
 
@@ -305,10 +309,18 @@ def assign_nearest_cells(
     (cosine), ``cell_rank`` (1-based). Ties break toward the lower cell
     id (stable argsort over ascending cell order), matching
     ``ORDER BY cos DESC, cell ASC``.
+
+    ``cent_rows`` (r10): pass the already-collected centroid rows to
+    skip this call's collect — a caller that assigns twice against the
+    SAME centroid table (IVF: corpus + probes) otherwise pays the
+    centroid aggregation job twice, a pure control-plane round-trip
+    that under a saturated concurrent scheduler costs far more than the
+    aggregate itself (guide §1.2 "count the jobs").
     """
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-    cent_rows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    if cent_rows is None:
+        cent_rows = sorted(centroids.collect(), key=lambda r: r["cell"])
     if not cent_rows:
         # empty corpus ⇒ zero centroids: assignment is empty by
         # definition — keep the output schema, emit no rows (the
@@ -391,9 +403,13 @@ def ivf_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     cent = label_centroid_arrays(emb)
     cos_udf = _cosine_pandas_udf()
+    # one centroid collect shared by both assignment passes (r10): the
+    # corpus assign and the query probe ran the centroid aggregation as
+    # two separate jobs for identical rows
+    cent_rows = sorted(cent.collect(), key=lambda r: r["cell"])
 
     # nearest cell per corpus vector: one Arrow GEMM pass, no shuffle
-    assigned = assign_nearest_cells(emb, cent, k=1).select(
+    assigned = assign_nearest_cells(emb, cent, k=1, cent_rows=cent_rows).select(
         "vec_id", "embedding", "cell"
     )
 
@@ -401,9 +417,9 @@ def ivf_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    probes = assign_nearest_cells(queries, cent, vec_col="qe", k=IVF_NPROBE).select(
-        "query_id", "qe", "cell"
-    )
+    probes = assign_nearest_cells(
+        queries, cent, vec_col="qe", k=IVF_NPROBE, cent_rows=cent_rows
+    ).select("query_id", "qe", "cell")
 
     # candidates = corpus vectors in a probed cell; exact rerank
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -581,9 +597,14 @@ def kmeans_refine(
                 ).alias("centroid")
             )
         )
-        # materialize the small table so each iteration's lineage is flat
-        # (unbounded lineage growth is the classic iterative-Spark bug)
-        centroids = centroids.transform(pin)
+        # No per-iteration centroid pin (r10): the NEXT iteration's
+        # assign_nearest_cells collect() materializes this aggregate
+        # anyway, and its lineage is already flat (one aggregate over
+        # the pinned assignment) — the pin was a third scheduler
+        # round-trip per iteration that bought nothing. The values are
+        # unchanged: same aggregate plan over the same checkpointed
+        # input either way (sim_kmeans_portable value-checks the float
+        # trajectory end-to-end).
     return centroids, inertias
 
 
