@@ -327,14 +327,22 @@ def q_layout_sorted_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = sorted(
         os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
     )
-    stats = []
-    for f in files:
-        r = (
-            spark.read.parquet(f)
+    # Per-file zone ranges in ONE grouped job (r10, guide §5 "no driver
+    # loops"): the old per-file collect loop was n_files sequential
+    # scheduler round-trips — fine for 8 files, quadratic pain for a
+    # real table's thousands. ``_metadata.file_path`` is the engine's
+    # deterministic per-row provenance column, so one aggregate returns
+    # every file's (min, max) pair at once; still only O(files)
+    # statistics rows crossing the driver.
+    stats = [
+        (r["lo"], r["hi"])
+        for r in (
+            spark.read.parquet(out)
+            .groupBy(F.col("_metadata.file_path").alias("f"))
             .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
-            .collect()[0]
+            .collect()
         )
-        stats.append((r.lo, r.hi))
+    ]
     # a file holding only NULL keys has no zone range (min/max are
     # None) — it cannot participate in the disjointness audit, and a
     # None must never reach the datetime sort (NULL-corpus robustness)
